@@ -1,0 +1,3 @@
+from datapact_spark.cli import main
+
+raise SystemExit(main())

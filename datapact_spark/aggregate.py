@@ -1,0 +1,162 @@
+"""Run-level aggregation: exec summaries, breakdowns, payload explosion.
+
+Reimplements the reference's aggregate step
+(/root/reference/datapact/templates/aggregate_results.sql.j2:24-97) and
+the ledger-derived reporting tables (genie_* —
+/root/reference/datapact/client.py:446-534; payload explosion —
+client.py:1311-1435) as native DataFrame aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _success_rate() -> F.Column:
+    total = F.count(F.lit(1))
+    succ = F.sum(F.when(F.col("status") == "SUCCESS", 1).otherwise(0))
+    return F.when(total == 0, F.lit(0.0)).otherwise(
+        F.round(succ * 100.0 / total, 2)
+    )
+
+
+def run_summary(run_results: DataFrame) -> DataFrame:
+    """Run-level metrics (aggregate_results.sql.j2:24-44)."""
+    total = F.count(F.lit(1))
+    succ = F.sum(F.when(F.col("status") == "SUCCESS", 1).otherwise(0))
+    return run_results.agg(
+        F.first("run_id").alias("run_id"),
+        F.first("job_id").alias("job_id"),
+        F.first("job_name").alias("job_name"),
+        total.alias("total_tasks"),
+        F.sum(F.when(F.col("status") == "FAILURE", 1).otherwise(0)).alias("failure_count"),
+        succ.alias("success_count"),
+        _success_rate().alias("success_rate_percent"),
+        F.when(total == 0, F.lit(0.0))
+        .otherwise(F.round(succ * 1.0 / total, 4))
+        .alias("data_quality_score"),
+        F.sum(
+            F.when(
+                (F.col("status") == "FAILURE")
+                & (F.coalesce(F.col("business_priority"), F.lit("")) == "CRITICAL"),
+                1,
+            ).otherwise(0)
+        ).alias("critical_failures"),
+        F.sum(F.coalesce(F.col("estimated_impact_usd"), F.lit(0.0))).alias(
+            "potential_impact_usd"
+        ),
+        F.sum(
+            F.when(
+                F.col("status") == "FAILURE",
+                F.coalesce(F.col("estimated_impact_usd"), F.lit(0.0)),
+            ).otherwise(0.0)
+        ).alias("realized_impact_usd"),
+        F.avg("expected_sla_hours").alias("avg_expected_sla_hours"),
+        F.filter(
+            F.collect_list(
+                F.when(F.col("status") == "FAILURE", F.col("task_key"))
+            ),
+            lambda x: x.isNotNull(),
+        ).alias("failed_task_keys"),
+        F.current_timestamp().alias("generated_at"),
+    )
+
+
+def _breakdown(run_results: DataFrame, dim: str, default: str, out_name: str) -> DataFrame:
+    """Shared shape of domain/owner/priority breakdowns
+    (aggregate_results.sql.j2:46-97)."""
+    dim_col = F.coalesce(F.nullif(F.trim(F.col(dim)), F.lit("")), F.lit(default)).alias(
+        out_name
+    )
+    return run_results.groupBy(F.col("run_id"), F.col("job_name"), dim_col).agg(
+        F.count(F.lit(1)).alias("total_validations"),
+        F.sum(F.when(F.col("status") == "FAILURE", 1).otherwise(0)).alias(
+            "failed_validations"
+        ),
+        _success_rate().alias("success_rate_percent"),
+        F.avg("expected_sla_hours").alias("avg_expected_sla_hours"),
+        F.sum(F.coalesce(F.col("estimated_impact_usd"), F.lit(0.0))).alias(
+            "potential_impact_usd"
+        ),
+        F.sum(
+            F.when(
+                F.col("status") == "FAILURE",
+                F.coalesce(F.col("estimated_impact_usd"), F.lit(0.0)),
+            ).otherwise(0.0)
+        ).alias("realized_impact_usd"),
+        F.max(
+            F.when(F.col("status") == "FAILURE", F.col("validation_begin_ts"))
+        ).alias("last_failure_ts"),
+        F.current_timestamp().alias("generated_at"),
+    )
+
+
+def domain_breakdown(run_results: DataFrame) -> DataFrame:
+    return _breakdown(run_results, "business_domain", "Unspecified", "business_domain")
+
+
+def owner_breakdown(run_results: DataFrame) -> DataFrame:
+    return _breakdown(run_results, "business_owner", "Unassigned", "business_owner")
+
+
+def priority_breakdown(run_results: DataFrame) -> DataFrame:
+    return _breakdown(
+        run_results, "business_priority", "UNSPECIFIED", "business_priority"
+    ).drop("avg_expected_sla_hours")
+
+
+def latest_per_task(ledger: DataFrame) -> DataFrame:
+    """Latest result row per (run_id, task_key) — W1 dedup window
+    (client.py:480-487)."""
+    w = Window.partitionBy("run_id", "task_key").orderBy(
+        F.col("validation_begin_ts").desc()
+    )
+    return (
+        ledger.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def explode_payload_checks(ledger: DataFrame) -> DataFrame:
+    """Pivot the dynamic payload keys into one row per check
+    (client.py:1311-1435 uses 4 LATERAL VIEW copies; a single explode +
+    when-classification replaces them).
+
+    Output: task_key, run_id, status, check_key, check_type, check_json.
+    """
+    kv = ledger.select(
+        "task_key",
+        "run_id",
+        "status",
+        F.explode(
+            F.from_json(F.col("result_payload"), "map<string,string>")
+        ).alias("check_key", "check_json"),
+    )
+    ck = F.col("check_key")
+    check_type = (
+        F.when(ck == "count_validation", F.lit("count"))
+        .when(ck == "row_hash_validation", F.lit("row_hash"))
+        .when(ck.startswith("null_validation_"), F.lit("null"))
+        .when(ck.startswith("agg_validation_"), F.lit("aggregate"))
+        .when(ck.startswith("uniqueness_validation_"), F.lit("uniqueness"))
+        .when(ck.startswith("custom_sql_validation_"), F.lit("custom_sql"))
+        .when(ck.startswith("referential_validation_"), F.lit("referential"))
+        .when(ck.startswith("drift_validation_"), F.lit("drift"))
+        .otherwise(F.lit("metadata"))
+    )
+    return kv.withColumn("check_type", check_type).where(
+        F.col("check_type") != "metadata"
+    )
+
+
+def check_status_counts(ledger: DataFrame) -> DataFrame:
+    """Per-check-type pass/fail counts — replaces the reference's
+    6-branch UNION ALL classification (client.py:901-925)."""
+    exploded = explode_payload_checks(ledger)
+    status = F.get_json_object(F.col("check_json"), "$.status").alias("check_status")
+    return exploded.select("run_id", "check_type", status).groupBy(
+        "run_id", "check_type", "check_status"
+    ).agg(F.count(F.lit(1)).alias("n"))

@@ -1,0 +1,105 @@
+"""CLI: ``python -m datapact_spark run|plan|init`` (main.py parity).
+
+* ``run``  — execute a YAML config; exit code 1 if any task fails
+  (replaces the reference's RAISE_ERROR fail-fast gate).
+* ``plan`` — compile and print physical plans without executing
+  (``datapact plan`` / ``--dry-run`` parity, main.py:167-174).
+* ``init`` — write a starter YAML (main.py:77-86).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+DEFAULT_CONFIG_TEMPLATE = """\
+# datapact_spark starter config
+results_path: /tmp/datapact_results
+max_parallel_tasks: 8
+validations:
+  - task_key: example_task
+    source: my_catalog.my_schema.source_table   # or a parquet path
+    target: my_catalog.my_schema.target_table
+    primary_keys: [id]
+    count_tolerance: 0.0
+    pk_row_hash_check: true
+    pk_hash_tolerance: 0.0
+    null_validation_columns: [email]
+    null_validation_tolerance: 0.01
+    agg_validations:
+      - column: amount
+        validations:
+          - {agg: SUM, tolerance: 0.005}
+    uniqueness_columns: [id]
+    uniqueness_tolerance: 0.0
+    business_domain: Examples
+    business_owner: you@example.com
+    business_priority: High
+"""
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="datapact_spark")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    run_p = sub.add_parser("run", help="run validations from a YAML config")
+    run_p.add_argument("--config", required=True)
+    run_p.add_argument("--job-name", default="datapact_run")
+    run_p.add_argument("--results-path", default=None)
+    run_p.add_argument("--base-dir", default=None, help="directory of parquet tables")
+    run_p.add_argument("--run-id", type=int, default=None)
+
+    plan_p = sub.add_parser("plan", help="compile and print plans (dry run)")
+    plan_p.add_argument("--config", required=True)
+    plan_p.add_argument("--base-dir", default=None)
+
+    init_p = sub.add_parser("init", help="write a starter config")
+    init_p.add_argument("--output", default="datapact.yml")
+
+    args = parser.parse_args(argv)
+
+    if args.command == "init":
+        out = Path(args.output)
+        if out.exists():
+            print(f"refusing to overwrite {out}", file=sys.stderr)
+            return 1
+        out.write_text(DEFAULT_CONFIG_TEMPLATE)
+        print(f"wrote {out}")
+        return 0
+
+    from datapact_spark.config import load_config
+    from datapact_spark.engine import DataPactEngine
+    from datapact_spark.session import get_spark
+    from datapact_spark.sources.loader import TableResolver
+
+    config = load_config(args.config)
+    spark = get_spark()
+    resolver = TableResolver(spark, base_dir=getattr(args, "base_dir", None))
+
+    if args.command == "plan":
+        engine = DataPactEngine(spark, resolver)
+        for task_key, plan in engine.plan(config).items():
+            print(f"=== {task_key} ===\n{plan}\n")
+        return 0
+
+    results_path = args.results_path or config.results_path or "/tmp/datapact_results"
+    engine = DataPactEngine(spark, resolver, results_path=results_path)
+    result = engine.run(config, job_name=args.job_name, run_id=args.run_id)
+    for key, outcome in result.outcomes.items():
+        print(f"{key}: {outcome.status} ({outcome.duration_sec:.2f}s)")
+        if outcome.status != "SUCCESS" and outcome.payload:
+            print(json.dumps(json.loads(outcome.payload), indent=2))
+    if not result.passed:
+        print(
+            f"DataPact validation tasks failed: {json.dumps(result.failed_task_keys)}",
+            file=sys.stderr,
+        )
+        return 1
+    print("All DataPact validations passed successfully!")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

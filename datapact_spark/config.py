@@ -1,0 +1,377 @@
+"""Declarative validation config models (the public API).
+
+Mirrors the YAML surface of the reference engine
+(/root/reference/datapact/config.py:20-251) so an existing DataPact user
+can bring their config file unchanged, and extends it with the
+north-star checks the reference lacks: referential integrity,
+distribution drift, and per-partition verdicts.
+
+All models are pydantic v2; ``load_config`` parses a YAML file into
+``DataPactConfig``.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+import yaml
+from pydantic import BaseModel, Field, field_validator, model_validator
+
+_IDENT_RE = re.compile(r"[^0-9a-zA-Z_]+")
+
+AGG_FUNCS = {"SUM", "AVG", "MIN", "MAX", "COUNT"}
+PRIORITIES = {"critical", "high", "medium", "low"}
+HASH_ALGOS = {"md5", "sha256", "xxhash64"}
+DRIFT_METRICS = {"psi", "ks"}
+
+
+def make_identifier(name: str, prefix: str = "custom_sql") -> str:
+    """Slug a friendly name into a SQL-identifier-safe token.
+
+    Same contract as the reference's ``make_sql_identifier``
+    (/root/reference/datapact/sql_utils.py:157-167): lower-case,
+    non-alphanumerics collapsed to ``_``, prefixed if it starts with a
+    digit, trimmed.
+    """
+    slug = _IDENT_RE.sub("_", name.strip().lower()).strip("_")
+    if not slug:
+        slug = prefix
+    if slug[0].isdigit():
+        slug = f"{prefix}_{slug}"
+    return slug
+
+
+class CustomSqlTest(BaseModel):
+    """A user-defined SQL test run against both source and target.
+
+    ``sql`` may reference ``{{ table_fqn }}`` (dual-rendered once per
+    side), or ``{{ source_fqn }}`` / ``{{ target_fqn }}`` explicitly —
+    the same template contract as the reference
+    (/root/reference/datapact/sql_generator.py:26-83).
+    """
+
+    name: str
+    sql: str
+    description: str | None = None
+
+    @field_validator("name")
+    @classmethod
+    def _validate_name(cls, value: str) -> str:
+        trimmed = value.strip()
+        if not trimmed:
+            raise ValueError("Custom SQL test name cannot be empty.")
+        if len(trimmed) > 128:
+            raise ValueError("Custom SQL test name must be 128 characters or fewer.")
+        if not re.fullmatch(r"[A-Za-z0-9_\-\s]+", trimmed):
+            raise ValueError(
+                "Custom SQL test name may only contain letters, numbers, "
+                "spaces, underscores, and hyphens."
+            )
+        return trimmed
+
+    @field_validator("sql")
+    @classmethod
+    def _validate_sql(cls, value: str) -> str:
+        stripped = value.strip()
+        if not stripped:
+            raise ValueError("Custom SQL must be provided.")
+        if stripped.endswith(";"):
+            raise ValueError("Custom SQL should not include a trailing semicolon.")
+        return stripped
+
+    @property
+    def cte_base_name(self) -> str:
+        return make_identifier(self.name)
+
+
+class AggValidationDetail(BaseModel):
+    """One aggregate check: ``{agg: SUM, tolerance: 0.05}``."""
+
+    agg: str
+    tolerance: float
+
+    @field_validator("agg")
+    @classmethod
+    def _validate_agg(cls, value: str) -> str:
+        if value.upper() not in AGG_FUNCS:
+            raise ValueError(f"agg must be one of {sorted(AGG_FUNCS)}")
+        return value
+
+    @field_validator("tolerance")
+    @classmethod
+    def _validate_tol(cls, v: float) -> float:
+        if not 0.0 <= v <= 1.0:
+            raise ValueError("Tolerance must be a float between 0.0 and 1.0")
+        return v
+
+
+class AggValidation(BaseModel):
+    """Aggregate validations for one column."""
+
+    column: str
+    validations: list[AggValidationDetail]
+
+
+class ReferentialCheck(BaseModel):
+    """Referential-integrity check (north-star addition, BASELINE.json).
+
+    Child rows (in the task's source table) whose ``fk_columns`` have no
+    match in ``ref_table``'s ``ref_columns`` are violations. Compiles to
+    a broadcast or sort-merge LEFT ANTI join (strategy is a hint;
+    Catalyst/AQE decides when ``auto``).
+    """
+
+    name: str
+    fk_columns: list[str]
+    ref_table: str
+    ref_columns: list[str]
+    tolerance: float = 0.0
+    strategy: str = "auto"  # auto | broadcast | shuffle
+
+    @field_validator("strategy")
+    @classmethod
+    def _validate_strategy(cls, v: str) -> str:
+        if v not in {"auto", "broadcast", "shuffle"}:
+            raise ValueError("strategy must be auto, broadcast, or shuffle")
+        return v
+
+    @model_validator(mode="after")
+    def _validate_cols(self) -> "ReferentialCheck":
+        if len(self.fk_columns) != len(self.ref_columns):
+            raise ValueError("fk_columns and ref_columns must have the same length")
+        if not self.fk_columns:
+            raise ValueError("fk_columns cannot be empty")
+        return self
+
+
+class DriftCheck(BaseModel):
+    """Distribution-drift check vs a stored baseline snapshot.
+
+    Builds a mergeable histogram/quantile sketch of ``column`` per run
+    (vectorized, Arrow-batched) and compares against the baseline with
+    PSI and/or KS thresholds (north-star addition, BASELINE.json).
+    """
+
+    column: str
+    metric: str = "psi"  # psi | ks
+    threshold: float = 0.2
+    bins: int = 64
+
+    @field_validator("metric")
+    @classmethod
+    def _validate_metric(cls, v: str) -> str:
+        if v not in DRIFT_METRICS:
+            raise ValueError(f"metric must be one of {sorted(DRIFT_METRICS)}")
+        return v
+
+
+class ValidationTask(BaseModel):
+    """One source/target table-pair validation task.
+
+    Field-for-field compatible with the reference's ``ValidationTask``
+    (/root/reference/datapact/config.py:95-238), plus:
+
+    * ``source`` / ``target`` — direct table refs (FQN or registered
+      name) as an alternative to the 3-part catalog/schema/table fields.
+    * ``hash_algo`` — row-hash function (md5 parity default; sha256 and
+      xxhash64 for the north-star contract).
+    * ``partition_by`` — emit per-partition verdicts grouped by these
+      columns (e.g. ``[repo, lang]``) in addition to the task verdict.
+    * ``referential_checks`` / ``drift_checks`` — north-star checks.
+    * ``materialize_violations`` — write violation rows (hash
+      mismatches, duplicate keys, FK orphans) next to the ledger.
+    """
+
+    task_key: str
+    # 3-part refs (reference parity) — optional if source/target given.
+    source_catalog: str | None = None
+    source_schema: str | None = None
+    source_table: str | None = None
+    target_catalog: str | None = None
+    target_schema: str | None = None
+    target_table: str | None = None
+    # direct refs (engine-native)
+    source: str | None = None
+    target: str | None = None
+
+    primary_keys: list[str] | None = None
+    filter: str | None = None
+    count_tolerance: float | None = None
+    pk_row_hash_check: bool | None = Field(default=False)
+    pk_hash_tolerance: float | None = None
+    hash_columns: list[str] | None = None
+    null_validation_tolerance: float | None = None
+    null_validation_columns: list[str] | None = None
+    agg_validations: list[AggValidation] | None = None
+    uniqueness_columns: list[str] | None = None
+    uniqueness_tolerance: float | None = None
+    business_domain: str | None = None
+    business_owner: str | None = None
+    business_priority: str | None = None
+    expected_sla_hours: float | None = None
+    estimated_impact_usd: float | None = None
+    custom_sql_tests: list[CustomSqlTest] | None = None
+    # ---- engine-native extensions ----
+    hash_algo: str = "md5"
+    partition_by: list[str] | None = None
+    referential_checks: list[ReferentialCheck] | None = None
+    drift_checks: list[DriftCheck] | None = None
+    materialize_violations: bool = False
+
+    @field_validator("filter")
+    @classmethod
+    def _validate_filter(cls, value: str | None) -> str | None:
+        if value is None:
+            return value
+        normalized = value.strip()
+        if not normalized:
+            raise ValueError("Filter cannot be empty or whitespace.")
+        if normalized.endswith(";"):
+            raise ValueError("Filter should not include a trailing semicolon.")
+        return normalized
+
+    @field_validator(
+        "count_tolerance",
+        "pk_hash_tolerance",
+        "null_validation_tolerance",
+        "uniqueness_tolerance",
+    )
+    @classmethod
+    def _tolerance_ratio(cls, v: float | None) -> float | None:
+        if v is not None and not (0.0 <= v <= 1.0):
+            raise ValueError("Tolerance must be a float between 0.0 and 1.0")
+        return v
+
+    @field_validator("business_priority")
+    @classmethod
+    def _validate_priority(cls, value: str | None) -> str | None:
+        if value is None:
+            return value
+        normalized = value.strip().lower()
+        if normalized not in PRIORITIES:
+            raise ValueError("business_priority must be one of: Critical, High, Medium, Low")
+        return normalized.upper()
+
+    @field_validator("expected_sla_hours", "estimated_impact_usd")
+    @classmethod
+    def _validate_non_negative(cls, value: float | None) -> float | None:
+        if value is not None and value < 0:
+            raise ValueError("value must be greater than or equal to 0")
+        return value
+
+    @field_validator("hash_algo")
+    @classmethod
+    def _validate_hash_algo(cls, v: str) -> str:
+        if v not in HASH_ALGOS:
+            raise ValueError(f"hash_algo must be one of {sorted(HASH_ALGOS)}")
+        return v
+
+    @model_validator(mode="after")
+    def _validate_refs(self) -> "ValidationTask":
+        has_parts = all(
+            getattr(self, f) is not None
+            for f in ("source_catalog", "source_schema", "source_table")
+        )
+        if self.source is None and not has_parts:
+            raise ValueError(
+                "Provide either `source` or source_catalog/source_schema/source_table"
+            )
+        has_tparts = all(
+            getattr(self, f) is not None
+            for f in ("target_catalog", "target_schema", "target_table")
+        )
+        if self.target is None and not has_tparts:
+            raise ValueError(
+                "Provide either `target` or target_catalog/target_schema/target_table"
+            )
+        return self
+
+    @model_validator(mode="after")
+    def _validate_custom_sql(self) -> "ValidationTask":
+        tests = self.custom_sql_tests or []
+        seen: set[str] = set()
+        cte_names: dict[str, str] = {}
+        for test in tests:
+            lowered = test.name.lower()
+            if lowered in seen:
+                raise ValueError(
+                    f"Duplicate custom SQL test name detected: '{test.name}'. "
+                    "Names must be unique per task."
+                )
+            seen.add(lowered)
+            normalized = make_identifier(test.name)
+            collision = cte_names.get(normalized)
+            if collision:
+                raise ValueError(
+                    "Custom SQL test names must remain unique even after sanitization. "
+                    f"'{test.name}' conflicts with '{collision}'."
+                )
+            cte_names[normalized] = test.name
+        return self
+
+    # ---- helpers ----
+    @property
+    def source_ref(self) -> str:
+        if self.source is not None:
+            return self.source
+        return f"{self.source_catalog}.{self.source_schema}.{self.source_table}"
+
+    @property
+    def target_ref(self) -> str:
+        if self.target is not None:
+            return self.target
+        return f"{self.target_catalog}.{self.target_schema}.{self.target_table}"
+
+    def source_parts(self) -> tuple[str, str, str]:
+        if self.source_catalog is not None:
+            return (self.source_catalog, self.source_schema, self.source_table)
+        parts = (self.source or "").split(".")
+        while len(parts) < 3:
+            parts.insert(0, "")
+        return tuple(parts[-3:])  # type: ignore[return-value]
+
+    def target_parts(self) -> tuple[str, str, str]:
+        if self.target_catalog is not None:
+            return (self.target_catalog, self.target_schema, self.target_table)
+        parts = (self.target or "").split(".")
+        while len(parts) < 3:
+            parts.insert(0, "")
+        return tuple(parts[-3:])  # type: ignore[return-value]
+
+    def has_any_check(self) -> bool:
+        return bool(
+            self.count_tolerance is not None
+            or (self.pk_row_hash_check and self.primary_keys)
+            or (self.null_validation_columns and self.null_validation_tolerance is not None)
+            or self.agg_validations
+            or (self.uniqueness_columns and self.uniqueness_tolerance is not None)
+            or self.custom_sql_tests
+            or self.referential_checks
+            or self.drift_checks
+        )
+
+
+class DataPactConfig(BaseModel):
+    """Root config: a list of validation tasks plus run-level options."""
+
+    validations: list[ValidationTask]
+    results_path: str | None = None
+    max_parallel_tasks: int = 8
+
+    @model_validator(mode="after")
+    def _unique_task_keys(self) -> "DataPactConfig":
+        seen: set[str] = set()
+        for t in self.validations:
+            if t.task_key in seen:
+                raise ValueError(f"Duplicate task_key: {t.task_key}")
+            seen.add(t.task_key)
+        return self
+
+
+def load_config(path: str | Path) -> DataPactConfig:
+    """Parse a YAML config file into a validated ``DataPactConfig``."""
+    raw = yaml.safe_load(Path(path).read_text())
+    if not isinstance(raw, dict):
+        raise ValueError(f"Config file {path} must contain a YAML mapping")
+    return DataPactConfig(**raw)

@@ -1,0 +1,176 @@
+"""Run orchestration: the Spark-native replacement for Databricks Jobs.
+
+The reference builds a Databricks Jobs DAG — N independent SQL tasks in
+parallel, then an aggregate gate (job_orchestrator.py:34-64). Here the
+same shape runs inside one SparkSession: a thread pool submits each
+task's plan concurrently (FAIR scheduler pools share executors across
+tasks), each task resolves to a single 1-row collect, the driver
+appends all ledger rows in one write, then the run-level aggregation
+computes the exec summaries and raises on failure (the RAISE_ERROR
+gate, validation.sql.j2:493 / aggregate_results.sql.j2:223-228).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import logging
+import time
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+from pyspark.sql import Row, SparkSession
+
+from datapact_spark import aggregate as agg
+from datapact_spark.config import DataPactConfig, ValidationTask
+from datapact_spark.ledger import LEDGER_SCHEMA, ResultsLedger
+from datapact_spark.plans.compiler import compile_task
+from datapact_spark.sources.loader import TableResolver
+
+log = logging.getLogger("datapact_spark")
+
+
+class DataPactValidationError(RuntimeError):
+    """Raised when any validation task fails (fail-fast gate parity)."""
+
+    def __init__(self, failed_task_keys: list[str], payloads: dict[str, str]):
+        self.failed_task_keys = failed_task_keys
+        self.payloads = payloads
+        super().__init__(
+            f"DataPact validation tasks failed: {json.dumps(failed_task_keys)}"
+        )
+
+
+@dataclass
+class TaskOutcome:
+    task_key: str
+    status: str  # SUCCESS | FAILURE | ERROR
+    payload: str | None
+    duration_sec: float
+    error: str | None = None
+
+
+@dataclass
+class RunResult:
+    run_id: int
+    job_name: str
+    outcomes: dict[str, TaskOutcome] = field(default_factory=dict)
+
+    @property
+    def failed_task_keys(self) -> list[str]:
+        return [k for k, o in self.outcomes.items() if o.status != "SUCCESS"]
+
+    @property
+    def passed(self) -> bool:
+        return not self.failed_task_keys
+
+
+class DataPactEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        resolver: TableResolver | None = None,
+        results_path: str = "/tmp/datapact_results",
+    ):
+        self.spark = spark
+        self.resolver = resolver or TableResolver(spark)
+        self.ledger = ResultsLedger(spark, results_path)
+
+    # ------------------------------------------------------------ plan
+    def plan(self, config: DataPactConfig) -> dict[str, str]:
+        """`datapact plan` parity (main.py:167-174): compile every task
+        and return its physical plan text without executing."""
+        plans: dict[str, str] = {}
+        for task in config.validations:
+            compiled = compile_task(self.spark, task, self.resolver)
+            plans[task.task_key] = compiled.metrics_df._jdf.queryExecution().explainString(
+                self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+        return plans
+
+    # ------------------------------------------------------------- run
+    def run(
+        self,
+        config: DataPactConfig,
+        job_name: str = "datapact_run",
+        run_id: int | None = None,
+        raise_on_failure: bool = False,
+        max_parallel: int | None = None,
+    ) -> RunResult:
+        if run_id is None:
+            run_id = int(time.time() * 1000)
+        job_start_ts = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+        result = RunResult(run_id=run_id, job_name=job_name)
+        parallelism = max_parallel or config.max_parallel_tasks
+
+        def _run_one(task: ValidationTask) -> tuple[TaskOutcome, Row | None]:
+            # FAIR-pool isolation per task; local properties are
+            # thread-confined so this tags only this task's jobs.
+            self.spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", f"datapact_{task.task_key}"
+            )
+            t0 = time.monotonic()
+            try:
+                compiled = compile_task(self.spark, task, self.resolver)
+                row = compiled.ledger_row(
+                    run_id, run_id, job_name, job_start_ts
+                ).collect()[0]
+                for kind, vdf in compiled.violation_dfs.items():
+                    self.ledger.write_violations(run_id, task.task_key, kind, vdf)
+                outcome = TaskOutcome(
+                    task_key=task.task_key,
+                    status=row["status"],
+                    payload=row["result_payload"],
+                    duration_sec=time.monotonic() - t0,
+                )
+                return outcome, row
+            except Exception as exc:  # compile or execution error
+                log.exception("task %s errored", task.task_key)
+                return (
+                    TaskOutcome(
+                        task_key=task.task_key,
+                        status="ERROR",
+                        payload=None,
+                        duration_sec=time.monotonic() - t0,
+                        error=str(exc),
+                    ),
+                    None,
+                )
+
+        rows: list[Row] = []
+        with ThreadPoolExecutor(max_workers=max(1, parallelism)) as pool:
+            for outcome, row in pool.map(_run_one, config.validations):
+                result.outcomes[outcome.task_key] = outcome
+                if row is not None:
+                    rows.append(row)
+
+        if rows:
+            ledger_df = self.spark.createDataFrame(rows, LEDGER_SCHEMA)
+            self.ledger.append(ledger_df)
+            self._refresh_exec_tables(run_id)
+
+        if raise_on_failure and not result.passed:
+            raise DataPactValidationError(
+                result.failed_task_keys,
+                {
+                    k: o.payload or o.error or ""
+                    for k, o in result.outcomes.items()
+                    if o.status != "SUCCESS"
+                },
+            )
+        return result
+
+    def _refresh_exec_tables(self, run_id: int) -> None:
+        run_rows = self.ledger.run_results(run_id)
+        self.ledger.write_exec_table("exec_run_summary", agg.run_summary(run_rows), run_id)
+        self.ledger.write_exec_table(
+            "exec_domain_breakdown", agg.domain_breakdown(run_rows), run_id
+        )
+        self.ledger.write_exec_table(
+            "exec_owner_breakdown", agg.owner_breakdown(run_rows), run_id
+        )
+        self.ledger.write_exec_table(
+            "exec_priority_breakdown", agg.priority_breakdown(run_rows), run_id
+        )

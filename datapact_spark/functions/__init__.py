@@ -1,0 +1,3 @@
+from datapact_spark.functions import exprs, hashing
+
+__all__ = ["exprs", "hashing"]

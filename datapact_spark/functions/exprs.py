@@ -1,0 +1,128 @@
+"""Check-formula Column expressions.
+
+Each helper reproduces, as a native Column tree, the exact arithmetic of
+the reference's SQL template (/root/reference/datapact/templates/
+validation.sql.j2) — including the asymmetric null-drift semantics, the
+GREATEST-denominator aggregate diff, DECIMAL(38,12) precision, and the
+FORMAT_NUMBER / '%.2f%%' payload string contract. Getting these
+bit-compatible is the hard parity requirement (SURVEY.md §4.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC12 = "decimal(38,12)"
+DEC6 = "decimal(38,6)"
+
+
+def fmt_num(col: Column, decimals: int = 0) -> Column:
+    """FORMAT_NUMBER(x, d) — thousands separators (payload contract)."""
+    return F.format_number(col, decimals)
+
+
+def fmt_pct(ratio: Column | float) -> Column:
+    """FORMAT_STRING('%.2f%%', ratio*100) (validation.sql.j2:334)."""
+    if not isinstance(ratio, Column):
+        ratio = F.lit(float(ratio))
+    return F.format_string("%.2f%%", (ratio * 100).cast("double"))
+
+
+def pass_fail(cond: Column) -> Column:
+    return F.when(cond, F.lit("PASS")).otherwise(F.lit("FAIL"))
+
+
+# ---------------------------------------------------------------- count
+def count_rel_diff(source_count: Column, target_count: Column) -> Column:
+    """COALESCE(ABS(s-t) / NULLIF(CAST(s AS DOUBLE),0), 0)
+    (validation.sql.j2:334,440) — source is the denominator; empty
+    source ⇒ vacuous 0 diff."""
+    return F.coalesce(
+        F.abs(source_count - target_count)
+        / F.nullif(source_count.cast("double"), F.lit(0.0)),
+        F.lit(0.0),
+    )
+
+
+# ------------------------------------------------------------- row hash
+def hash_mismatch_ratio(mismatch_count: Column, total_compared: Column) -> Column:
+    """COALESCE(mismatch / NULLIF(total,0), 0) (validation.sql.j2:346-348)."""
+    return F.coalesce(
+        mismatch_count / F.nullif(total_compared.cast("double"), F.lit(0.0)),
+        F.lit(0.0),
+    )
+
+
+# ----------------------------------------------------------------- null
+def null_diff_pct_pk(source_nulls: Column, target_nulls: Column) -> Column:
+    """PK-join variant percent (validation.sql.j2:360-365):
+    s=0 ⇒ (t=0 ? 0 : 100); else |s-t|/s * 100."""
+    return F.when(
+        source_nulls == 0,
+        F.when(target_nulls == 0, F.lit(0.0)).otherwise(F.lit(100.0)),
+    ).otherwise(
+        F.abs(source_nulls - target_nulls) / source_nulls.cast("double") * 100
+    )
+
+
+def null_pass_pk(source_nulls: Column, target_nulls: Column, tol: float) -> Column:
+    """PK-join pass rule (validation.sql.j2:448-452)."""
+    return F.when(source_nulls == 0, target_nulls == 0).otherwise(
+        F.abs(source_nulls - target_nulls) / source_nulls.cast("double") <= F.lit(tol)
+    )
+
+
+def null_diff_pct_counts(source_nulls: Column, target_nulls: Column) -> Column:
+    """Table-count variant percent (validation.sql.j2:367): either side
+    zero while the other positive ⇒ 100%; else |t-s|/s with NULLIF."""
+    return (
+        F.when((source_nulls == 0) & (target_nulls > 0), F.lit(100.0))
+        .when((target_nulls == 0) & (source_nulls > 0), F.lit(100.0))
+        .otherwise(
+            F.coalesce(
+                F.abs(target_nulls - source_nulls)
+                / F.nullif(source_nulls.cast("double"), F.lit(0.0)),
+                F.lit(0.0),
+            )
+            * 100
+        )
+    )
+
+
+def null_pass_counts(source_nulls: Column, target_nulls: Column, tol: float) -> Column:
+    """Table-count pass rule (validation.sql.j2:453-455)."""
+    return F.when(source_nulls == 0, target_nulls == 0).otherwise(
+        F.coalesce(
+            F.abs(target_nulls - source_nulls)
+            / F.nullif(source_nulls.cast("double"), F.lit(0.0)),
+            F.lit(0.0),
+        )
+        <= F.lit(tol)
+    )
+
+
+# ------------------------------------------------------------ aggregate
+def agg_rel_diff(source_value: Column, target_value: Column) -> Column:
+    """Aggregate relative diff in DECIMAL(38,12) with GREATEST(|s|,|t|)
+    denominator (validation.sql.j2:39-48): NULL either side ⇒ NULL;
+    equal ⇒ 0; both zero ⇒ 0; else |s-t| / greatest(|s|,|t|)."""
+    zero = F.lit(0).cast(DEC12)
+    return (
+        F.when(source_value.isNull() | target_value.isNull(), F.lit(None).cast(DEC12))
+        .when(source_value == target_value, zero)
+        .when(F.greatest(F.abs(source_value), F.abs(target_value)) == 0, zero)
+        .otherwise(
+            F.abs(source_value - target_value).cast(DEC12)
+            / F.greatest(F.abs(source_value), F.abs(target_value)).cast(DEC12)
+        )
+    )
+
+
+# ----------------------------------------------------------- uniqueness
+def dupe_ratio(count_col: Column, distinct_col: Column) -> Column:
+    """COALESCE((count-distinct)/NULLIF(count,0),0) (validation.sql.j2:399-400)."""
+    return F.coalesce(
+        (count_col - distinct_col) / F.nullif(count_col.cast("double"), F.lit(0.0)),
+        F.lit(0.0),
+    )

@@ -1,0 +1,96 @@
+"""Row- and dataset-hashing primitives.
+
+The reference hashes rows as ``md5(to_json(struct(cols...)))``
+(validation.sql.j2:202-214) and fingerprints whole datasets with an
+order-insensitive ``sha2(array_join(sort_array(collect_list(md5(...))),
+'||'), 256)`` (j2:268-277). Both are kept bit-compatible here; for the
+north-star code table the per-row invariant is ``sha256(content)``
+(BASELINE.json input_hint), provided both JVM-side (``F.sha2``, the
+fast path) and as an Arrow-batched pandas UDF (``sha256_pandas_udf``)
+proving the vectorized-UDF contract.
+
+Scale note: the reference fingerprint collects every row hash into one
+array on a single node — fine for small custom-SQL result sets, fatal at
+10^12 rows. ``dataset_fingerprint_commutative`` is the scale path: a
+commutative (order-insensitive by construction) sum of per-row xxhash64
+plus a count, computed as a plain aggregate with full map-side partial
+aggregation and no collect.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+
+def row_hash(cols: list[Column] | list[str], algo: str = "md5") -> Column:
+    """Hash of the JSON serialization of the given columns, in order.
+
+    Semantics match validation.sql.j2:202-214: column order and names
+    are part of the hash input, so both sides must project identically.
+    """
+    struct = F.struct(*cols)
+    payload = F.to_json(struct)
+    if algo == "md5":
+        return F.md5(payload)
+    if algo == "sha256":
+        return F.sha2(payload, 256)
+    if algo == "xxhash64":
+        return F.xxhash64(payload).cast("string")
+    raise ValueError(f"unknown hash algo: {algo}")
+
+
+def content_sha256(col: Column | str) -> Column:
+    """Per-row sha256 of a string/binary column (JVM fast path)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sha2(c.cast("binary"), 256)
+
+
+@pandas_udf(StringType())  # typed (not DDL) so import works sessionless
+def sha256_pandas_udf(s: pd.Series) -> pd.Series:
+    """Arrow-batched sha256 — the vectorized-UDF variant of
+    ``content_sha256`` (north-star contract allows pandas UDFs only for
+    hashing and sketch merge). Prefer ``content_sha256`` when parity
+    allows; this exists for engines whose sha2 differs and as the
+    contract demonstration."""
+    return s.map(
+        lambda v: hashlib.sha256(
+            v if isinstance(v, (bytes, bytearray)) else str(v).encode("utf-8")
+        ).hexdigest()
+        if v is not None
+        else None
+    )
+
+
+def dataset_fingerprint_reference(df: DataFrame) -> Column:
+    """Order-insensitive dataset hash, reference-parity variant
+    (validation.sql.j2:268-277): sha256 over sorted per-row md5s joined
+    by '||'; 'EMPTY' for the empty set. Collects all row hashes to one
+    row — use only on small (custom-SQL result) datasets."""
+    return F.coalesce(
+        F.sha2(
+            F.array_join(
+                F.sort_array(F.collect_list(F.md5(F.to_json(F.struct(*df.columns))))),
+                "||",
+            ),
+            256,
+        ),
+        F.lit("EMPTY"),
+    )
+
+
+def dataset_fingerprint_commutative(df: DataFrame) -> DataFrame:
+    """Scale-path order-insensitive fingerprint: (sum(xxhash64(row)),
+    count). Commutative + associative ⇒ partial aggregation map-side,
+    no driver collect, O(1) result. Equal multisets ⇒ equal
+    fingerprints (collision odds ~2^-64 per comparison)."""
+    h = F.xxhash64(F.to_json(F.struct(*df.columns)))
+    return df.agg(
+        F.sum(h).alias("fingerprint_sum"),
+        F.count(F.lit(1)).alias("fingerprint_count"),
+    )

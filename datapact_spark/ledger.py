@@ -1,0 +1,115 @@
+"""Results ledger + checkpoint store (filesystem parquet).
+
+The reference appends one row per task to a Delta table
+``datapact.results.run_history`` (client.py:299-319) and refreshes exec
+tables idempotently by run_id (aggregate_results.sql.j2:157-221). In
+the sandbox there's no transactional table format, so:
+
+* the run-history ledger is a parquet dataset partitioned by ``run_id``
+  (append = write a new run partition; idempotent re-run = dynamic
+  partition overwrite of just that run_id);
+* per-partition checkpoints (north-star resume) are tiny parquet files
+  under ``checkpoints/<task_key>/run_id=<id>/`` written once per
+  completed unit — the manifest IS the source of truth, so a killed run
+  resumes by anti-joining the work list against it.
+
+On a real cluster, swap the writes for Delta/Iceberg ``MERGE``/
+``replaceWhere`` — the engine code above this layer is unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LEDGER_SCHEMA = (
+    "task_key string, status string, run_id long, job_id long, job_name string, "
+    "job_start_ts timestamp, validation_begin_ts timestamp, "
+    "validation_complete_ts timestamp, source_catalog string, source_schema string, "
+    "source_table string, target_catalog string, target_schema string, "
+    "target_table string, business_domain string, business_owner string, "
+    "business_priority string, expected_sla_hours double, "
+    "estimated_impact_usd double, result_payload string"
+)
+
+
+class ResultsLedger:
+    """Append-only run-history ledger."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.history_path = os.path.join(path, "run_history")
+
+    def append(self, rows: DataFrame) -> None:
+        rows.write.mode("append").partitionBy("run_id").parquet(self.history_path)
+
+    def read(self) -> DataFrame:
+        if not os.path.exists(self.history_path):
+            return self.spark.createDataFrame([], LEDGER_SCHEMA)
+        df = self.spark.read.parquet(self.history_path)
+        # partition column comes back typed; normalize to long
+        return df.withColumn("run_id", F.col("run_id").cast("long"))
+
+    def run_results(self, run_id: int) -> DataFrame:
+        # run_id is the partition key → partition pruning, no full scan.
+        return self.read().where(F.col("run_id") == run_id)
+
+    def write_exec_table(self, name: str, df: DataFrame, run_id: int) -> None:
+        """Idempotent per-run refresh: overwrite only this run's
+        subdirectory (DELETE WHERE run_id + INSERT parity)."""
+        out = os.path.join(self.path, name, f"run_id={run_id}")
+        df.drop("run_id").write.mode("overwrite").parquet(out)
+
+    def read_exec_table(self, name: str) -> DataFrame:
+        return self.spark.read.option("basePath", os.path.join(self.path, name)).parquet(
+            os.path.join(self.path, name)
+        )
+
+    def write_violations(self, run_id: int, task_key: str, kind: str, df: DataFrame) -> None:
+        out = os.path.join(self.path, "violations", f"run_id={run_id}", task_key, kind)
+        df.write.mode("overwrite").parquet(out)
+
+
+class CheckpointStore:
+    """Per-partition completion manifest for resume-exactly semantics.
+
+    A unit of work is identified by the task's partition key columns
+    (e.g. repo, lang). ``mark_done`` atomically records completed units
+    (a parquet write of the tiny verdict slice); ``pending`` filters a
+    work list to units not yet recorded.
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def _dir(self, task_key: str, run_id: int) -> str:
+        return os.path.join(self.path, "checkpoints", task_key, f"run_id={run_id}")
+
+    def mark_done(self, task_key: str, run_id: int, verdicts: DataFrame) -> None:
+        verdicts.write.mode("append").parquet(self._dir(task_key, run_id))
+
+    def done(self, task_key: str, run_id: int) -> DataFrame | None:
+        d = self._dir(task_key, run_id)
+        if not os.path.exists(d):
+            return None
+        try:
+            return self.spark.read.parquet(d)
+        except Exception:
+            return None
+
+    def pending(
+        self, task_key: str, run_id: int, work: DataFrame, key_cols: list[str]
+    ) -> DataFrame:
+        """work minus completed units (left anti join on the unit key)."""
+        done = self.done(task_key, run_id)
+        if done is None:
+            return work
+        return work.join(
+            F.broadcast(done.select(*key_cols).dropDuplicates()),
+            on=key_cols,
+            how="left_anti",
+        )

@@ -1,0 +1,129 @@
+"""Custom-SQL validations: dual-rendered queries + dataset diffs.
+
+The reference renders each user SQL string twice — once in a "source"
+context and once in a "target" context (template vars ``{{ table_fqn }}``,
+``{{ source_fqn }}``, ``{{ target_fqn }}``, ``{{ rendered_role }}``, …;
+/root/reference/datapact/sql_generator.py:26-83) — runs both, and
+compares the result sets with EXCEPT ALL in both directions plus an
+order-insensitive fingerprint (validation.sql.j2:250-302).
+
+Here the rendered SQL runs through ``spark.sql`` against registered temp
+views; the diffs are ``DataFrame.exceptAll`` (Catalyst plans a hash
+anti-diff), counts + 1-row JSON samples + fingerprints match the
+reference payload contract exactly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from jinja2 import Environment
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapact_spark.config import CustomSqlTest, ValidationTask
+from datapact_spark.functions.hashing import dataset_fingerprint_reference
+
+_env = Environment()
+
+
+@dataclass
+class RenderedCustomSql:
+    name: str
+    description: str | None
+    base_sql: str
+    cte_base_name: str
+    source_sql: str
+    target_sql: str
+
+
+def render_custom_sql(
+    task: ValidationTask, test: CustomSqlTest, source_view: str, target_view: str
+) -> RenderedCustomSql:
+    """Dual-render a custom SQL test with the reference's context keys.
+
+    ``source_view`` / ``target_view`` are the Spark-side relation names
+    (temp views or real catalog tables) that ``table_fqn`` resolves to.
+    """
+    s_cat, s_sch, s_tbl = task.source_parts()
+    t_cat, t_sch, t_tbl = task.target_parts()
+    common = {
+        "source_catalog": s_cat,
+        "source_schema": s_sch,
+        "source_table": s_tbl,
+        "source_fqn": source_view,
+        "target_catalog": t_cat,
+        "target_schema": t_sch,
+        "target_table": t_tbl,
+        "target_fqn": target_view,
+        "declared_source_catalog": s_cat,
+        "declared_source_schema": s_sch,
+        "declared_source_table": s_tbl,
+        "declared_target_catalog": t_cat,
+        "declared_target_schema": t_sch,
+        "declared_target_table": t_tbl,
+    }
+    tmpl = _env.from_string(test.sql)
+    source_sql = tmpl.render(
+        **common,
+        table_catalog=s_cat,
+        table_schema=s_sch,
+        table_name=s_tbl,
+        table_fqn=source_view,
+        rendered_role="source",
+    ).strip()
+    target_sql = tmpl.render(
+        **common,
+        table_catalog=t_cat,
+        table_schema=t_sch,
+        table_name=t_tbl,
+        table_fqn=target_view,
+        rendered_role="target",
+    ).strip()
+    return RenderedCustomSql(
+        name=test.name,
+        description=test.description,
+        base_sql=test.sql,
+        cte_base_name=test.cte_base_name,
+        source_sql=source_sql,
+        target_sql=target_sql,
+    )
+
+
+def custom_sql_metrics(
+    spark: SparkSession, rendered: RenderedCustomSql
+) -> DataFrame:
+    """1-row metrics DF matching validation.sql.j2:293-301 column names:
+    source_row_count_<slug>, target_row_count_<slug>,
+    rows_missing_in_target_<slug>, rows_missing_in_source_<slug>,
+    sample_missing_in_target_<slug>, sample_missing_in_source_<slug>,
+    source_hash_<slug>, target_hash_<slug>."""
+    slug = rendered.cte_base_name
+    src = spark.sql(rendered.source_sql)
+    tgt = spark.sql(rendered.target_sql)
+    src_minus_tgt = src.exceptAll(tgt)
+    tgt_minus_src = tgt.exceptAll(src)
+
+    def _sample(df: DataFrame) -> str:
+        rows = df.select(F.to_json(F.struct(*df.columns)).alias("j")).limit(1).collect()
+        return rows[0]["j"] if rows else "null"
+
+    counts = (
+        src.agg(F.count(F.lit(1)).alias(f"source_row_count_{slug}"))
+        .crossJoin(tgt.agg(F.count(F.lit(1)).alias(f"target_row_count_{slug}")))
+        .crossJoin(
+            src_minus_tgt.agg(F.count(F.lit(1)).alias(f"rows_missing_in_target_{slug}"))
+        )
+        .crossJoin(
+            tgt_minus_src.agg(F.count(F.lit(1)).alias(f"rows_missing_in_source_{slug}"))
+        )
+        .crossJoin(
+            src.agg(dataset_fingerprint_reference(src).alias(f"source_hash_{slug}"))
+        )
+        .crossJoin(
+            tgt.agg(dataset_fingerprint_reference(tgt).alias(f"target_hash_{slug}"))
+        )
+    )
+    return counts.withColumn(
+        f"sample_missing_in_target_{slug}", F.lit(_sample(src_minus_tgt))
+    ).withColumn(f"sample_missing_in_source_{slug}", F.lit(_sample(tgt_minus_src)))

@@ -1,0 +1,133 @@
+"""Distribution-drift checks: PSI / KS vs another dataset or a snapshot.
+
+North-star requirement (BASELINE.json): drift detection via mergeable
+sketches compared against baseline snapshots with PSI/KS thresholds.
+
+Two paths:
+
+* **Two-sample (default)** — source vs target in one lazy plan, fully
+  JVM-side: bin both sides on a shared grid derived from the source
+  min/max (a 1-row bounds relation crossJoined in — stays lazy, no
+  driver round-trip), ``groupBy(bin).count()`` per side, full-outer join
+  the 64-row histograms, then PSI as a sum and KS as a running-max over
+  the cumulative distribution (window over 64 rows — negligible).
+  Everything is a single DAG: two scans, two tiny shuffles.
+
+* **Snapshot** — ``histogram_snapshot`` materializes the binned
+  histogram (a mergeable sketch: histograms over the same grid merge by
+  addition) to parquet; ``drift_vs_snapshot`` compares a later run
+  against it. Sketch *build* is distributed (map-side partial counts);
+  the merged sketch is 64 rows.
+
+PSI = Σ (p−q)·ln(p/q) with ε-smoothing for empty bins;
+KS  = max |CDF_p − CDF_q|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from datapact_spark.config import DriftCheck
+
+_EPS = 1e-6
+
+
+def _binned(df: DataFrame, column: str, bins: int, bounds: DataFrame) -> DataFrame:
+    """(bin, cnt) histogram of ``column`` over the bounds grid.
+
+    The 1-row ``bounds`` relation is crossJoined (broadcast) so the
+    whole computation stays lazy and distributed.
+    """
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
+    with_bin = (
+        df.select(F.col(column).cast("double").alias("__v"))
+        .where(F.col("__v").isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.greatest(
+                    F.floor((F.col("__v") - F.col("__lo")) / F.nullif(width, F.lit(0.0))),
+                    F.lit(0),
+                ),
+                F.lit(bins - 1),
+            )
+            .cast("int")
+            .alias("bin")
+        )
+        .fillna({"bin": 0})  # degenerate grid (lo == hi) → single bin
+    )
+    return with_bin.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def _bounds(df: DataFrame, column: str) -> DataFrame:
+    return df.agg(
+        F.min(F.col(column).cast("double")).alias("__lo"),
+        F.max(F.col(column).cast("double")).alias("__hi"),
+    )
+
+
+def histogram_snapshot(df: DataFrame, column: str, bins: int = 64) -> DataFrame:
+    """Mergeable histogram sketch of one column: (bin, cnt, __lo, __hi).
+    Persist with ``.write.parquet(path)`` as the baseline snapshot."""
+    bounds = _bounds(df, column)
+    return _binned(df, column, bins, bounds).crossJoin(F.broadcast(bounds))
+
+
+def _psi_ks(hist_p: DataFrame, hist_q: DataFrame, bins: int) -> DataFrame:
+    """1-row (psi, ks) from two (bin, cnt) histograms on the same grid."""
+    p = hist_p.select(F.col("bin"), F.col("cnt").alias("p_cnt"))
+    q = hist_q.select(F.col("bin"), F.col("cnt").alias("q_cnt"))
+    merged = p.join(q, on="bin", how="full_outer").select(
+        F.col("bin"),
+        F.coalesce(F.col("p_cnt"), F.lit(0)).alias("p_cnt"),
+        F.coalesce(F.col("q_cnt"), F.lit(0)).alias("q_cnt"),
+    )
+    totals = merged.agg(
+        F.sum("p_cnt").alias("p_tot"), F.sum("q_cnt").alias("q_tot")
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    ratios = (
+        merged.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("bin"),
+            (F.col("p_cnt") / F.nullif(F.col("p_tot").cast("double"), F.lit(0.0))).alias("p"),
+            (F.col("q_cnt") / F.nullif(F.col("q_tot").cast("double"), F.lit(0.0))).alias("q"),
+        )
+        .fillna({"p": 0.0, "q": 0.0})
+        .select(
+            F.col("bin"),
+            (F.col("p") + F.lit(_EPS)).alias("ps"),
+            (F.col("q") + F.lit(_EPS)).alias("qs"),
+            F.sum("p").over(w).alias("p_cdf"),
+            F.sum("q").over(w).alias("q_cdf"),
+        )
+    )
+    return ratios.agg(
+        F.sum((F.col("ps") - F.col("qs")) * F.log(F.col("ps") / F.col("qs"))).alias("psi"),
+        F.max(F.abs(F.col("p_cdf") - F.col("q_cdf"))).alias("ks"),
+    )
+
+
+def drift_metrics(source: DataFrame, target: DataFrame, check: DriftCheck) -> DataFrame:
+    """1-row DF with column ``drift_<metric>_<column>`` (two-sample)."""
+    bounds = _bounds(source, check.column)
+    hist_s = _binned(source, check.column, check.bins, bounds)
+    hist_t = _binned(target, check.column, check.bins, bounds)
+    both = _psi_ks(hist_s, hist_t, check.bins)
+    metric_col = F.col("psi") if check.metric == "psi" else F.col("ks")
+    return both.select(metric_col.alias(f"drift_{check.metric}_{check.column}"))
+
+
+def drift_vs_snapshot(
+    df: DataFrame, snapshot: DataFrame, check: DriftCheck
+) -> DataFrame:
+    """1-row drift of ``df`` against a stored ``histogram_snapshot``.
+    The snapshot's grid (its __lo/__hi) is reused so bins align."""
+    bounds = snapshot.select("__lo", "__hi").limit(1)
+    hist_now = _binned(df, check.column, check.bins, bounds)
+    hist_base = snapshot.select("bin", "cnt")
+    both = _psi_ks(hist_base, hist_now, check.bins)
+    metric_col = F.col("psi") if check.metric == "psi" else F.col("ks")
+    return both.select(metric_col.alias(f"drift_{check.metric}_{check.column}"))

@@ -1,0 +1,96 @@
+"""Single-pass stats profile — the engine's core aggregation.
+
+The reference folds row count, per-column null counts, distinct counts
+for uniqueness, and every configured SUM/AVG/MIN/MAX into ONE scan per
+table side (validation.sql.j2:121-187; CHANGELOG §2.8.1 calls this out
+as the key cost optimization). Catalyst will NOT merge separate
+``df.agg()`` actions, so we assemble one wide ``agg(*exprs)`` ourselves.
+
+At 100 TB this means: one parquet scan per side, all measures computed
+with map-side partial aggregation, a single-row result. Column pruning
+is free — only referenced columns reach the scan (verify via
+``.explain`` ReadSchema).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from datapact_spark.config import ValidationTask
+from datapact_spark.functions.exprs import DEC6
+
+
+def profile_exprs(task: ValidationTask, side: str) -> list[Column]:
+    """Aggregate expressions for one side ('source'|'target').
+
+    Output column names follow the reference CTE contract
+    (validation.sql.j2:127-151): ``<side>_count``,
+    ``<side>_nulls_<col>``, ``<side>_distinct_uniqs``,
+    ``<side>_value_<col>_<AGG>``.
+    """
+    exprs: list[Column] = [F.count(F.lit(1)).alias(f"{side}_count")]
+    nulls_use_table_counts = (
+        task.null_validation_columns
+        and task.null_validation_tolerance is not None
+        and not task.primary_keys
+    )
+    if nulls_use_table_counts:
+        for col in task.null_validation_columns:
+            exprs.append(
+                F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).alias(
+                    f"{side}_nulls_{col}"
+                )
+            )
+    if task.uniqueness_columns and task.uniqueness_tolerance is not None:
+        exprs.append(
+            F.count_distinct(F.struct(*[F.col(c) for c in task.uniqueness_columns])).alias(
+                f"{side}_distinct_uniqs"
+            )
+        )
+    for av in task.agg_validations or []:
+        for v in av.validations:
+            agg = v.agg.upper()
+            fn = {
+                "SUM": F.sum,
+                "AVG": F.avg,
+                "MIN": F.min,
+                "MAX": F.max,
+                "COUNT": F.count,
+            }[agg]
+            exprs.append(
+                fn(F.col(av.column))
+                .cast(DEC6)  # TRY_CAST(... AS DECIMAL(38,6)), j2:146
+                .alias(f"{side}_value_{av.column}_{agg}")
+            )
+    return exprs
+
+
+def stats_needed(task: ValidationTask) -> bool:
+    """Whether the profile scan is required (validation.sql.j2:31-35)."""
+    nulls_use_table_counts = (
+        task.null_validation_columns
+        and task.null_validation_tolerance is not None
+        and not task.primary_keys
+    )
+    return bool(
+        task.count_tolerance is not None
+        or task.agg_validations
+        or (task.uniqueness_columns and task.uniqueness_tolerance is not None)
+        or nulls_use_table_counts
+    )
+
+
+def profile_df(df: DataFrame, task: ValidationTask, side: str) -> DataFrame:
+    """One-row stats profile for one side — a single scan."""
+    return df.agg(*profile_exprs(task, side))
+
+
+def grouped_profile_df(
+    df: DataFrame, task: ValidationTask, side: str, group_cols: list[str]
+) -> DataFrame:
+    """Per-partition-group stats profile (north-star per-partition
+    verdicts): same single-pass expressions, grouped by the verdict key
+    (e.g. repo, lang). One shuffle on the group key, partial aggregation
+    map-side."""
+    return df.groupBy(*[F.col(c) for c in group_cols]).agg(*profile_exprs(task, side))

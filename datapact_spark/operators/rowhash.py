@@ -1,0 +1,120 @@
+"""PK-join row-hash comparison (validation.sql.j2:190-221).
+
+Hash the configured columns (or all columns) per row on each side, inner
+join on the primary key(s), and count mismatches. Violation rows (the
+mismatching keys) are materialized on demand — the reference only counts
+(j2:195-197); the north star requires the rows.
+
+Scale notes:
+  * the join shuffles both sides on the PK — AQE skew-join splitting is
+    on (session.py); for a dimension-sized side Catalyst broadcasts.
+  * hashing happens before the join so only (pks, hash) columns shuffle,
+    not full rows — this is the dominant cost saver at wide schemas.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datapact_spark.functions.hashing import row_hash
+
+
+def _hashed(df: DataFrame, pks: list[str], hash_columns: list[str] | None, algo: str) -> DataFrame:
+    cols = hash_columns if hash_columns else df.columns
+    return df.select(*[F.col(pk) for pk in pks], row_hash([F.col(c) for c in cols], algo).alias("row_hash"))
+
+
+def row_hash_metrics(
+    source: DataFrame,
+    target: DataFrame,
+    primary_keys: list[str],
+    hash_columns: list[str] | None = None,
+    algo: str = "md5",
+) -> DataFrame:
+    """1-row DF: (total_compared_rows, mismatch_count)."""
+    s = _hashed(source, primary_keys, hash_columns, algo).alias("s")
+    t = _hashed(target, primary_keys, hash_columns, algo).alias("t")
+    joined = s.join(t, on=primary_keys, how="inner")
+    return joined.agg(
+        F.count(F.lit(1)).alias("total_compared_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("s.row_hash") != F.col("t.row_hash"), 1).otherwise(0)),
+            F.lit(0),
+        ).alias("mismatch_count"),
+    )
+
+
+def row_hash_violations(
+    source: DataFrame,
+    target: DataFrame,
+    primary_keys: list[str],
+    hash_columns: list[str] | None = None,
+    algo: str = "md5",
+) -> DataFrame:
+    """Violation rows: PKs whose hashes differ, with both hashes."""
+    s = _hashed(source, primary_keys, hash_columns, algo).withColumnRenamed(
+        "row_hash", "source_hash"
+    )
+    t = _hashed(target, primary_keys, hash_columns, algo).withColumnRenamed(
+        "row_hash", "target_hash"
+    )
+    return (
+        s.join(t, on=primary_keys, how="inner")
+        .where(F.col("source_hash") != F.col("target_hash"))
+        .select(*primary_keys, "source_hash", "target_hash")
+    )
+
+
+def grouped_row_hash_metrics(
+    source: DataFrame,
+    target: DataFrame,
+    primary_keys: list[str],
+    group_cols: list[str],
+    hash_columns: list[str] | None = None,
+    algo: str = "md5",
+) -> DataFrame:
+    """Per-partition-group hash-compare metrics. Group columns are taken
+    from the source side of the join."""
+    cols = hash_columns if hash_columns else [
+        c for c in source.columns if c not in group_cols
+    ]
+    s = source.select(
+        *[F.col(pk) for pk in primary_keys],
+        *[F.col(g) for g in group_cols if g not in primary_keys],
+        row_hash([F.col(c) for c in cols], algo).alias("s_hash"),
+    )
+    t = target.select(
+        *[F.col(pk) for pk in primary_keys],
+        row_hash([F.col(c) for c in cols], algo).alias("t_hash"),
+    )
+    joined = s.join(t, on=primary_keys, how="inner")
+    return joined.groupBy(*[F.col(g) for g in group_cols]).agg(
+        F.count(F.lit(1)).alias("total_compared_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("s_hash") != F.col("t_hash"), 1).otherwise(0)), F.lit(0)
+        ).alias("mismatch_count"),
+    )
+
+
+def null_join_metrics(
+    source: DataFrame,
+    target: DataFrame,
+    primary_keys: list[str],
+    null_columns: list[str],
+) -> DataFrame:
+    """PK-join null parity (validation.sql.j2:224-241): join on PKs and
+    count NULLs per configured column on each side — all columns in one
+    pass over the joined relation."""
+    s = source.select(*primary_keys, *[F.col(c).alias(f"__s_{c}") for c in null_columns])
+    t = target.select(*primary_keys, *[F.col(c).alias(f"__t_{c}") for c in null_columns])
+    joined = s.join(t, on=primary_keys, how="inner")
+    exprs = []
+    for c in null_columns:
+        exprs.append(
+            F.sum(F.when(F.col(f"__s_{c}").isNull(), 1).otherwise(0)).alias(f"source_nulls_{c}")
+        )
+        exprs.append(
+            F.sum(F.when(F.col(f"__t_{c}").isNull(), 1).otherwise(0)).alias(f"target_nulls_{c}")
+        )
+    return joined.agg(*exprs)

@@ -1,0 +1,71 @@
+"""Uniqueness checks — parity path and scale path.
+
+Parity path (in the single-pass profile, operators/profile.py):
+``COUNT(DISTINCT struct(cols))`` exactly like validation.sql.j2:135-141.
+Catalyst plans this as Expand + two-phase aggregation — correct, but at
+10^12 rows the Expand doubles the shuffled volume.
+
+Scale path (here): hash-repartition on the key columns and
+``groupBy(keys).count()`` — the north-star-mandated strategy. It needs
+one shuffle of just the key columns, produces the duplicate count AND
+the violation rows in the same plan, and AQE coalesces the output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def duplicate_groups(df: DataFrame, key_columns: list[str]) -> DataFrame:
+    """(key..., dup_count) for every key appearing more than once."""
+    return (
+        df.groupBy(*[F.col(c) for c in key_columns])
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def uniqueness_violations(df: DataFrame, key_columns: list[str]) -> DataFrame:
+    """Violation rows: the duplicated keys with their multiplicities."""
+    return duplicate_groups(df, key_columns).orderBy(
+        F.col("dup_count").desc(), *[F.col(c) for c in key_columns]
+    )
+
+
+def uniqueness_metrics_scalable(df: DataFrame, key_columns: list[str]) -> DataFrame:
+    """1-row (count, distinct, duplicates) via groupBy-count — the scale
+    variant of the profile's COUNT(DISTINCT struct). Two-level
+    aggregation: first by key (shuffle on key), then a global rollup of
+    the tiny per-key counts."""
+    per_key = df.groupBy(*[F.col(c) for c in key_columns]).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per_key.agg(
+        F.sum("n").alias("row_count"),
+        F.count(F.lit(1)).alias("distinct_count"),
+        (F.sum("n") - F.count(F.lit(1))).alias("duplicate_count"),
+    )
+
+
+def salted_group_count(
+    df: DataFrame, key_columns: list[str], salt_buckets: int = 32
+) -> DataFrame:
+    """Skew-resistant groupBy-count: pre-aggregate on (keys, salt), then
+    re-aggregate on keys. Salt is derived deterministically from a
+    high-cardinality remainder of the row (monotonically_increasing_id
+    is partition-local, so salts distribute within each input split).
+
+    Use when one key (a mega-repo) would overwhelm a single reducer —
+    Catalyst/AQE only splits skewed *join* partitions, not group-bys
+    (SURVEY.md §4.2), so this is explicit engine logic.
+    """
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(*[F.col(c) for c in key_columns], F.col("__salt"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return partial.groupBy(*[F.col(c) for c in key_columns]).agg(
+        F.sum("n").alias("count")
+    )

@@ -1,0 +1,391 @@
+"""Task compiler: ValidationTask → a one-row verdict DataFrame.
+
+Plan shape (mirrors the reference's CTE DAG, validation.sql.j2:101-486,
+but as native DataFrames):
+
+    filtered_source ──► source_stats (single-pass agg) ─┐
+    filtered_target ──► target_stats (single-pass agg) ─┤
+    src ⋈ tgt on PKs ──► row_hash_metrics (1 row)       ├─ crossJoin ─► payload + verdict
+    src ⋈ tgt on PKs ──► null_join_metrics (1 row)      │   (1 row)
+    custom SQL ×n  ────► custom_sql_metrics_<slug>      │
+    child ⟕̸ parent ───► referential metrics (1 row)    ┘
+
+Every metric relation is exactly one row, so the crossJoins are free
+(broadcast nested loop over singletons) and the whole task collapses to
+one Spark action. The payload is a JSON document (`result_payload`)
+whose dynamic keys and formatted strings match the reference contract
+byte-for-byte (FORMAT_NUMBER, '%.2f%%', PASS/FAIL).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapact_spark.config import ValidationTask
+from datapact_spark.functions import exprs as E
+from datapact_spark.operators import profile as P
+from datapact_spark.operators import referential as R
+from datapact_spark.operators import rowhash as H
+from datapact_spark.operators.custom_sql import custom_sql_metrics, render_custom_sql
+from datapact_spark.sources.loader import TableResolver
+
+LEDGER_COLUMNS = [
+    "task_key",
+    "status",
+    "run_id",
+    "job_id",
+    "job_name",
+    "job_start_ts",
+    "validation_begin_ts",
+    "validation_complete_ts",
+    "source_catalog",
+    "source_schema",
+    "source_table",
+    "target_catalog",
+    "target_schema",
+    "target_table",
+    "business_domain",
+    "business_owner",
+    "business_priority",
+    "expected_sla_hours",
+    "estimated_impact_usd",
+    "result_payload",
+]
+
+
+@dataclass
+class CompiledTask:
+    task: ValidationTask
+    metrics_df: DataFrame  # one row: metadata + result_payload + overall_validation_passed
+    violation_dfs: dict[str, DataFrame] = field(default_factory=dict)
+
+    def ledger_row(
+        self, run_id: int, job_id: int, job_name: str, job_start_ts: dt.datetime
+    ) -> DataFrame:
+        """Project the metrics row into the ledger schema
+        (validation.sql.j2:489-491)."""
+        return self.metrics_df.select(
+            F.lit(self.task.task_key).alias("task_key"),
+            F.when(F.col("overall_validation_passed"), F.lit("SUCCESS"))
+            .otherwise(F.lit("FAILURE"))
+            .alias("status"),
+            F.lit(run_id).cast("long").alias("run_id"),
+            F.lit(job_id).cast("long").alias("job_id"),
+            F.lit(job_name).alias("job_name"),
+            F.lit(job_start_ts).cast("timestamp").alias("job_start_ts"),
+            *[F.col(c) for c in LEDGER_COLUMNS[6:]],
+        )
+
+
+def _meta_cols(task: ValidationTask, begin_ts: dt.datetime) -> list[Column]:
+    s_cat, s_sch, s_tbl = task.source_parts()
+    t_cat, t_sch, t_tbl = task.target_parts()
+
+    def s(v: str | None) -> Column:
+        return F.lit(v).cast("string")
+
+    def n(v: float | None) -> Column:
+        return F.lit(v).cast("double")
+
+    return [
+        F.lit(begin_ts).cast("timestamp").alias("validation_begin_ts"),
+        F.current_timestamp().alias("validation_complete_ts"),
+        s(s_cat).alias("source_catalog"),
+        s(s_sch).alias("source_schema"),
+        s(s_tbl).alias("source_table"),
+        s(t_cat).alias("target_catalog"),
+        s(t_sch).alias("target_schema"),
+        s(t_tbl).alias("target_table"),
+        s(task.business_domain).alias("business_domain"),
+        s(task.business_owner).alias("business_owner"),
+        s(task.business_priority).alias("business_priority"),
+        n(task.expected_sla_hours).alias("expected_sla_hours"),
+        n(task.estimated_impact_usd).alias("estimated_impact_usd"),
+    ]
+
+
+def compile_task(
+    spark: SparkSession, task: ValidationTask, resolver: TableResolver
+) -> CompiledTask:
+    """Compile one validation task into its single-row verdict plan."""
+    begin_ts = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    source_raw = resolver.resolve(task.source_ref)
+    target_raw = resolver.resolve(task.target_ref)
+    # Filtered slices computed once and reused by every builtin check
+    # (validation.sql.j2:104-118). Catalyst pushes the predicate into
+    # both scans (PushedFilters), so the slice costs nothing extra.
+    if task.filter:
+        source = source_raw.where(F.expr(task.filter))
+        target = target_raw.where(F.expr(task.filter))
+    else:
+        source, target = source_raw, target_raw
+
+    if not task.has_any_check():
+        payload = F.to_json(
+            F.struct(
+                F.lit(task.filter).cast("string").alias("applied_filter"),
+                F.lit(
+                    ", ".join(task.primary_keys) if task.primary_keys else None
+                ).cast("string").alias("configured_primary_keys"),
+                F.lit(f"No validations configured for task {task.task_key}").alias(
+                    "message"
+                ),
+            )
+        )
+        metrics = spark.range(1).select(
+            *_meta_cols(task, begin_ts),
+            payload.alias("result_payload"),
+            F.lit(True).alias("overall_validation_passed"),
+        )
+        return CompiledTask(task=task, metrics_df=metrics)
+
+    metric_dfs: list[DataFrame] = []
+    payload_fields: list[Column] = [
+        F.lit(task.filter).cast("string").alias("applied_filter"),
+        F.lit(", ".join(task.primary_keys) if task.primary_keys else None)
+        .cast("string")
+        .alias("configured_primary_keys"),
+    ]
+    pass_conds: list[Column] = []
+    violation_dfs: dict[str, DataFrame] = {}
+
+    # ---- single-pass stats profiles -------------------------------
+    if P.stats_needed(task):
+        metric_dfs.append(P.profile_df(source, task, "source"))
+        metric_dfs.append(P.profile_df(target, task, "target"))
+
+    # ---- count ------------------------------------------------------
+    if task.count_tolerance is not None:
+        sc, tc = F.col("source_count"), F.col("target_count")
+        diff = E.count_rel_diff(sc, tc)
+        payload_fields.append(
+            F.struct(
+                E.fmt_num(sc).alias("source_count"),
+                E.fmt_num(tc).alias("target_count"),
+                E.fmt_pct(diff).alias("relative_diff_percent"),
+                E.fmt_pct(task.count_tolerance).alias("tolerance_percent"),
+                E.pass_fail(diff <= task.count_tolerance).alias("status"),
+            ).alias("count_validation")
+        )
+        pass_conds.append(diff <= task.count_tolerance)
+
+    # ---- row hash ---------------------------------------------------
+    if task.pk_row_hash_check and task.primary_keys:
+        metric_dfs.append(
+            H.row_hash_metrics(
+                source, target, task.primary_keys, task.hash_columns, task.hash_algo
+            )
+        )
+        tol = task.pk_hash_tolerance if task.pk_hash_tolerance is not None else 0.0
+        ratio = E.hash_mismatch_ratio(
+            F.col("mismatch_count"), F.col("total_compared_rows")
+        )
+        payload_fields.append(
+            F.struct(
+                E.fmt_num(F.col("total_compared_rows")).alias("compared_rows"),
+                E.fmt_num(F.col("mismatch_count")).alias("mismatch_count"),
+                E.fmt_pct(ratio).alias("mismatch_percent"),
+                E.fmt_pct(tol).alias("tolerance_percent"),
+                E.pass_fail(ratio <= tol).alias("status"),
+            ).alias("row_hash_validation")
+        )
+        pass_conds.append(ratio <= tol)
+        if task.materialize_violations:
+            violation_dfs["row_hash"] = H.row_hash_violations(
+                source, target, task.primary_keys, task.hash_columns, task.hash_algo
+            )
+
+    # ---- nulls ------------------------------------------------------
+    if task.null_validation_columns and task.null_validation_tolerance is not None:
+        tol = task.null_validation_tolerance
+        if task.primary_keys:
+            metric_dfs.append(
+                H.null_join_metrics(
+                    source, target, task.primary_keys, task.null_validation_columns
+                )
+            )
+        for col in task.null_validation_columns:
+            sn = F.col(f"source_nulls_{col}")
+            tn = F.col(f"target_nulls_{col}")
+            if task.primary_keys:
+                pct = E.null_diff_pct_pk(sn, tn)
+                ok = E.null_pass_pk(sn, tn, tol)
+            else:
+                pct = E.null_diff_pct_counts(sn, tn)
+                ok = E.null_pass_counts(sn, tn, tol)
+            payload_fields.append(
+                F.struct(
+                    E.fmt_num(sn).alias("source_nulls"),
+                    E.fmt_num(tn).alias("target_nulls"),
+                    F.format_string("%.2f%%", pct.cast("double")).alias(
+                        "relative_diff_percent"
+                    ),
+                    E.fmt_pct(tol).alias("tolerance_percent"),
+                    E.pass_fail(ok).alias("status"),
+                ).alias(f"null_validation_{col}")
+            )
+            pass_conds.append(ok)
+
+    # ---- aggregates -------------------------------------------------
+    for av in task.agg_validations or []:
+        for v in av.validations:
+            agg = v.agg.upper()
+            sv = F.col(f"source_value_{av.column}_{agg}")
+            tv = F.col(f"target_value_{av.column}_{agg}")
+            diff = E.agg_rel_diff(sv, tv)
+            ok = F.coalesce(diff, F.lit(0).cast(E.DEC12)) <= v.tolerance
+            payload_fields.append(
+                F.struct(
+                    E.fmt_num(sv, 2).alias("source_value"),
+                    E.fmt_num(tv, 2).alias("target_value"),
+                    E.fmt_pct(diff).alias("relative_diff_percent"),
+                    E.fmt_pct(v.tolerance).alias("tolerance_percent"),
+                    E.pass_fail(ok).alias("status"),
+                ).alias(f"agg_validation_{av.column}_{agg}")
+            )
+            pass_conds.append(ok)
+
+    # ---- uniqueness --------------------------------------------------
+    if task.uniqueness_columns and task.uniqueness_tolerance is not None:
+        tol = task.uniqueness_tolerance
+        s_ratio = E.dupe_ratio(F.col("source_count"), F.col("source_distinct_uniqs"))
+        t_ratio = E.dupe_ratio(F.col("target_count"), F.col("target_distinct_uniqs"))
+        ok = (s_ratio <= tol) & (t_ratio <= tol)
+        payload_fields.append(
+            F.struct(
+                E.fmt_num(F.col("source_count") - F.col("source_distinct_uniqs")).alias(
+                    "source_duplicates"
+                ),
+                E.fmt_num(F.col("target_count") - F.col("target_distinct_uniqs")).alias(
+                    "target_duplicates"
+                ),
+                E.fmt_pct(s_ratio).alias("source_dupe_percent"),
+                E.fmt_pct(t_ratio).alias("target_dupe_percent"),
+                E.fmt_pct(tol).alias("tolerance_percent"),
+                E.pass_fail(ok).alias("status"),
+            ).alias(f"uniqueness_validation_{'_'.join(task.uniqueness_columns)}")
+        )
+        pass_conds.append(s_ratio <= tol)
+        pass_conds.append(t_ratio <= tol)
+        if task.materialize_violations:
+            from datapact_spark.operators.uniqueness import uniqueness_violations
+
+            violation_dfs["uniqueness_source"] = uniqueness_violations(
+                source, task.uniqueness_columns
+            )
+            violation_dfs["uniqueness_target"] = uniqueness_violations(
+                target, task.uniqueness_columns
+            )
+
+    # ---- custom SQL ---------------------------------------------------
+    if task.custom_sql_tests:
+        src_view = f"__dp_src_{task.task_key}"
+        tgt_view = f"__dp_tgt_{task.task_key}"
+        source_raw.createOrReplaceTempView(src_view)
+        target_raw.createOrReplaceTempView(tgt_view)
+        for test in task.custom_sql_tests:
+            rendered = render_custom_sql(task, test, src_view, tgt_view)
+            metric_dfs.append(custom_sql_metrics(spark, rendered))
+            slug = rendered.cte_base_name
+            missing_t = F.coalesce(F.col(f"rows_missing_in_target_{slug}"), F.lit(0))
+            missing_s = F.coalesce(F.col(f"rows_missing_in_source_{slug}"), F.lit(0))
+            hashes_eq = F.coalesce(
+                F.col(f"source_hash_{slug}"), F.lit("EMPTY")
+            ) == F.coalesce(F.col(f"target_hash_{slug}"), F.lit("EMPTY"))
+            ok = (missing_t == 0) & (missing_s == 0) & hashes_eq
+            payload_fields.append(
+                F.struct(
+                    F.lit(rendered.name).alias("name"),
+                    F.lit(rendered.description).cast("string").alias("description"),
+                    F.lit(rendered.base_sql).alias("input_sql_template"),
+                    F.lit(rendered.source_sql).alias("rendered_source_sql"),
+                    F.lit(rendered.target_sql).alias("rendered_target_sql"),
+                    E.fmt_num(F.col(f"source_row_count_{slug}")).alias("source_row_count"),
+                    E.fmt_num(F.col(f"target_row_count_{slug}")).alias("target_row_count"),
+                    E.fmt_num(F.col(f"rows_missing_in_target_{slug}")).alias(
+                        "rows_missing_in_target"
+                    ),
+                    E.fmt_num(F.col(f"rows_missing_in_source_{slug}")).alias(
+                        "rows_missing_in_source"
+                    ),
+                    F.when(
+                        F.col(f"sample_missing_in_target_{slug}") == "null",
+                        F.lit(None).cast("string"),
+                    )
+                    .otherwise(F.col(f"sample_missing_in_target_{slug}"))
+                    .alias("sample_missing_in_target"),
+                    F.when(
+                        F.col(f"sample_missing_in_source_{slug}") == "null",
+                        F.lit(None).cast("string"),
+                    )
+                    .otherwise(F.col(f"sample_missing_in_source_{slug}"))
+                    .alias("sample_missing_in_source"),
+                    E.pass_fail(ok).alias("status"),
+                ).alias(f"custom_sql_validation_{slug}")
+            )
+            pass_conds.append(missing_t == 0)
+            pass_conds.append(missing_s == 0)
+            pass_conds.append(hashes_eq)
+
+    # ---- referential integrity (north-star) ---------------------------
+    for check in task.referential_checks or []:
+        parent = resolver.resolve(check.ref_table)
+        metric_dfs.append(R.referential_metrics(source, parent, check))
+        vc = F.col(f"violation_count_{check.name}")
+        cc = F.col(f"child_count_{check.name}")
+        ratio = F.coalesce(vc / F.nullif(cc.cast("double"), F.lit(0.0)), F.lit(0.0))
+        ok = ratio <= check.tolerance
+        payload_fields.append(
+            F.struct(
+                E.fmt_num(cc).alias("child_rows"),
+                E.fmt_num(vc).alias("violation_rows"),
+                E.fmt_pct(ratio).alias("violation_percent"),
+                E.fmt_pct(check.tolerance).alias("tolerance_percent"),
+                E.pass_fail(ok).alias("status"),
+            ).alias(f"referential_validation_{check.name}")
+        )
+        pass_conds.append(ok)
+        if task.materialize_violations:
+            violation_dfs[f"referential_{check.name}"] = R.referential_violations(
+                source, parent, check
+            )
+
+    # ---- distribution drift (north-star) -------------------------------
+    for dcheck in task.drift_checks or []:
+        from datapact_spark.operators.drift import drift_metrics
+
+        metric_dfs.append(drift_metrics(source, target, dcheck))
+        val = F.col(f"drift_{dcheck.metric}_{dcheck.column}")
+        ok = F.coalesce(val, F.lit(0.0)) <= dcheck.threshold
+        payload_fields.append(
+            F.struct(
+                F.format_string("%.6f", val.cast("double")).alias(
+                    f"{dcheck.metric}_value"
+                ),
+                F.format_string("%.6f", F.lit(float(dcheck.threshold))).alias(
+                    "threshold"
+                ),
+                E.pass_fail(ok).alias("status"),
+            ).alias(f"drift_validation_{dcheck.column}_{dcheck.metric}")
+        )
+        pass_conds.append(ok)
+
+    # ---- combine: crossJoin of 1-row metric relations ------------------
+    combined = metric_dfs[0]
+    for mdf in metric_dfs[1:]:
+        combined = combined.crossJoin(mdf)
+
+    overall = pass_conds[0]
+    for cond in pass_conds[1:]:
+        overall = overall & cond
+
+    metrics = combined.select(
+        *_meta_cols(task, begin_ts),
+        F.to_json(F.struct(*payload_fields)).alias("result_payload"),
+        overall.alias("overall_validation_passed"),
+    )
+    return CompiledTask(task=task, metrics_df=metrics, violation_dfs=violation_dfs)

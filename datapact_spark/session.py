@@ -1,0 +1,57 @@
+"""SparkSession builder with scale-oriented defaults.
+
+AQE (runtime re-planning, skew-join splitting, partition coalescing) and
+Arrow-batched Python UDF transfer are on by default — these are the
+settings the engine assumes at 100 TB scale and they are equally correct
+on local[N].
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "datapact-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with validation-engine defaults.
+
+    On a real cluster, ``master`` comes from spark-submit; locally we
+    default to ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_GRAFT_CPUS" in os.environ:
+        master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
+    if master is not None:
+        builder = builder.master(master)
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("DATAPACT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+        )
+    conf = {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        # AQE: coalesce small shuffle partitions, split skewed ones.
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        # Arrow batching for the few pandas UDFs (sketches, sha256 fallback).
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # FAIR scheduling so concurrent validation tasks share the cluster.
+        "spark.scheduler.mode": "FAIR",
+        # Timestamps: engine contract is UTC, session-stable.
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.parquet.compression.codec": "snappy",
+        "spark.driver.memory": os.environ.get("DATAPACT_DRIVER_MEM", "8g"),
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

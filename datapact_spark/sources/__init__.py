@@ -1,0 +1,4 @@
+from datapact_spark.sources.loader import TableResolver, load_sf_tables
+from datapact_spark.sources.codegen import synthesize_code_table
+
+__all__ = ["TableResolver", "load_sf_tables", "synthesize_code_table"]

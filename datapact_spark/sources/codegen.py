@@ -1,0 +1,106 @@
+"""Deterministic synthetic source-code table.
+
+The north-star input (BASELINE.json input_hint) is an Iceberg table of
+source-code repositories with columns
+``(repo string, path string, commit string, lang string, content string)``.
+No such table exists in the sandbox, so we synthesize one — fully
+deterministic (seeded hashes, no ``rand()``), generated distributed via
+``spark.range`` so the same code scales from 10^3 rows in tests to 10^12
+rows on a cluster (generation is embarrassingly parallel, no shuffle).
+
+Skew is built in on purpose: repo 0 is a "mega-repo" holding
+``skew_pct`` of all files, so salting / AQE-skew paths get exercised.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LANGS = ["py", "java", "scala", "go", "rs", "cpp", "js", "sql"]
+
+_VOCAB = [
+    "def", "return", "class", "import", "for", "while", "if", "else",
+    "val", "var", "fn", "func", "let", "const", "match", "case",
+    "spark", "table", "select", "join", "group", "filter", "map",
+    "reduce", "hash", "key", "value", "row", "col", "schema", "int",
+    "str",
+]
+
+
+def synthesize_code_table(
+    spark: SparkSession,
+    n_files: int,
+    n_repos: int = 100,
+    seed: int = 42,
+    skew_pct: float = 0.2,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Build the deterministic code table.
+
+    Every column is a pure function of ``(id, seed)`` so two runs (or two
+    engines) produce identical rows — this is what makes the per-row
+    ``sha256(content)`` invariant checkable.
+    """
+    if partitions is None:
+        partitions = max(spark.sparkContext.defaultParallelism, 8)
+    df = spark.range(0, n_files, 1, partitions)
+    h = F.xxhash64(F.col("id"), F.lit(seed))
+    # skew: first `skew_pct` of ids land in repo 0 (the mega-repo)
+    repo_id = F.when(
+        F.col("id") < int(n_files * skew_pct), F.lit(0)
+    ).otherwise(F.pmod(h, F.lit(n_repos)))
+    lang_arr = F.array(*[F.lit(x) for x in LANGS])
+    vocab_arr = F.array(*[F.lit(w) for w in _VOCAB])
+    # content: 8..40 pseudo-tokens, each picked deterministically from the
+    # vocab by a per-position hash — cheap, JVM-side, codegen-friendly.
+    n_tokens = (F.pmod(F.xxhash64(F.col("id"), F.lit(seed + 1)), F.lit(33)) + 8).cast("int")
+    token_idx = F.transform(
+        F.sequence(F.lit(1), n_tokens),
+        lambda i: F.pmod(F.xxhash64(F.col("id"), i, F.lit(seed + 2)), F.lit(len(_VOCAB))).cast("int") + 1,
+    )
+    content = F.concat_ws(" ", F.transform(token_idx, lambda i: F.element_at(vocab_arr, i)))
+    return df.select(
+        F.concat(F.lit("repo_"), repo_id.cast("string")).alias("repo"),
+        F.concat(
+            F.lit("src/"),
+            F.pmod(F.xxhash64(F.col("id"), F.lit(seed + 3)), F.lit(1000)).cast("string"),
+            F.lit("/file_"),
+            F.col("id").cast("string"),
+            F.lit("."),
+            F.element_at(lang_arr, F.pmod(h, F.lit(len(LANGS))).cast("int") + 1),
+        ).alias("path"),
+        F.md5(F.concat(F.lit("commit"), F.col("id").cast("string"), F.lit(seed))).alias("commit"),
+        F.element_at(lang_arr, F.pmod(h, F.lit(len(LANGS))).cast("int") + 1).alias("lang"),
+        content.alias("content"),
+    )
+
+
+def corrupt_code_table(
+    df: DataFrame,
+    drop_every: int = 0,
+    mutate_every: int = 0,
+    seed: int = 7,
+) -> DataFrame:
+    """Deterministically corrupt a code table to act as a drifted target.
+
+    * ``drop_every=N`` removes every Nth row (CDC-miss simulation);
+    * ``mutate_every=N`` appends a marker to content of every Nth row
+      (hash-mismatch simulation).
+
+    Mirrors the *intent* of the reference demo's injected corruption
+    (/root/reference/demo/setup.sql:51-85) without copying it.
+    """
+    out = df
+    key = F.xxhash64(F.col("path"), F.lit(seed))
+    if drop_every:
+        out = out.where(F.pmod(key, F.lit(drop_every)) != 0)
+    if mutate_every:
+        out = out.withColumn(
+            "content",
+            F.when(
+                F.pmod(F.xxhash64(F.col("path"), F.lit(seed + 1)), F.lit(mutate_every)) == 0,
+                F.concat(F.col("content"), F.lit(" /*corrupted*/")),
+            ).otherwise(F.col("content")),
+        )
+    return out

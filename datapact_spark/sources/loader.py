@@ -1,0 +1,78 @@
+"""Table resolution: config table refs → DataFrames.
+
+The reference reads Unity Catalog 3-part FQNs (validation.sql.j2:3-4).
+Here a ref resolves, in order:
+
+1. an explicitly registered DataFrame or path (``resolver.register``),
+2. a Spark catalog table (``spark.read.table`` — covers Iceberg/Delta/
+   Hive catalogs on a real cluster),
+3. a filesystem path (``*.parquet`` file/dir, or a directory).
+
+This keeps the engine catalog-agnostic: on the target cluster the same
+config reads Iceberg tables; in the sandbox it reads the driver's
+parquet test data.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+SF_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+class TableResolver:
+    """Maps config table refs to DataFrames."""
+
+    def __init__(self, spark: SparkSession, base_dir: str | None = None):
+        self.spark = spark
+        self.base_dir = base_dir
+        self._registry: dict[str, DataFrame] = {}
+        self._paths: dict[str, str] = {}
+
+    def register(self, name: str, df_or_path: DataFrame | str) -> None:
+        if isinstance(df_or_path, str):
+            self._paths[name] = df_or_path
+        else:
+            self._registry[name] = df_or_path
+
+    def resolve(self, ref: str) -> DataFrame:
+        if ref in self._registry:
+            return self._registry[ref]
+        if ref in self._paths:
+            return self._read_path(self._paths[ref])
+        # bare name under base_dir (sandbox layout: <dir>/<name>.parquet)
+        if self.base_dir:
+            candidate = os.path.join(self.base_dir, f"{ref}.parquet")
+            if os.path.exists(candidate):
+                return self.spark.read.parquet(candidate)
+        # filesystem path
+        if os.path.exists(ref):
+            return self._read_path(ref)
+        # catalog table (Iceberg / Delta / Hive / temp view)
+        return self.spark.read.table(ref)
+
+    def _read_path(self, path: str) -> DataFrame:
+        return self.spark.read.parquet(path)
+
+
+def load_sf_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load the driver test-data tables present in ``sf_dir``."""
+    out: dict[str, DataFrame] = {}
+    for name in SF_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            out[name] = spark.read.parquet(path)
+    return out

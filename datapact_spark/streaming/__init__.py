@@ -1,0 +1,12 @@
+"""Streaming-facing pieces.
+
+The reference has NO streaming operators (SURVEY.md §2.10) — its
+"streaming telemetry" demo table is validated as a batch table. What
+the north star calls resume/checkpointing is *batch* lineage
+checkpointing, implemented in ``datapact_spark.ledger.CheckpointStore``
+and ``datapact_spark.plans.partitioned``.
+
+This package holds the incremental-validation entry points: continuous
+re-validation of a growing table via Structured Streaming
+(micro-batched foreachBatch over the same compiled checks).
+"""
