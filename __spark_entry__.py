@@ -1,38 +1,699 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: a full validation task (count + row-hash +
+aggregate + uniqueness + referential) of lineitem vs a deterministically
+corrupted copy, returning the 1-row verdict DataFrame.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+family (SURVEY.md §2), cross-checkable against DuckDB at sf=0.01.
+Determinism rules applied throughout:
+  * counts/sums as BIGINT or DECIMAL (exact, order-insensitive);
+  * ratios as raw doubles only where derived from exact values by one
+    IEEE op (division) — bitwise identical across engines;
+  * no format_number/round in oracle-facing outputs (locale/rounding
+    mode differences);
+  * hashes via md5(concat_ws(chr(31), ...)) over int/string casts.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SEP = "\x1f"
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------------- entry
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full multi-check validation verdict on sf0.001."""
+    return flagship(spark, "/root/testdata/sf0.001")
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship validation at any scale (bench.py reuses this)."""
+    from datapact_spark.config import ValidationTask
+    from datapact_spark.plans.compiler import compile_task
+    from datapact_spark.sources.loader import TableResolver
+
+    lineitem = _t(spark, sf_dir, "lineitem")
+    corrupted = lineitem.withColumn(
+        "l_returnflag",
+        F.when(F.col("l_orderkey") % 97 == 0, F.lit("X")).otherwise(
+            F.col("l_returnflag")
+        ),
+    ).where(F.col("l_orderkey") % 113 != 0)
+    resolver = TableResolver(spark)
+    resolver.register("lineitem", lineitem)
+    resolver.register("lineitem_corrupted", corrupted)
+    resolver.register("orders", _t(spark, sf_dir, "orders"))
+    task = ValidationTask(
+        task_key="flagship_lineitem",
+        source="lineitem",
+        target="lineitem_corrupted",
+        primary_keys=["l_orderkey", "l_linenumber"],
+        count_tolerance=0.02,
+        pk_row_hash_check=True,
+        pk_hash_tolerance=0.05,
+        hash_columns=["l_returnflag", "l_linestatus", "l_quantity"],
+        agg_validations=[
+            {"column": "l_extendedprice", "validations": [{"agg": "SUM", "tolerance": 0.05}]}
+        ],
+        uniqueness_columns=["l_orderkey", "l_linenumber"],
+        uniqueness_tolerance=0.0,
+        referential_checks=[
+            {
+                "name": "fk_orders",
+                "fk_columns": ["l_orderkey"],
+                "ref_table": "orders",
+                "ref_columns": ["o_orderkey"],
+                "strategy": "broadcast",
+            }
+        ],
+        business_priority="Critical",
+    )
+    compiled = compile_task(spark, task, resolver)
+    return compiled.metrics_df.select(
+        "source_table",
+        "target_table",
+        "result_payload",
+        "overall_validation_passed",
+    )
+
+
+# ----------------------------------------------------------------- queries
+def q_count_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count validation (A2): source vs filtered target, reference
+    formula COALESCE(ABS(s-t)/NULLIF(s,0),0) (validation.sql.j2:334)."""
+    from datapact_spark.functions.exprs import count_rel_diff, pass_fail
+
+    src = _t(spark, sf_dir, "orders")
+    tgt = src.where("o_orderstatus <> 'F'")
+    s = src.agg(F.count(F.lit(1)).alias("source_count"))
+    t = tgt.agg(F.count(F.lit(1)).alias("target_count"))
+    diff = count_rel_diff(F.col("source_count"), F.col("target_count"))
+    return s.crossJoin(t).select(
+        "source_count",
+        "target_count",
+        diff.alias("relative_diff"),
+        pass_fail(diff <= 0.05).alias("status"),
+    )
+
+
+def q_null_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-drift validation, table-count variant (A4) with derived
+    nulls (testdata has none)."""
+    from datapact_spark.functions.exprs import null_diff_pct_counts, null_pass_counts, pass_fail
+
+    orders = _t(spark, sf_dir, "orders")
+    src = orders.withColumn(
+        "prio", F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))
+    )
+    tgt = orders.withColumn(
+        "prio",
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(None)
+        ).otherwise(F.col("o_orderpriority")),
+    )
+    s = src.agg(F.sum(F.when(F.col("prio").isNull(), 1).otherwise(0)).alias("source_nulls"))
+    t = tgt.agg(F.sum(F.when(F.col("prio").isNull(), 1).otherwise(0)).alias("target_nulls"))
+    sn, tn = F.col("source_nulls"), F.col("target_nulls")
+    return s.crossJoin(t).select(
+        "source_nulls",
+        "target_nulls",
+        null_diff_pct_counts(sn, tn).alias("relative_diff_percent"),
+        pass_fail(null_pass_counts(sn, tn, 0.10)).alias("status"),
+    )
+
+
+def q_agg_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate validation (A5): SUM/MIN/MAX with DECIMAL(38,6) values
+    and GREATEST-denominator relative diff."""
+    from datapact_spark.functions.exprs import pass_fail
+
+    src = _t(spark, sf_dir, "lineitem")
+    tgt = src.where("l_quantity < 50")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+
+    def prof(df: DataFrame, side: str) -> DataFrame:
+        return df.agg(
+            F.sum(qty).cast("decimal(38,6)").alias(f"{side}_value_SUM"),
+            F.min(qty).cast("decimal(38,6)").alias(f"{side}_value_MIN"),
+            F.max(qty).cast("decimal(38,6)").alias(f"{side}_value_MAX"),
+        )
+
+    j = prof(src, "source").crossJoin(prof(tgt, "target"))
+    out_cols = []
+    for agg, tol in [("SUM", 0.05), ("MIN", 0.0), ("MAX", 0.0)]:
+        sv = F.col(f"source_value_{agg}").cast("double")
+        tv = F.col(f"target_value_{agg}").cast("double")
+        diff = (
+            F.when(sv.isNull() | tv.isNull(), F.lit(None))
+            .when(sv == tv, F.lit(0.0))
+            .when(F.greatest(F.abs(sv), F.abs(tv)) == 0, F.lit(0.0))
+            .otherwise(F.abs(sv - tv) / F.greatest(F.abs(sv), F.abs(tv)))
+        )
+        out_cols += [
+            F.col(f"source_value_{agg}").alias(f"source_{agg.lower()}"),
+            F.col(f"target_value_{agg}").alias(f"target_{agg.lower()}"),
+            pass_fail(F.coalesce(diff, F.lit(0.0)) <= tol).alias(f"status_{agg.lower()}"),
+        ]
+    return j.select(*out_cols)
+
+
+def q_uniqueness_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniqueness (A6): duplicate ratio via the scale path
+    (hash-repartitioned groupBy-count, operators/uniqueness.py)."""
+    from datapact_spark.operators.uniqueness import uniqueness_metrics_scalable
+    from datapact_spark.functions.exprs import dupe_ratio, pass_fail
+
+    orders = _t(spark, sf_dir, "orders")
+    m = uniqueness_metrics_scalable(orders, ["o_custkey"])
+    ratio = dupe_ratio(F.col("row_count"), F.col("distinct_count"))
+    return m.select(
+        "row_count",
+        "distinct_count",
+        "duplicate_count",
+        ratio.alias("dupe_ratio"),
+        pass_fail(ratio <= 0.95).alias("status"),
+    )
+
+
+def q_row_hash_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-hash compare (J1) with engine-portable concat serialization;
+    target deterministically corrupted."""
+    from datapact_spark.operators.rowhash import row_hash_metrics
+    from datapact_spark.functions.exprs import hash_mismatch_ratio, pass_fail
+
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"]
+    src = li.select(*cols)
+    tgt = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_orderkey") % 97 == 0, F.lit("X"))
+        .otherwise(F.col("l_returnflag"))
+        .alias("l_returnflag"),
+        "l_linestatus",
+    )
+    m = row_hash_metrics(
+        src, tgt, ["l_orderkey", "l_linenumber"], cols, "md5", serialization="concat"
+    )
+    ratio = hash_mismatch_ratio(F.col("mismatch_count"), F.col("total_compared_rows"))
+    return m.select(
+        "total_compared_rows",
+        "mismatch_count",
+        ratio.alias("mismatch_ratio"),
+        pass_fail(ratio <= 0.005).alias("status"),
+    )
+
+
+def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential anti-join (J8): lineitem → orders with parent keys
+    deterministically removed; broadcast strategy."""
+    from datapact_spark.config import ReferentialCheck
+    from datapact_spark.operators.referential import (
+        referential_metrics,
+        referential_violations,
+    )
+
+    child = _t(spark, sf_dir, "lineitem")
+    parent = _t(spark, sf_dir, "orders").where("o_orderkey % 50 <> 0")
+    check = ReferentialCheck(
+        name="fk",
+        fk_columns=["l_orderkey"],
+        ref_table="orders",
+        ref_columns=["o_orderkey"],
+        strategy="broadcast",
+    )
+    m = referential_metrics(child, parent, check)
+    v = referential_violations(child, parent, check).agg(
+        F.count_distinct(F.col("l_orderkey")).alias("distinct_violated_keys")
+    )
+    return m.crossJoin(v).select(
+        F.col("child_count_fk").alias("child_rows"),
+        F.col("violation_count_fk").alias("violation_rows"),
+        "distinct_violated_keys",
+    )
+
+
+def q_custom_sql_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom-SQL diff (A7/J4/U1): exceptAll both directions between two
+    grouped datasets + row counts."""
+    orders = _t(spark, sf_dir, "orders")
+    src = orders.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+    tgt = (
+        orders.where("o_totalprice > 1000")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        src.agg(F.count(F.lit(1)).alias("source_row_count"))
+        .crossJoin(tgt.agg(F.count(F.lit(1)).alias("target_row_count")))
+        .crossJoin(
+            src.exceptAll(tgt).agg(F.count(F.lit(1)).alias("rows_missing_in_target"))
+        )
+        .crossJoin(
+            tgt.exceptAll(src).agg(F.count(F.lit(1)).alias("rows_missing_in_source"))
+        )
+    )
+
+
+def q_drift_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift sketch build (A11): binned histograms of source vs drifted
+    target on a shared grid — the mergeable-sketch layer under PSI/KS."""
+    from datapact_spark.operators.drift import _binned, _bounds
+
+    li = _t(spark, sf_dir, "lineitem")
+    tgt = li.where("l_discount > 0.02")
+    bounds = _bounds(li, "l_extendedprice")
+    hs = _binned(li, "l_extendedprice", 16, bounds).select(
+        F.lit("source").alias("side"), "bin", "cnt"
+    )
+    ht = _binned(tgt, "l_extendedprice", 16, bounds).select(
+        F.lit("target").alias("side"), "bin", "cnt"
+    )
+    return hs.unionByName(ht)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (hash-groupBy): input = documents ∪ re-keyed copies
+    of every 7th doc → known duplicate pairs."""
+    from datapact_spark.operators.dedup import exact_duplicates
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup_input = docs.unionByName(
+        docs.where(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return exact_duplicates(dup_input).select("keep_id", "dup_id")
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of normalized text per doc."""
+    from datapact_spark.operators.textops import doc_fingerprint
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return doc_fingerprint(docs).select("doc_id", "fingerprint")
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per language: docs, whitespace tokens, chars."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens).alias("total_tokens"),
+        F.sum(F.length(F.col("text"))).alias("total_chars"),
+        F.count_distinct(F.col("source")).alias("n_sources"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword argmax) → counts per detected
+    lang crossed with labeled lang."""
+    from datapact_spark.operators.textops import lang_id
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return (
+        lang_id(docs)
+        .groupBy("lang", "detected_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality features: per-doc token/char/stopword stats (raw
+    doubles, no rounding)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    t = F.col("text")
+    n_chars = F.length(t)
+    tokens = F.split(F.trim(t), r"\s+")
+    n_tokens = F.size(tokens)
+    stop_arr = F.array(*[F.lit(w) for w in ["the", "and", "of", "is", "a"]])
+    n_stop = F.size(F.filter(tokens, lambda x: F.array_contains(stop_arr, x)))
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        n_stop.alias("n_stopwords"),
+        (n_stop / n_tokens.cast("double")).alias("stopword_ratio"),
+    )
+
+
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (similarity baseline): queries = first 5
+    vectors, k = 5, raw-double cosine (bitwise engine-portable)."""
+    from datapact_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where("vec_id < 5")
+    return brute_force_topk(emb, queries, k=5)
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, Jaccard-verified (no SQL oracle —
+    rows-only check). Duplicates injected by perturbing every 11th doc's
+    tail so near- (not exact-) dups exist."""
+    from datapact_spark.operators.dedup import minhash_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = docs.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    return minhash_dedup(
+        docs.unionByName(perturbed), threshold=0.5, num_hashes=32, bands=8
+    ).select("id_a", "id_b")
+
+
+def q_run_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-level aggregation (A8) over a deterministic synthetic ledger
+    derived from the orders table."""
+    from datapact_spark.aggregate import run_summary
+
+    orders = _t(spark, sf_dir, "orders")
+    ledger = orders.where("o_orderkey % 100 = 0").select(
+        F.lit(1).cast("long").alias("run_id"),
+        F.lit(1).cast("long").alias("job_id"),
+        F.lit("sim").alias("job_name"),
+        F.concat(F.lit("task_"), F.col("o_orderkey").cast("string")).alias("task_key"),
+        F.when(F.col("o_orderstatus") == "F", F.lit("FAILURE"))
+        .otherwise(F.lit("SUCCESS"))
+        .alias("status"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit("CRITICAL"))
+        .otherwise(F.lit("HIGH"))
+        .alias("business_priority"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 0 + 100).cast("double").alias(
+            "estimated_impact_usd"
+        ),
+        F.lit(4.0).alias("expected_sla_hours"),
+    )
+    s = run_summary(ledger)
+    return s.select(
+        "total_tasks",
+        "failure_count",
+        "success_count",
+        "success_rate_percent",
+        "data_quality_score",
+        "critical_failures",
+        "potential_impact_usd",
+        "realized_impact_usd",
+        F.array_sort("failed_task_keys").alias("failed_task_keys"),
+    )
+
+
+def q_latest_per_task(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 window dedup: latest event per (user_id, event_type) — the
+    row_number()-over-desc pattern (client.py:480-487)."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+
+
+def q_top_failing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 top-k: top-10 users by error events (TakeOrderedAndProject)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.where("event_type = 'error'")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("error_count"))
+        .orderBy(F.col("error_count").desc(), F.col("user_id").asc())
+        .limit(10)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "count_validation": q_count_validation,
+        "null_validation": q_null_validation,
+        "agg_validation": q_agg_validation,
+        "uniqueness_validation": q_uniqueness_validation,
+        "row_hash_validation": q_row_hash_validation,
+        "referential_integrity": q_referential_integrity,
+        "custom_sql_diff": q_custom_sql_diff,
+        "drift_histogram": q_drift_histogram,
+        "dedup_exact": q_dedup_exact,
+        "doc_fingerprint": q_doc_fingerprint,
+        "text_token_stats": q_text_token_stats,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "ann_bruteforce": q_ann_bruteforce,
+        "minhash_dedup": q_minhash_dedup,
+        "run_aggregation": q_run_aggregation,
+        "latest_per_task": q_latest_per_task,
+        "top_failing": q_top_failing,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
-
+# ------------------------------------------------------------------ oracles
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lang_markers = {
+        "en": ["the", "and", "of", "is", "a"],
+        "es": ["el", "la", "de", "que", "y"],
+        "de": ["der", "die", "und", "das", "ist"],
+        "fr": ["le", "la", "et", "les", "des"],
+        "zh": ["的", "是", "了", "在", "我"],
+    }
+
+    def hits(lang: str) -> str:
+        lst = ", ".join(f"'{m}'" for m in lang_markers[lang])
+        return (
+            f"len(list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+            f"x -> list_contains([{lst}], x)))"
+        )
+
+    # argmax with tie-break = lexicographically greatest lang (matches
+    # Spark array_max over struct(hits, lang))
+    langs_desc = ["zh", "fr", "es", "en", "de"]
+    others = {
+        "zh": ["fr", "es", "en", "de"],
+        "fr": ["es", "en", "de", "zh"],
+        "es": ["en", "de", "zh", "fr"],
+        "en": ["de", "zh", "fr", "es"],
+        "de": ["zh", "fr", "es", "en"],
+    }
+    case_parts = []
+    for lang in langs_desc:
+        conds = " AND ".join(f"h_{lang} >= h_{o}" for o in others[lang])
+        case_parts.append(f"WHEN h_{lang} > 0 AND {conds} THEN '{lang}'")
+    lang_case = "CASE " + " ".join(case_parts) + " ELSE 'und' END"
+
+    return {
+        "count_validation": """
+            WITH s AS (SELECT COUNT(*) AS source_count FROM orders),
+                 t AS (SELECT COUNT(*) AS target_count FROM orders WHERE o_orderstatus <> 'F')
+            SELECT source_count, target_count,
+                   COALESCE(ABS(source_count - target_count) / NULLIF(CAST(source_count AS DOUBLE), 0), 0) AS relative_diff,
+                   CASE WHEN COALESCE(ABS(source_count - target_count) / NULLIF(CAST(source_count AS DOUBLE), 0), 0) <= 0.05
+                        THEN 'PASS' ELSE 'FAIL' END AS status
+            FROM s, t
+        """,
+        "null_validation": """
+            WITH s AS (SELECT SUM(CASE WHEN NULLIF(o_orderpriority, '1-URGENT') IS NULL THEN 1 ELSE 0 END) AS source_nulls FROM orders),
+                 t AS (SELECT SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS target_nulls FROM orders)
+            SELECT source_nulls, target_nulls,
+                   CASE WHEN source_nulls = 0 AND target_nulls > 0 THEN 100.0
+                        WHEN target_nulls = 0 AND source_nulls > 0 THEN 100.0
+                        ELSE COALESCE(ABS(target_nulls - source_nulls) / NULLIF(CAST(source_nulls AS DOUBLE), 0), 0) * 100
+                   END AS relative_diff_percent,
+                   CASE WHEN CASE WHEN source_nulls = 0 THEN target_nulls = 0
+                             ELSE COALESCE(ABS(target_nulls - source_nulls) / NULLIF(CAST(source_nulls AS DOUBLE), 0), 0) <= 0.10 END
+                        THEN 'PASS' ELSE 'FAIL' END AS status
+            FROM s, t
+        """,
+        "agg_validation": """
+            WITH s AS (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS s_sum,
+                              CAST(MIN(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS s_min,
+                              CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS s_max
+                       FROM lineitem),
+                 t AS (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS t_sum,
+                              CAST(MIN(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS t_min,
+                              CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS t_max
+                       FROM lineitem WHERE l_quantity < 50)
+            SELECT s_sum AS source_sum, t_sum AS target_sum,
+                   CASE WHEN COALESCE(
+                       CASE WHEN CAST(s_sum AS DOUBLE) = CAST(t_sum AS DOUBLE) THEN 0.0
+                            WHEN GREATEST(ABS(CAST(s_sum AS DOUBLE)), ABS(CAST(t_sum AS DOUBLE))) = 0 THEN 0.0
+                            ELSE ABS(CAST(s_sum AS DOUBLE) - CAST(t_sum AS DOUBLE)) / GREATEST(ABS(CAST(s_sum AS DOUBLE)), ABS(CAST(t_sum AS DOUBLE))) END,
+                       0.0) <= 0.05 THEN 'PASS' ELSE 'FAIL' END AS status_sum,
+                   s_min AS source_min, t_min AS target_min,
+                   CASE WHEN CAST(s_min AS DOUBLE) = CAST(t_min AS DOUBLE) THEN 'PASS' ELSE 'FAIL' END AS status_min,
+                   s_max AS source_max, t_max AS target_max,
+                   CASE WHEN CAST(s_max AS DOUBLE) = CAST(t_max AS DOUBLE) THEN 'PASS' ELSE 'FAIL' END AS status_max
+            FROM s, t
+        """,
+        "uniqueness_validation": """
+            WITH m AS (
+              SELECT SUM(n) AS row_count, COUNT(*) AS distinct_count, SUM(n) - COUNT(*) AS duplicate_count
+              FROM (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey)
+            )
+            SELECT row_count, distinct_count, duplicate_count,
+                   COALESCE(duplicate_count / NULLIF(CAST(row_count AS DOUBLE), 0), 0) AS dupe_ratio,
+                   CASE WHEN COALESCE(duplicate_count / NULLIF(CAST(row_count AS DOUBLE), 0), 0) <= 0.95
+                        THEN 'PASS' ELSE 'FAIL' END AS status
+            FROM m
+        """,
+        "row_hash_validation": """
+            WITH s AS (
+              SELECT l_orderkey, l_linenumber,
+                     md5(concat_ws(chr(31), CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR), l_returnflag, l_linestatus)) AS h
+              FROM lineitem),
+            t AS (
+              SELECT l_orderkey, l_linenumber,
+                     md5(concat_ws(chr(31), CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+                         CASE WHEN l_orderkey % 97 = 0 THEN 'X' ELSE l_returnflag END, l_linestatus)) AS h
+              FROM lineitem),
+            j AS (
+              SELECT COUNT(*) AS total_compared_rows,
+                     COALESCE(SUM(CASE WHEN s.h <> t.h THEN 1 ELSE 0 END), 0) AS mismatch_count
+              FROM s JOIN t USING (l_orderkey, l_linenumber))
+            SELECT total_compared_rows, mismatch_count,
+                   COALESCE(mismatch_count / NULLIF(CAST(total_compared_rows AS DOUBLE), 0), 0) AS mismatch_ratio,
+                   CASE WHEN COALESCE(mismatch_count / NULLIF(CAST(total_compared_rows AS DOUBLE), 0), 0) <= 0.005
+                        THEN 'PASS' ELSE 'FAIL' END AS status
+            FROM j
+        """,
+        "referential_integrity": """
+            WITH parent AS (SELECT DISTINCT o_orderkey FROM orders WHERE o_orderkey % 50 <> 0),
+                 viol AS (SELECT l.l_orderkey FROM lineitem l
+                          WHERE l.l_orderkey IS NOT NULL
+                            AND NOT EXISTS (SELECT 1 FROM parent p WHERE p.o_orderkey = l.l_orderkey))
+            SELECT (SELECT COUNT(*) FROM lineitem) AS child_rows,
+                   (SELECT COUNT(*) FROM viol) AS violation_rows,
+                   (SELECT COUNT(DISTINCT l_orderkey) FROM viol) AS distinct_violated_keys
+        """,
+        "custom_sql_diff": """
+            WITH src AS (SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus),
+                 tgt AS (SELECT o_orderstatus, COUNT(*) AS n FROM orders WHERE o_totalprice > 1000 GROUP BY o_orderstatus)
+            SELECT (SELECT COUNT(*) FROM src) AS source_row_count,
+                   (SELECT COUNT(*) FROM tgt) AS target_row_count,
+                   (SELECT COUNT(*) FROM (SELECT * FROM src EXCEPT ALL SELECT * FROM tgt)) AS rows_missing_in_target,
+                   (SELECT COUNT(*) FROM (SELECT * FROM tgt EXCEPT ALL SELECT * FROM src)) AS rows_missing_in_source
+        """,
+        "drift_histogram": """
+            WITH b AS (SELECT MIN(CAST(l_extendedprice AS DOUBLE)) AS lo, MAX(CAST(l_extendedprice AS DOUBLE)) AS hi FROM lineitem),
+            binned_s AS (
+              SELECT CAST(LEAST(GREATEST(FLOOR((CAST(l_extendedprice AS DOUBLE) - lo) / NULLIF((hi - lo) / 16.0, 0)), 0), 15) AS INT) AS bin
+              FROM lineitem, b WHERE l_extendedprice IS NOT NULL),
+            binned_t AS (
+              SELECT CAST(LEAST(GREATEST(FLOOR((CAST(l_extendedprice AS DOUBLE) - lo) / NULLIF((hi - lo) / 16.0, 0)), 0), 15) AS INT) AS bin
+              FROM lineitem, b WHERE l_extendedprice IS NOT NULL AND l_discount > 0.02)
+            SELECT 'source' AS side, bin, COUNT(*) AS cnt FROM binned_s GROUP BY bin
+            UNION ALL
+            SELECT 'target' AS side, bin, COUNT(*) AS cnt FROM binned_t GROUP BY bin
+        """,
+        "dedup_exact": """
+            WITH input AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0),
+            fp AS (SELECT doc_id AS dup_id,
+                          md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+                   FROM input),
+            keepers AS (SELECT fingerprint, MIN(dup_id) AS keep_id FROM fp GROUP BY fingerprint)
+            SELECT k.keep_id, f.dup_id
+            FROM fp f JOIN keepers k USING (fingerprint)
+            WHERE f.dup_id <> k.keep_id
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+            FROM documents
+        """,
+        "text_token_stats": """
+            SELECT lang,
+                   COUNT(*) AS n_docs,
+                   SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS total_tokens,
+                   SUM(length(text)) AS total_chars,
+                   COUNT(DISTINCT source) AS n_sources
+            FROM documents GROUP BY lang
+        """,
+        "lang_id": f"""
+            WITH scored AS (
+              SELECT lang,
+                     {hits('en')} AS h_en, {hits('es')} AS h_es, {hits('de')} AS h_de,
+                     {hits('fr')} AS h_fr, {hits('zh')} AS h_zh
+              FROM documents)
+            SELECT lang, {lang_case} AS detected_lang, COUNT(*) AS n
+            FROM scored GROUP BY 1, 2
+        """,
+        "quality_score": """
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                   length(text) AS n_chars,
+                   len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                       x -> list_contains(['the','and','of','is','a'], x))) AS n_stopwords,
+                   len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                       x -> list_contains(['the','and','of','is','a'], x)))
+                     / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS stopword_ratio
+            FROM documents
+        """,
+        "ann_bruteforce": """
+            WITH q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                       FROM embeddings WHERE vec_id < 5),
+            c AS (SELECT vec_id AS neighbor_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+                  FROM embeddings),
+            scored AS (
+              SELECT query_id, neighbor_id,
+                     list_dot_product(qv, cv) / NULLIF(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)), 0) AS cosine_sim
+              FROM c, q WHERE neighbor_id <> query_id),
+            ranked AS (
+              SELECT query_id, neighbor_id, cosine_sim,
+                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+              FROM scored)
+            SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "run_aggregation": """
+            WITH ledger AS (
+              SELECT 'task_' || CAST(o_orderkey AS VARCHAR) AS task_key,
+                     CASE WHEN o_orderstatus = 'F' THEN 'FAILURE' ELSE 'SUCCESS' END AS status,
+                     CASE WHEN o_orderpriority = '1-URGENT' THEN 'CRITICAL' ELSE 'HIGH' END AS business_priority,
+                     100.0 AS estimated_impact_usd,
+                     4.0 AS expected_sla_hours
+              FROM orders WHERE o_orderkey % 100 = 0)
+            SELECT COUNT(*) AS total_tasks,
+                   SUM(CASE WHEN status = 'FAILURE' THEN 1 ELSE 0 END) AS failure_count,
+                   SUM(CASE WHEN status = 'SUCCESS' THEN 1 ELSE 0 END) AS success_count,
+                   CASE WHEN COUNT(*) = 0 THEN 0.0 ELSE ROUND(SUM(CASE WHEN status = 'SUCCESS' THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 2) END AS success_rate_percent,
+                   CASE WHEN COUNT(*) = 0 THEN 0.0 ELSE ROUND(SUM(CASE WHEN status = 'SUCCESS' THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) END AS data_quality_score,
+                   SUM(CASE WHEN status = 'FAILURE' AND business_priority = 'CRITICAL' THEN 1 ELSE 0 END) AS critical_failures,
+                   SUM(estimated_impact_usd) AS potential_impact_usd,
+                   SUM(CASE WHEN status = 'FAILURE' THEN estimated_impact_usd ELSE 0.0 END) AS realized_impact_usd,
+                   list_sort(list_filter(list(CASE WHEN status = 'FAILURE' THEN task_key END), x -> x IS NOT NULL)) AS failed_task_keys
+            FROM ledger
+        """,
+        "latest_per_task": """
+            SELECT user_id, event_type, event_id, ts
+            FROM (SELECT user_id, event_type, event_id, ts,
+                         ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1
+        """,
+        "top_failing": """
+            SELECT user_id, COUNT(*) AS error_count
+            FROM events WHERE event_type = 'error'
+            GROUP BY user_id
+            ORDER BY error_count DESC, user_id ASC
+            LIMIT 10
+        """,
+    }

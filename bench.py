@@ -1,0 +1,80 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Also reports rows_per_sec for the flagship validation (the BASELINE.json
+primary metric is files/sec at scale) under extra keys — the driver
+contract key set stays intact.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from datapact_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(
+        app_name="datapact-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: touch every table once (JVM/codegen/file-cache warmup)
+    from datapact_spark.sources.loader import load_sf_tables
+
+    tables = load_sf_tables(spark, sf_dir)
+    total_rows = 0
+    for name, df in tables.items():
+        total_rows += df.count()
+
+    timings: dict[str, float] = {}
+    queries = entry_mod.queries()
+    for name, fn in queries.items():
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        n = df.count()  # full materialization of the result
+        timings[name] = round(time.monotonic() - t0, 4)
+
+    # flagship throughput: one full multi-check validation over lineitem
+    # at THIS scale factor (entry() itself is pinned to sf0.001)
+    t0 = time.monotonic()
+    entry_mod.flagship(spark, sf_dir).collect()
+    flagship_sec = time.monotonic() - t0
+    timings["flagship_entry"] = round(flagship_sec, 4)
+
+    lineitem_rows = tables["lineitem"].count() if "lineitem" in tables else 0
+    total_sec = round(sum(timings.values()), 4)
+    out = {
+        "metric": "headline query suite wall time",
+        "value": total_sec,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "rows_total": total_rows,
+        "flagship_rows_per_sec": round(lineitem_rows / flagship_sec, 1)
+        if flagship_sec > 0
+        else None,
+        "cpus": int(cpus),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -28,14 +28,26 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
 
-def row_hash(cols: list[Column] | list[str], algo: str = "md5") -> Column:
-    """Hash of the JSON serialization of the given columns, in order.
+def row_hash(
+    cols: list[Column] | list[str], algo: str = "md5", serialization: str = "json"
+) -> Column:
+    """Hash of the serialized given columns, in order.
 
-    Semantics match validation.sql.j2:202-214: column order and names
-    are part of the hash input, so both sides must project identically.
+    ``serialization='json'`` matches validation.sql.j2:202-214
+    (``to_json(struct(...))`` — column order and names are part of the
+    hash input, so both sides must project identically).
+    ``serialization='concat'`` is the engine-portable variant:
+    ``concat_ws('\\x1f', cast(col as string)...)`` — identical bytes in
+    any engine with SQL-standard casts, used when cross-engine hash
+    equality matters more than reference parity.
     """
-    struct = F.struct(*cols)
-    payload = F.to_json(struct)
+    if serialization == "json":
+        payload = F.to_json(F.struct(*cols))
+    elif serialization == "concat":
+        as_cols = [F.col(c) if isinstance(c, str) else c for c in cols]
+        payload = F.concat_ws("\x1f", *[c.cast("string") for c in as_cols])
+    else:
+        raise ValueError(f"unknown serialization: {serialization}")
     if algo == "md5":
         return F.md5(payload)
     if algo == "sha256":

@@ -1,0 +1,270 @@
+"""Deduplication operators for training-data pipelines.
+
+* exact: hash-groupBy on a canonical fingerprint (one shuffle of
+  (hash, id) pairs only);
+* MinHash + LSH: shingle → minhash signature → band buckets →
+  within-bucket candidate join → Jaccard verify. The all-pairs O(n²)
+  comparison is avoided: pairs are only generated inside LSH buckets.
+* SimHash: 64-bit weighted-projection hash, near-dups = small Hamming
+  distance within identical high-bit prefixes.
+* n-gram Jaccard: exact verified similarity on candidate pairs.
+
+Everything before the (tiny) candidate stage is JVM-side; minhash
+signatures use the standard (a·h + b) mod p universal-hash family over
+xxhash64 shingle hashes — all Column arithmetic, no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 2^31-1: keeps (h mod M) * a < 2^62, inside 64-bit long arithmetic
+_MERSENNE = (1 << 31) - 1
+
+
+_PR = 1_000_003  # polynomial-hash multiplier, < 2^20 so products stay < 2^52
+
+
+def _shingles(text_col: str, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingle hashes (array<bigint>) — JVM-side.
+
+    Implementation note: higher-order functions are evaluated
+    interpreted, so any outer expression referenced inside a lambda
+    body is RE-EVALUATED per element (an ``element_at(split(...), i)``
+    gram loop costs O(tokens²) splits per row). Instead: hash tokens
+    once (the split is the transform's input, evaluated once), then
+    combine each token hash with its j-shifted copies via ``zip_with``
+    over ``slice``d arrays — a rolling polynomial hash, O(tokens) per
+    row, no captured expressions."""
+    tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    h = F.transform(tokens, lambda t: F.pmod(F.xxhash64(t), F.lit(_MERSENNE)))
+    if n > 1:
+        acc = h
+        for j in range(1, n):
+            shifted = F.slice(h, j + 1, F.greatest(F.size(h) - j, F.lit(1)))
+            acc = F.zip_with(
+                acc,
+                shifted,
+                lambda a, b: F.pmod(
+                    a * F.lit(_PR) + F.coalesce(b, F.lit(0)), F.lit(_MERSENNE)
+                ),
+            )
+        k = F.greatest(F.size(h) - (n - 1), F.lit(1))
+        h = F.slice(acc, 1, k)
+    return F.array_distinct(h)
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup by normalized-text fingerprint. Output: one row per
+    duplicate document (keeper = min id per group), columns
+    (fingerprint, keep_id, dup_id)."""
+    from datapact_spark.operators.textops import doc_fingerprint
+
+    fp = doc_fingerprint(df.select(id_col, text_col), text_col).select(
+        F.col(id_col).alias("dup_id"), "fingerprint"
+    )
+    keepers = fp.groupBy("fingerprint").agg(F.min("dup_id").alias("keep_id"))
+    return (
+        fp.join(keepers, "fingerprint")
+        .where(F.col("dup_id") != F.col("keep_id"))
+        .select("fingerprint", "keep_id", "dup_id")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig: array<bigint>) — minhash signature per document.
+
+    Permutation i is (a_i·h + b_i) mod M over the shingle hashes; the
+    min over shingles per permutation is computed with ``F.transform``
+    + ``F.array_min`` — vectorized JVM arithmetic, scales linearly."""
+    import random
+
+    rng = random.Random(seed)
+    abs_ = [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE)) for _ in range(num_hashes)]
+
+    def _perm(a: int, b: int):
+        # closure factory: F.transform introspects the lambda's arity,
+        # so defaults-as-captures would look like a 3-arg lambda
+        return lambda h: F.pmod(
+            F.pmod(h, F.lit(_MERSENNE)) * F.lit(a) + F.lit(b), F.lit(_MERSENNE)
+        )
+
+    # Explode shingle hashes to (id, h) rows and take the num_hashes
+    # permutation minima as ONE grouped aggregate. This evaluates the
+    # shingling exactly once (array expressions referenced N times get
+    # re-evaluated N× after Catalyst's CollapseProject), gets map-side
+    # partial aggregation for free, and the shuffle carries only
+    # (id, 32 longs) partials — the shape that scales to 10^12 docs.
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_shingles(text_col, shingle_n)).alias("h"),
+    )
+    mins = exploded.groupBy("id").agg(
+        *[
+            F.min(_perm(a, b)(F.col("h"))).alias(f"m{i}")
+            for i, (a, b) in enumerate(abs_)
+        ]
+    )
+    return mins.select(
+        "id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` bands of
+    ``rows_per_band`` values, hash each band, self-join per (band,
+    band_hash) bucket → candidate pairs (id_a < id_b). The join key is
+    (band_idx, band_hash), so identical bands collide and the shuffle
+    carries only (id, band_hash) pairs."""
+    exploded = signatures.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1).cast(
+                                    "string"
+                                )
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates()
+    )
+
+
+def jaccard_verify(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs: join shingle sets to the
+    (small) candidate list, intersect/union JVM-side. Output:
+    (id_a, id_b, jaccard) for pairs ≥ threshold."""
+    sets_df = df.select(
+        F.col(id_col).alias("id"), _shingles(text_col, shingle_n).alias("sh")
+    )
+    joined = (
+        candidates.join(sets_df.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sets_df.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        joined.select(
+            "id_a",
+            "id_b",
+            (inter / F.nullif(union.cast("double"), F.lit(0.0))).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Full near-dup pipeline: minhash → LSH candidates → Jaccard
+    verify. Returns verified near-dup pairs (id_a, id_b, jaccard)."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed)
+    cands = minhash_lsh_candidates(sigs, bands, rows_per_band)
+    return jaccard_verify(df, cands, id_col, text_col, shingle_n, threshold)
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per document: per-token xxhash64, sum the ±1
+    contribution of each bit over tokens, sign → bit. All JVM Column
+    arithmetic via transform/aggregate over the token array."""
+    tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    # accumulate bit balances: for each bit position, Σ(±1)
+    balances = F.reduce(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda i: F.when(F.shiftright(h, i.cast("int")).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            ),
+            lambda a, d: a + d.cast("long"),
+        ),
+    )
+    sim = F.aggregate(
+        F.zip_with(
+            balances,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda bal, i: F.when(bal > 0, F.shiftleft(F.lit(1).cast("long"), i.cast("int"))).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    return df.select(F.col(id_col).alias("id"), sim.alias("simhash"))
+
+
+def simhash_near_dups(
+    sim_df: DataFrame, max_hamming: int = 3, prefix_bits: int = 16
+) -> DataFrame:
+    """Near-dup pairs by SimHash: bucket on the top ``prefix_bits`` bits
+    (near-dups under small Hamming distance usually share the prefix),
+    self-join within buckets, filter by exact Hamming distance via
+    bit_count(xor)."""
+    bucketed = sim_df.withColumn(
+        "bucket", F.shiftright(F.col("simhash"), 64 - prefix_bits)
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .where(ham <= max_hamming)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+    )

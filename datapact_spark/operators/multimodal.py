@@ -1,0 +1,96 @@
+"""Multimodal column plumbing: binary payloads + typed metadata.
+
+Images/audio/video are treated as opaque ``binary`` columns with typed
+metadata; decode / feature-extract / resize / frame-sample run as
+Arrow-batched pandas functions over ``mapInPandas`` so each executor
+processes whole record batches.
+
+The actual codec work (PIL/librosa/ffmpeg) is NOT available in this
+container, so the decode step is stubbed: ``decode_stub=True`` derives
+deterministic fake features from the bytes (so the distributed plumbing
+— schema, batching, partitioning — is fully real and testable), while
+``decode_stub=False`` raises ``NotImplementedError`` at the exact point
+a codec would plug in.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, mime string, "
+    "width int, height int, duration_ms int"
+)
+
+FEATURE_SCHEMA = "media_id long, kind string, n_bytes int, feature array<float>"
+
+
+def synthesize_media_table(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media rows (binary payload derived from id)."""
+    kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
+    df = spark.range(n).select(
+        F.col("id").alias("media_id"),
+        F.element_at(kinds, (F.pmod(F.col("id"), F.lit(3)) + 1).cast("int")).alias("kind"),
+        F.sha2(F.concat(F.lit(seed), F.col("id").cast("string")), 256)
+        .cast("binary")
+        .alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        (F.pmod(F.col("id") * 37, F.lit(1920)) + 16).cast("int").alias("width"),
+        (F.pmod(F.col("id") * 53, F.lit(1080)) + 16).cast("int").alias("height"),
+        (F.pmod(F.col("id") * 97, F.lit(60000))).cast("int").alias("duration_ms"),
+    )
+    return df
+
+
+def extract_features(
+    media: DataFrame, feature_dim: int = 8, decode_stub: bool = True
+) -> DataFrame:
+    """Decode + feature-extract via mapInPandas (Arrow batches).
+
+    Real deployment: replace ``_fake_decode`` with the codec call; the
+    Spark-side contract (batch iterator in, batch iterator out, schema
+    ``FEATURE_SCHEMA``) is unchanged.
+    """
+
+    def _fake_decode(payload: bytes) -> np.ndarray:
+        # deterministic pseudo-features from a stable digest of the bytes
+        digest = hashlib.sha256(payload).digest()
+        raw = np.frombuffer(digest[: feature_dim * 4], dtype=np.uint32)
+        return (raw % 1000).astype(np.float32) / 1000.0
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real media decode requires PIL/librosa/ffmpeg — not in sandbox"
+                )
+            feats = pdf["payload"].map(lambda b: _fake_decode(bytes(b)).tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(len).astype("int32"),
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plan for video rows: one output row per sampled
+    timestamp (JVM-side sequence explode — the expensive decode of each
+    frame would hang off this skeleton)."""
+    video = media.where(F.col("kind") == "video")
+    return video.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(every_ms))
+        ).alias("frame_ts_ms"),
+    )

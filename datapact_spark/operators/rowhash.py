@@ -20,9 +20,18 @@ from pyspark.sql import functions as F
 from datapact_spark.functions.hashing import row_hash
 
 
-def _hashed(df: DataFrame, pks: list[str], hash_columns: list[str] | None, algo: str) -> DataFrame:
+def _hashed(
+    df: DataFrame,
+    pks: list[str],
+    hash_columns: list[str] | None,
+    algo: str,
+    serialization: str = "json",
+) -> DataFrame:
     cols = hash_columns if hash_columns else df.columns
-    return df.select(*[F.col(pk) for pk in pks], row_hash([F.col(c) for c in cols], algo).alias("row_hash"))
+    return df.select(
+        *[F.col(pk) for pk in pks],
+        row_hash([F.col(c) for c in cols], algo, serialization).alias("row_hash"),
+    )
 
 
 def row_hash_metrics(
@@ -31,10 +40,11 @@ def row_hash_metrics(
     primary_keys: list[str],
     hash_columns: list[str] | None = None,
     algo: str = "md5",
+    serialization: str = "json",
 ) -> DataFrame:
     """1-row DF: (total_compared_rows, mismatch_count)."""
-    s = _hashed(source, primary_keys, hash_columns, algo).alias("s")
-    t = _hashed(target, primary_keys, hash_columns, algo).alias("t")
+    s = _hashed(source, primary_keys, hash_columns, algo, serialization).alias("s")
+    t = _hashed(target, primary_keys, hash_columns, algo, serialization).alias("t")
     joined = s.join(t, on=primary_keys, how="inner")
     return joined.agg(
         F.count(F.lit(1)).alias("total_compared_rows"),

@@ -1,0 +1,96 @@
+"""Mirror of the driver's correctness gate: every ``queries()`` entry is
+run in Spark and its ``oracle_sql()`` twin in DuckDB on the same parquet
+tables; row counts, column names, and order-insensitive canonical values
+must match exactly.
+"""
+
+import decimal
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("DATAPACT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+ORACLES = entry_mod.oracle_sql()
+QUERIES = entry_mod.queries()
+ORACLE_KEYS = sorted(ORACLES.keys())
+
+
+def _canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    return str(v)
+
+
+def _rows_canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(_canon(r[i]) for i in order) for r in rows)
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_query_matches_oracle(spark, ddb, name):
+    sdf = QUERIES[name](spark, SF_DIR)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    res = ddb.execute(ORACLES[name])
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+
+    assert sorted(s_cols) == sorted(d_cols), f"{name}: column mismatch"
+    assert len(s_rows) == len(d_rows), f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
+    sc = _rows_canon(s_cols, s_rows)
+    dc = _rows_canon(d_cols, d_rows)
+    mismatches = [(a, b) for a, b in zip(sc, dc) if a != b]
+    assert not mismatches, f"{name}: first value mismatch: {mismatches[:3]}"
+
+
+def test_all_queries_have_oracle_or_are_rows_only():
+    rows_only = set(QUERIES) - set(ORACLES)
+    # rows-only allowed for non-SQL-expressible ops; keep the list tight
+    assert rows_only <= {"minhash_dedup"}, f"unexpected rows-only: {rows_only}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) == 1
+    assert {"result_payload", "overall_validation_passed"} <= set(df.columns)
+
+
+def test_minhash_dedup_rows_only(spark):
+    df = QUERIES["minhash_dedup"](spark, SF_DIR)
+    rows = df.collect()
+    # every perturbed doc (doc_id % 11 == 0, re-keyed +1e6) must pair
+    # with its original at Jaccard ≥ 0.5
+    pairs = {(r["id_a"], r["id_b"]) for r in rows}
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    expected_ids = [r["doc_id"] for r in docs.where("doc_id % 11 = 0").collect()]
+    found = sum(1 for i in expected_ids if (i, i + 1000000) in pairs)
+    assert found >= len(expected_ids) * 0.9, f"recall {found}/{len(expected_ids)}"
