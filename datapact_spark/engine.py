@@ -20,6 +20,7 @@ from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import Row, SparkSession
+from pyspark.sql import functions as F
 
 from datapact_spark import aggregate as agg
 from datapact_spark.config import DataPactConfig, ValidationTask
@@ -161,6 +162,47 @@ class DataPactEngine:
                 },
             )
         return result
+
+    # ------------------------------------------- per-partition verdicts
+    def run_partitioned(
+        self,
+        task: ValidationTask,
+        run_id: int,
+        batches: int = 4,
+        resume: bool = True,
+        salt_buckets: int = 0,
+    ):
+        """North-star execution mode: per-partition verdicts with
+        checkpointed, exactly-resumable batches.
+
+        The verdict keyspace (task.partition_by) is split into
+        ``batches`` deterministic hash buckets; each bucket's verdicts
+        are computed and committed atomically (directory write + Spark
+        _SUCCESS marker). A killed run resumes by skipping committed
+        batches — recomputation happens only for the one interrupted
+        batch, which is overwritten idempotently.
+
+        Trade-off (documented): resume granularity costs ``batches``
+        scans of the input. On a real cluster with Delta/Iceberg you'd
+        commit per-partition files transactionally in one job instead;
+        the batch loop emulates that without a transactional format.
+        """
+        from datapact_spark.ledger import CheckpointStore
+        from datapact_spark.plans.partitioned import compile_partition_verdicts
+
+        store = CheckpointStore(self.spark, self.ledger.path)
+        group_cols = task.partition_by or []
+        verdicts = compile_partition_verdicts(
+            self.spark, task, self.resolver, salt_buckets=salt_buckets
+        )
+        bucket = F.pmod(F.xxhash64(*[F.col(c) for c in group_cols]), F.lit(batches))
+        for b in range(batches):
+            if resume and store.batch_done(task.task_key, run_id, b):
+                log.info("task %s batch %d already committed — skipping", task.task_key, b)
+                continue
+            slice_df = verdicts.where(bucket == b)
+            store.write_batch(task.task_key, run_id, b, slice_df)
+        return store.read_verdicts(task.task_key, run_id)
 
     def _refresh_exec_tables(self, run_id: int) -> None:
         run_rows = self.ledger.run_results(run_id)

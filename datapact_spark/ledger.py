@@ -101,6 +101,22 @@ class CheckpointStore:
         except Exception:
             return None
 
+    # ---- batch-granular commits (used by engine.run_partitioned) ----
+    def _batch_dir(self, task_key: str, run_id: int, batch: int) -> str:
+        return os.path.join(self._dir(task_key, run_id), f"batch={batch}")
+
+    def batch_done(self, task_key: str, run_id: int, batch: int) -> bool:
+        """A batch counts as committed only when Spark's _SUCCESS marker
+        exists — a kill mid-write leaves no marker, so the batch reruns
+        (idempotent overwrite) on resume."""
+        return os.path.exists(os.path.join(self._batch_dir(task_key, run_id, batch), "_SUCCESS"))
+
+    def write_batch(self, task_key: str, run_id: int, batch: int, verdicts: DataFrame) -> None:
+        verdicts.write.mode("overwrite").parquet(self._batch_dir(task_key, run_id, batch))
+
+    def read_verdicts(self, task_key: str, run_id: int) -> DataFrame:
+        return self.spark.read.parquet(self._dir(task_key, run_id)).drop("batch")
+
     def pending(
         self, task_key: str, run_id: int, work: DataFrame, key_cols: list[str]
     ) -> DataFrame:

@@ -83,22 +83,46 @@ def grouped_row_hash_metrics(
     group_cols: list[str],
     hash_columns: list[str] | None = None,
     algo: str = "md5",
+    compact_shuffle: bool = True,
 ) -> DataFrame:
     """Per-partition-group hash-compare metrics. Group columns are taken
-    from the source side of the join."""
+    from the source side of the join.
+
+    ``compact_shuffle`` (default): both the join key (the PK tuple) and
+    the row hash are folded to 64-bit xxhash64 values before the
+    shuffle, so each shuffled row is ~(8B key + 8B hash + group cols)
+    instead of full PK strings + a 64-char digest — at 10^12 rows this
+    is the difference between shuffling terabytes and tens of TB. The
+    configured row hash (e.g. sha256 parity/invariant) is still
+    computed per row; only its 64-bit fold travels. Collision bound:
+    a mismatch is missed only if two DIFFERENT row hashes fold to the
+    same 64-bit value on matching keys (~n/2^64 per joined row —
+    negligible; same bound as the commutative dataset fingerprint).
+    Set False for exact-digest comparison in the shuffle.
+    """
     cols = hash_columns if hash_columns else [
         c for c in source.columns if c not in group_cols
     ]
-    s = source.select(
-        *[F.col(pk) for pk in primary_keys],
-        *[F.col(g) for g in group_cols if g not in primary_keys],
-        row_hash([F.col(c) for c in cols], algo).alias("s_hash"),
-    )
-    t = target.select(
-        *[F.col(pk) for pk in primary_keys],
-        row_hash([F.col(c) for c in cols], algo).alias("t_hash"),
-    )
-    joined = s.join(t, on=primary_keys, how="inner")
+    rh = row_hash([F.col(c) for c in cols], algo)
+    if compact_shuffle:
+        key = F.xxhash64(*[F.col(pk) for pk in primary_keys]).alias("__k")
+        s = source.select(
+            key,
+            *[F.col(g) for g in group_cols],
+            F.xxhash64(rh).alias("s_hash"),
+        )
+        t = target.select(key, F.xxhash64(rh).alias("t_hash"))
+        joined = s.join(t, on="__k", how="inner")
+    else:
+        s = source.select(
+            *[F.col(pk) for pk in primary_keys],
+            *[F.col(g) for g in group_cols if g not in primary_keys],
+            rh.alias("s_hash"),
+        )
+        t = target.select(
+            *[F.col(pk) for pk in primary_keys], rh.alias("t_hash")
+        )
+        joined = s.join(t, on=primary_keys, how="inner")
     return joined.groupBy(*[F.col(g) for g in group_cols]).agg(
         F.count(F.lit(1)).alias("total_compared_rows"),
         F.coalesce(

@@ -1,0 +1,231 @@
+"""Per-partition verdicts — the north-star execution mode.
+
+Instead of one verdict per task, emit one verdict row per partition
+group (e.g. ``(repo, lang)`` on the code table): each configured check
+is evaluated per group via grouped single-pass profiles, grouped
+PK-join hash compares, and grouped referential anti-joins, then the
+group's booleans AND into ``overall_validation_passed``.
+
+Plan shape per task (explicit repartitioning on the verdict key per
+BASELINE.json north rule):
+
+    source ──repartition(keys)──► grouped profile ─┐
+    target ──repartition(keys)──► grouped profile ─┤ full-outer join on keys
+    src ⋈ tgt on PKs ─────► grouped hash metrics ──┤ (missing side ⇒ counts 0)
+    child ⟕̸ parent ──────► grouped FK metrics ─────┘
+                                   │
+                                   ▼
+                  per-group verdict row (metrics + *_passed + overall)
+
+Missing-group semantics: a group present in source but absent in target
+(or vice versa) gets zeroed counts on the missing side, so the count
+check fails it (rel diff 100%) rather than silently dropping it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapact_spark.config import ValidationTask
+from datapact_spark.functions import exprs as E
+from datapact_spark.operators import profile as P
+from datapact_spark.operators import referential as R
+from datapact_spark.operators import rowhash as H
+from datapact_spark.sources.loader import TableResolver
+
+
+def compile_partition_verdicts(
+    spark: SparkSession,
+    task: ValidationTask,
+    resolver: TableResolver,
+    salt_buckets: int = 0,
+) -> DataFrame:
+    """Per-group verdict DataFrame for one task.
+
+    ``salt_buckets > 0`` enables two-level (salted) aggregation for the
+    grouped profiles — use when one group (a mega-repo) dominates; see
+    ``grouped_profile_salted``.
+    """
+    group_cols = task.partition_by
+    if not group_cols:
+        raise ValueError("task.partition_by is required for per-partition verdicts")
+
+    source = resolver.resolve(task.source_ref)
+    target = resolver.resolve(task.target_ref)
+    if task.filter:
+        source = source.where(F.expr(task.filter))
+        target = target.where(F.expr(task.filter))
+
+    if salt_buckets > 0:
+        s_prof = grouped_profile_salted(source, task, "source", group_cols, salt_buckets)
+        t_prof = grouped_profile_salted(target, task, "target", group_cols, salt_buckets)
+    else:
+        s_prof = P.grouped_profile_df(source, task, "source", group_cols)
+        t_prof = P.grouped_profile_df(target, task, "target", group_cols)
+
+    joined = s_prof.join(t_prof, on=group_cols, how="full_outer")
+    # zero-fill the count columns so missing groups fail loudly
+    joined = joined.withColumn(
+        "source_count", F.coalesce(F.col("source_count"), F.lit(0))
+    ).withColumn("target_count", F.coalesce(F.col("target_count"), F.lit(0)))
+
+    pass_conds: list[tuple[str, F.Column]] = []
+    metric_cols: list[F.Column] = [
+        F.col("source_count"),
+        F.col("target_count"),
+    ]
+
+    if task.count_tolerance is not None:
+        diff = E.count_rel_diff(F.col("source_count"), F.col("target_count"))
+        # empty-source vacuous-pass parity EXCEPT the target has rows:
+        # in grouped mode source_count=0 & target_count>0 means a
+        # phantom group — fail it.
+        ok = (diff <= task.count_tolerance) & ~(
+            (F.col("source_count") == 0) & (F.col("target_count") > 0)
+        )
+        metric_cols.append(diff.alias("count_rel_diff"))
+        pass_conds.append(("count_passed", ok))
+
+    if task.null_validation_columns and task.null_validation_tolerance is not None:
+        tol = task.null_validation_tolerance
+        for col in task.null_validation_columns:
+            sn = F.coalesce(F.col(f"source_nulls_{col}"), F.lit(0))
+            tn = F.coalesce(F.col(f"target_nulls_{col}"), F.lit(0))
+            ok = E.null_pass_counts(sn, tn, tol)
+            metric_cols.append(sn.alias(f"source_nulls_{col}"))
+            metric_cols.append(tn.alias(f"target_nulls_{col}"))
+            pass_conds.append((f"null_{col}_passed", ok))
+
+    for av in task.agg_validations or []:
+        for v in av.validations:
+            agg = v.agg.upper()
+            sv = F.col(f"source_value_{av.column}_{agg}")
+            tv = F.col(f"target_value_{av.column}_{agg}")
+            diff = E.agg_rel_diff(sv, tv)
+            ok = F.coalesce(diff, F.lit(0).cast(E.DEC12)) <= v.tolerance
+            metric_cols += [sv, tv]
+            pass_conds.append((f"agg_{av.column}_{agg}_passed", ok))
+
+    if task.uniqueness_columns and task.uniqueness_tolerance is not None:
+        tol = task.uniqueness_tolerance
+        sd = F.coalesce(F.col("source_distinct_uniqs"), F.lit(0))
+        td = F.coalesce(F.col("target_distinct_uniqs"), F.lit(0))
+        s_ratio = E.dupe_ratio(F.col("source_count"), sd)
+        t_ratio = E.dupe_ratio(F.col("target_count"), td)
+        metric_cols += [
+            (F.col("source_count") - sd).alias("source_duplicates"),
+            (F.col("target_count") - td).alias("target_duplicates"),
+        ]
+        pass_conds.append(("uniqueness_passed", (s_ratio <= tol) & (t_ratio <= tol)))
+
+    step = joined
+    if task.pk_row_hash_check and task.primary_keys:
+        hm = H.grouped_row_hash_metrics(
+            source, target, task.primary_keys, group_cols, task.hash_columns, task.hash_algo
+        )
+        step = step.join(hm, on=group_cols, how="left")
+        tol = task.pk_hash_tolerance if task.pk_hash_tolerance is not None else 0.0
+        ratio = E.hash_mismatch_ratio(
+            F.coalesce(F.col("mismatch_count"), F.lit(0)),
+            F.coalesce(F.col("total_compared_rows"), F.lit(0)),
+        )
+        metric_cols += [
+            F.coalesce(F.col("total_compared_rows"), F.lit(0)).alias("total_compared_rows"),
+            F.coalesce(F.col("mismatch_count"), F.lit(0)).alias("mismatch_count"),
+        ]
+        pass_conds.append(("row_hash_passed", ratio <= tol))
+
+    for check in task.referential_checks or []:
+        parent = resolver.resolve(check.ref_table)
+        rm = R.grouped_referential_metrics(source, parent, check, group_cols)
+        step = step.join(rm, on=group_cols, how="left")
+        vc = F.coalesce(F.col(f"violation_count_{check.name}"), F.lit(0))
+        cc = F.coalesce(F.col(f"child_count_{check.name}"), F.lit(0))
+        ratio = F.coalesce(vc / F.nullif(cc.cast("double"), F.lit(0.0)), F.lit(0.0))
+        metric_cols.append(vc.alias(f"violation_count_{check.name}"))
+        pass_conds.append((f"ref_{check.name}_passed", ratio <= check.tolerance))
+
+    if not pass_conds:
+        raise ValueError(f"task {task.task_key} has no groupable checks configured")
+
+    overall = pass_conds[0][1]
+    for _, c in pass_conds[1:]:
+        overall = overall & c
+    named_conds = [c.alias(name) for name, c in pass_conds]
+
+    return step.select(
+        *[F.col(c) for c in group_cols],
+        *metric_cols,
+        *named_conds,
+        overall.alias("overall_validation_passed"),
+    )
+
+
+def grouped_profile_salted(
+    df: DataFrame,
+    task: ValidationTask,
+    side: str,
+    group_cols: list[str],
+    salt_buckets: int,
+) -> DataFrame:
+    """Two-level grouped profile for skewed verdict keys: partial
+    aggregate on (keys, salt), then merge per key. Catalyst/AQE splits
+    skewed *join* partitions but never skewed group-bys (SURVEY.md
+    §4.2), so a mega-repo key would otherwise pin one reducer.
+
+    COUNT_DISTINCT cannot be merged through a salt split, so when
+    uniqueness is configured the distinct count is computed separately
+    per key via the scale path (groupBy the full key set — key+columns
+    — then count per key), which is itself salt-free but shuffles only
+    the distinct combinations.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in group_cols], F.monotonically_increasing_id()), F.lit(salt_buckets))
+    # partial: additive measures only
+    partial_exprs = [F.count(F.lit(1)).alias("__cnt")]
+    merge_exprs = [F.sum("__cnt").alias(f"{side}_count")]
+    nulls_tc = (
+        task.null_validation_columns
+        and task.null_validation_tolerance is not None
+        and not task.primary_keys
+    )
+    if nulls_tc:
+        for col in task.null_validation_columns:
+            partial_exprs.append(
+                F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).alias(f"__n_{col}")
+            )
+            merge_exprs.append(F.sum(f"__n_{col}").alias(f"{side}_nulls_{col}"))
+    for av in task.agg_validations or []:
+        for v in av.validations:
+            agg = v.agg.upper()
+            out = f"{side}_value_{av.column}_{agg}"
+            if agg == "SUM":
+                partial_exprs.append(F.sum(av.column).alias(f"__s_{out}"))
+                merge_exprs.append(F.sum(f"__s_{out}").cast(E.DEC6).alias(out))
+            elif agg == "MIN":
+                partial_exprs.append(F.min(av.column).alias(f"__s_{out}"))
+                merge_exprs.append(F.min(f"__s_{out}").cast(E.DEC6).alias(out))
+            elif agg == "MAX":
+                partial_exprs.append(F.max(av.column).alias(f"__s_{out}"))
+                merge_exprs.append(F.max(f"__s_{out}").cast(E.DEC6).alias(out))
+            elif agg == "COUNT":
+                partial_exprs.append(F.count(av.column).alias(f"__s_{out}"))
+                merge_exprs.append(F.sum(f"__s_{out}").cast(E.DEC6).alias(out))
+            elif agg == "AVG":
+                # mergeable as (sum, count)
+                partial_exprs.append(F.sum(av.column).alias(f"__sum_{out}"))
+                partial_exprs.append(F.count(av.column).alias(f"__cnt_{out}"))
+                merge_exprs.append(
+                    (F.sum(f"__sum_{out}") / F.sum(f"__cnt_{out}")).cast(E.DEC6).alias(out)
+                )
+    partial = df.groupBy(*group_cols, salt.alias("__salt")).agg(*partial_exprs)
+    merged = partial.groupBy(*group_cols).agg(*merge_exprs)
+    if task.uniqueness_columns and task.uniqueness_tolerance is not None:
+        distinct = (
+            df.groupBy(*group_cols, *task.uniqueness_columns)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .groupBy(*group_cols)
+            .agg(F.count(F.lit(1)).alias(f"{side}_distinct_uniqs"))
+        )
+        merged = merged.join(distinct, on=group_cols, how="left")
+    return merged

@@ -50,6 +50,9 @@ def get_spark(
         "spark.sql.parquet.compression.codec": "snappy",
         "spark.driver.memory": os.environ.get("DATAPACT_DRIVER_MEM", "8g"),
     }
+    if os.environ.get("DATAPACT_LOCAL_DIR"):
+        # shuffle/spill directory — point at fast storage (NVMe, tmpfs)
+        conf["spark.local.dir"] = os.environ["DATAPACT_LOCAL_DIR"]
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

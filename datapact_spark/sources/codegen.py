@@ -35,6 +35,8 @@ def synthesize_code_table(
     seed: int = 42,
     skew_pct: float = 0.2,
     partitions: int | None = None,
+    min_tokens: int = 8,
+    max_tokens: int = 40,
 ) -> DataFrame:
     """Build the deterministic code table.
 
@@ -52,9 +54,12 @@ def synthesize_code_table(
     ).otherwise(F.pmod(h, F.lit(n_repos)))
     lang_arr = F.array(*[F.lit(x) for x in LANGS])
     vocab_arr = F.array(*[F.lit(w) for w in _VOCAB])
-    # content: 8..40 pseudo-tokens, each picked deterministically from the
-    # vocab by a per-position hash — cheap, JVM-side, codegen-friendly.
-    n_tokens = (F.pmod(F.xxhash64(F.col("id"), F.lit(seed + 1)), F.lit(33)) + 8).cast("int")
+    # content: min..max pseudo-tokens, each picked deterministically from
+    # the vocab by a per-position hash — cheap, JVM-side, codegen-friendly.
+    span = max(max_tokens - min_tokens + 1, 1)
+    n_tokens = (
+        F.pmod(F.xxhash64(F.col("id"), F.lit(seed + 1)), F.lit(span)) + min_tokens
+    ).cast("int")
     token_idx = F.transform(
         F.sequence(F.lit(1), n_tokens),
         lambda i: F.pmod(F.xxhash64(F.col("id"), i, F.lit(seed + 2)), F.lit(len(_VOCAB))).cast("int") + 1,

@@ -1,0 +1,134 @@
+"""Per-partition verdicts, checkpoint/resume, salting, and the
+sha256(content) row invariant on the synthetic code table."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datapact_spark.config import ValidationTask
+from datapact_spark.engine import DataPactEngine
+from datapact_spark.sources.codegen import corrupt_code_table, synthesize_code_table
+from datapact_spark.sources.loader import TableResolver
+
+N_FILES = 20000
+
+
+@pytest.fixture(scope="module")
+def code_tables(spark):
+    src = synthesize_code_table(spark, N_FILES, n_repos=20, seed=42)
+    tgt = corrupt_code_table(src, drop_every=1000, mutate_every=500)
+    return src, tgt
+
+
+@pytest.fixture()
+def engine(spark, code_tables, tmp_path):
+    src, tgt = code_tables
+    resolver = TableResolver(spark)
+    resolver.register("code_src", src)
+    resolver.register("code_tgt", tgt)
+    return DataPactEngine(spark, resolver, results_path=str(tmp_path / "res"))
+
+
+def _task(**overrides):
+    base = dict(
+        task_key="code_parity",
+        source="code_src",
+        target="code_tgt",
+        primary_keys=["repo", "path"],
+        partition_by=["repo", "lang"],
+        count_tolerance=0.0,
+        pk_row_hash_check=True,
+        pk_hash_tolerance=0.0,
+        hash_columns=["content"],
+        hash_algo="sha256",
+    )
+    base.update(overrides)
+    return ValidationTask(**base)
+
+
+def test_partition_verdicts_detect_corruption(engine, code_tables, spark):
+    verdicts = engine.run_partitioned(_task(), run_id=1, batches=2, resume=False)
+    rows = verdicts.collect()
+    src, tgt = code_tables
+    n_groups = src.select("repo", "lang").dropDuplicates().count()
+    assert len(rows) == n_groups
+    # ~1/1000 dropped + ~1/500 mutated: most groups must fail
+    failed = [r for r in rows if not r["overall_validation_passed"]]
+    assert failed, "corruption must produce failing groups"
+    # every failing group fails for a concrete reason
+    for r in failed:
+        assert (not r["count_passed"]) or (not r["row_hash_passed"])
+    # verdict math spot-check on one failing group
+    r = failed[0]
+    s_cnt = src.where((F.col("repo") == r["repo"]) & (F.col("lang") == r["lang"])).count()
+    t_cnt = tgt.where((F.col("repo") == r["repo"]) & (F.col("lang") == r["lang"])).count()
+    assert r["source_count"] == s_cnt and r["target_count"] == t_cnt
+
+
+def test_identical_tables_all_pass(engine, code_tables):
+    task = _task(task_key="code_self", target="code_src")
+    verdicts = engine.run_partitioned(task, run_id=2, batches=2, resume=False)
+    assert verdicts.where("NOT overall_validation_passed").count() == 0
+
+
+def test_resume_skips_committed_batches(engine, tmp_path):
+    task = _task(task_key="code_resume")
+    engine.run_partitioned(task, run_id=3, batches=4, resume=False)
+    base = os.path.join(engine.ledger.path, "checkpoints", "code_resume", "run_id=3")
+    mtimes = {
+        b: os.path.getmtime(os.path.join(base, f"batch={b}", "_SUCCESS"))
+        for b in range(4)
+    }
+    # simulate a crash that corrupted batch 2 mid-write
+    os.remove(os.path.join(base, "batch=2", "_SUCCESS"))
+    engine.run_partitioned(task, run_id=3, batches=4, resume=True)
+    for b in (0, 1, 3):
+        assert os.path.getmtime(os.path.join(base, f"batch={b}", "_SUCCESS")) == mtimes[b], (
+            f"batch {b} must not be recomputed on resume"
+        )
+    assert os.path.exists(os.path.join(base, "batch=2", "_SUCCESS")), "batch 2 redone"
+    # resumed result is complete and identical in shape
+    verdicts = engine.run_partitioned(task, run_id=3, batches=4, resume=True)
+    assert verdicts.count() > 0
+
+
+def test_salted_profile_matches_unsalted(engine, spark):
+    from datapact_spark.plans.partitioned import compile_partition_verdicts
+
+    task = _task(
+        task_key="code_salt",
+        pk_row_hash_check=False,
+        agg_validations=[
+            {"column": "path", "validations": [{"agg": "COUNT", "tolerance": 0.0}]}
+        ],
+        uniqueness_columns=["path"],
+        uniqueness_tolerance=0.0,
+    )
+    plain = compile_partition_verdicts(spark, task, engine.resolver, salt_buckets=0)
+    salted = compile_partition_verdicts(spark, task, engine.resolver, salt_buckets=8)
+    cols = ["repo", "lang", "source_count", "target_count", "overall_validation_passed"]
+    p = {tuple(r) for r in plain.select(*cols).collect()}
+    s = {tuple(r) for r in salted.select(*cols).collect()}
+    assert p == s
+
+
+def test_sha256_invariant_jvm_vs_python(spark, code_tables):
+    """F.sha2 (JVM fast path) and the Arrow-batched hashlib UDF must
+    agree — the per-row invariant of BASELINE.json."""
+    from datapact_spark.functions.hashing import content_sha256, sha256_pandas_udf
+
+    src, _ = code_tables
+    sample = src.limit(500).select(
+        content_sha256(F.col("content")).alias("jvm"),
+        sha256_pandas_udf(F.col("content")).alias("py"),
+    )
+    assert sample.where(F.col("jvm") != F.col("py")).count() == 0
+
+
+def test_code_table_determinism(spark):
+    a = synthesize_code_table(spark, 1000, n_repos=10, seed=7)
+    b = synthesize_code_table(spark, 1000, n_repos=10, seed=7)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    c = synthesize_code_table(spark, 1000, n_repos=10, seed=8)
+    assert c.exceptAll(a).count() > 0
