@@ -1,0 +1,121 @@
+"""ROI / throughput math — driver-side business reporting.
+
+Behavioral parity with the reference's pure-Python ROI module
+(/root/reference/datapact/roi_calculator.py:14-200): same metric
+definitions, savings/ROI formulas, throughput grading tiers, and
+industry-tier bands, re-expressed from scratch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass
+class DataQualityMetrics:
+    total_validations: int
+    passed_validations: int
+    failed_validations: int
+    critical_failures: int
+    tables_validated: int
+    records_processed: int
+    avg_runtime_seconds: float
+    data_quality_score: float
+
+    @property
+    def success_rate(self) -> float:
+        if self.total_validations == 0:
+            return 0.0
+        return self.passed_validations / self.total_validations * 100
+
+    @property
+    def failure_rate(self) -> float:
+        return 100 - self.success_rate
+
+    @property
+    def critical_failure_rate(self) -> float:
+        if self.total_validations == 0:
+            return 0.0
+        return self.critical_failures / self.total_validations * 100
+
+
+@dataclass
+class RoiModel:
+    """Cost/impact model (defaults mirror roi_calculator.py:48-62)."""
+
+    avg_data_incident_cost: float = 150_000.0
+    manual_validation_hour_cost: float = 125.0
+    compliance_violation_cost: float = 500_000.0
+    manual_validation_hours_weekly: float = 40.0
+    incident_resolution_hours: float = 8.0
+    annual_revenue: float = 1_000_000_000.0
+    data_dependent_revenue_pct: float = 0.30
+
+    def monthly_savings(self, m: DataQualityMetrics) -> dict[str, float]:
+        labor = self.manual_validation_hours_weekly * 4.33 * self.manual_validation_hour_cost
+        incidents_prevented = m.critical_failures * 0.8
+        incident_prevention = incidents_prevented * self.avg_data_incident_cost
+        compliance = (
+            self.compliance_violation_cost / 12 * 0.1 if m.data_quality_score >= 95 else 0.0
+        )
+        revenue_at_risk = self.annual_revenue * self.data_dependent_revenue_pct / 12
+        revenue_protection = revenue_at_risk * (m.failure_rate / 100) * 0.05
+        total = labor + incident_prevention + compliance + revenue_protection
+        return {
+            "labor_savings": labor,
+            "incident_prevention": incident_prevention,
+            "compliance_savings": compliance,
+            "revenue_protection": revenue_protection,
+            "total_monthly_savings": total,
+        }
+
+    def annual_roi(
+        self, m: DataQualityMetrics, annual_license_cost: float = 250_000
+    ) -> dict[str, float]:
+        monthly = self.monthly_savings(m)["total_monthly_savings"]
+        annual_savings = monthly * 12
+        return {
+            "annual_savings": annual_savings,
+            "annual_cost": annual_license_cost,
+            "net_benefit": annual_savings - annual_license_cost,
+            "roi_percentage": (annual_savings - annual_license_cost)
+            / annual_license_cost
+            * 100,
+            "payback_period_months": annual_license_cost / monthly if monthly else float("inf"),
+            "five_year_value": (annual_savings - annual_license_cost) * 5,
+        }
+
+
+def processing_speed(records: int, runtime_seconds: float) -> dict[str, float | str]:
+    """Throughput metrics + grade tiers (roi_calculator.py:123-151)."""
+    if runtime_seconds == 0:
+        return {"records_per_second": 0.0, "millions_per_hour": 0.0, "throughput_grade": "N/A"}
+    rps = records / runtime_seconds
+    return {
+        "records_per_second": round(rps, 2),
+        "millions_per_hour": round(rps * 3600 / 1_000_000, 2),
+        "throughput_grade": grade_throughput(rps),
+    }
+
+
+def grade_throughput(records_per_second: float) -> str:
+    if records_per_second >= 1_000_000:
+        return "Enterprise Elite (1M+ rec/sec)"
+    if records_per_second >= 100_000:
+        return "Enterprise Standard (100K+ rec/sec)"
+    if records_per_second >= 10_000:
+        return "Business Grade (10K+ rec/sec)"
+    if records_per_second >= 1_000:
+        return "Department Grade (1K+ rec/sec)"
+    return "Development Grade (<1K rec/sec)"
+
+
+def quality_tier(data_quality_score: float) -> str:
+    """Industry-tier bands (roi_calculator.py:180-189)."""
+    if data_quality_score >= 99.5:
+        return "World Class"
+    if data_quality_score >= 97.0:
+        return "Enterprise Grade"
+    if data_quality_score >= 95.0:
+        return "Industry Standard"
+    return "Below Standard"

@@ -1,0 +1,94 @@
+"""Run-level aggregation + reporting ops (aggregate_results.sql.j2 and
+ledger-derived reporting parity)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datapact_spark import aggregate as agg
+
+
+@pytest.fixture(scope="module")
+def ledger(spark):
+    rows = [
+        # task_key, status, run_id, job_id, job_name, domain, owner, prio, sla, usd, begin_ts, payload
+        ("a", "SUCCESS", 1, 1, "j", "Sales", "amy", "CRITICAL", 4.0, 100.0,
+         "2026-01-01 10:00:00",
+         '{"count_validation": {"status": "PASS"}, "null_validation_x": {"status": "PASS"}}'),
+        ("b", "FAILURE", 1, 1, "j", "Sales", "bob", "CRITICAL", 2.0, 300.0,
+         "2026-01-01 10:05:00",
+         '{"count_validation": {"status": "FAIL"}, "agg_validation_v_SUM": {"status": "FAIL"}}'),
+        ("c", "FAILURE", 1, 1, "j", " ", "bob", None, None, None,
+         "2026-01-01 10:01:00",
+         '{"uniqueness_validation_id": {"status": "FAIL"}, "applied_filter": "x>1"}'),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "task_key string, status string, run_id long, job_id long, job_name string, "
+        "business_domain string, business_owner string, business_priority string, "
+        "expected_sla_hours double, estimated_impact_usd double, begin string, "
+        "result_payload string",
+    ).withColumn("validation_begin_ts", F.to_timestamp("begin")).drop("begin")
+    return df
+
+
+def test_run_summary(ledger):
+    s = agg.run_summary(ledger).collect()[0]
+    assert s["total_tasks"] == 3
+    assert s["failure_count"] == 2 and s["success_count"] == 1
+    assert s["success_rate_percent"] == pytest.approx(33.33)
+    assert s["data_quality_score"] == pytest.approx(0.3333)
+    assert s["critical_failures"] == 1  # only b is CRITICAL+FAILURE
+    assert s["potential_impact_usd"] == 400.0
+    assert s["realized_impact_usd"] == 300.0
+    assert sorted(s["failed_task_keys"]) == ["b", "c"]
+
+
+def test_domain_breakdown_default_label(ledger):
+    rows = {r["business_domain"]: r for r in agg.domain_breakdown(ledger).collect()}
+    # blank domain → 'Unspecified' (aggregate_results.sql.j2:50)
+    assert set(rows) == {"Sales", "Unspecified"}
+    assert rows["Sales"]["total_validations"] == 2
+    assert rows["Sales"]["failed_validations"] == 1
+    assert rows["Unspecified"]["failed_validations"] == 1
+
+
+def test_owner_and_priority_breakdowns(ledger):
+    owners = {r["business_owner"]: r for r in agg.owner_breakdown(ledger).collect()}
+    assert owners["bob"]["failed_validations"] == 2
+    prios = {r["business_priority"]: r for r in agg.priority_breakdown(ledger).collect()}
+    assert set(prios) == {"CRITICAL", "UNSPECIFIED"}
+    assert "avg_expected_sla_hours" not in agg.priority_breakdown(ledger).columns
+
+
+def test_payload_explosion_classification(ledger):
+    ex = agg.explode_payload_checks(ledger)
+    by_type = {
+        (r["check_type"], r["check_key"])
+        for r in ex.collect()
+    }
+    assert ("count", "count_validation") in by_type
+    assert ("null", "null_validation_x") in by_type
+    assert ("aggregate", "agg_validation_v_SUM") in by_type
+    assert ("uniqueness", "uniqueness_validation_id") in by_type
+    # metadata keys (applied_filter) are excluded
+    assert not any(k == "applied_filter" for _, k in by_type)
+
+
+def test_check_status_counts(ledger):
+    counts = {
+        (r["check_type"], r["check_status"]): r["n"]
+        for r in agg.check_status_counts(ledger).collect()
+    }
+    assert counts[("count", "PASS")] == 1
+    assert counts[("count", "FAIL")] == 1
+
+
+def test_latest_per_task_window(spark, ledger):
+    doubled = ledger.unionByName(
+        ledger.withColumn(
+            "validation_begin_ts", F.col("validation_begin_ts") + F.expr("INTERVAL 1 HOUR")
+        ).withColumn("status", F.lit("SUCCESS"))
+    )
+    latest = agg.latest_per_task(doubled)
+    assert latest.count() == 3
+    assert latest.where("status <> 'SUCCESS'").count() == 0

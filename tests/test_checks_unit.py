@@ -1,0 +1,206 @@
+"""Unit tests for check-formula parity — the §4.3 pitfall list:
+asymmetric null semantics, GREATEST-denominator agg diffs, vacuous
+passes, both-sides uniqueness, EMPTY custom-SQL fingerprints."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from datapact_spark.config import DataPactConfig, ValidationTask
+from datapact_spark.engine import DataPactEngine
+from datapact_spark.sources.loader import TableResolver
+
+
+def _run_one(spark, tmp_path, task_kwargs, source_rows, target_rows, schema):
+    resolver = TableResolver(spark)
+    resolver.register("src", spark.createDataFrame(source_rows, schema))
+    resolver.register("tgt", spark.createDataFrame(target_rows, schema))
+    engine = DataPactEngine(spark, resolver, results_path=str(tmp_path / "r"))
+    task = ValidationTask(task_key="t", source="src", target="tgt", **task_kwargs)
+    result = engine.run(DataPactConfig(validations=[task]), job_name="unit")
+    out = result.outcomes["t"]
+    return out.status, json.loads(out.payload)
+
+
+SCHEMA = "id long, v double, s string"
+
+
+class TestNullChecks:
+    def test_pk_join_both_zero_nulls_pass(self, spark, tmp_path):
+        rows = [(1, 1.0, "a"), (2, 2.0, "b")]
+        status, p = _run_one(
+            spark, tmp_path,
+            dict(primary_keys=["id"], null_validation_columns=["s"], null_validation_tolerance=0.0),
+            rows, rows, SCHEMA,
+        )
+        assert p["null_validation_s"]["status"] == "PASS"
+        assert p["null_validation_s"]["relative_diff_percent"] == "0.00%"
+
+    def test_pk_join_source_zero_target_nonzero_fails_100pct(self, spark, tmp_path):
+        src = [(1, 1.0, "a"), (2, 2.0, "b")]
+        tgt = [(1, 1.0, None), (2, 2.0, "b")]
+        status, p = _run_one(
+            spark, tmp_path,
+            dict(primary_keys=["id"], null_validation_columns=["s"],
+                 null_validation_tolerance=0.5),
+            src, tgt, SCHEMA,
+        )
+        # s=0 ⇒ t must be 0, tolerance ignored (validation.sql.j2:448-452)
+        assert p["null_validation_s"]["status"] == "FAIL"
+        assert p["null_validation_s"]["relative_diff_percent"] == "100.00%"
+
+    def test_pk_join_ratio_within_tolerance(self, spark, tmp_path):
+        src = [(1, 1.0, None), (2, 2.0, None), (3, 3.0, "c"), (4, 4.0, "d")]
+        tgt = [(1, 1.0, None), (2, 2.0, "b"), (3, 3.0, "c"), (4, 4.0, "d")]
+        status, p = _run_one(
+            spark, tmp_path,
+            dict(primary_keys=["id"], null_validation_columns=["s"],
+                 null_validation_tolerance=0.5),
+            src, tgt, SCHEMA,
+        )
+        # |2-1|/2 = 0.5 ≤ 0.5 → PASS
+        assert p["null_validation_s"]["status"] == "PASS"
+        assert p["null_validation_s"]["relative_diff_percent"] == "50.00%"
+
+    def test_table_count_variant_target_zero_source_nonzero_fails(self, spark, tmp_path):
+        src = [(1, 1.0, None), (2, 2.0, "b")]
+        tgt = [(1, 1.0, "a"), (2, 2.0, "b")]
+        status, p = _run_one(
+            spark, tmp_path,
+            dict(null_validation_columns=["s"], null_validation_tolerance=0.9),
+            src, tgt, SCHEMA,
+        )
+        # no PKs → table-count variant; t=0 & s>0 ⇒ 100% (j2:367)
+        assert p["null_validation_s"]["relative_diff_percent"] == "100.00%"
+        assert p["null_validation_s"]["status"] == "FAIL"
+
+
+class TestAggChecks:
+    def _agg(self, spark, tmp_path, src_v, tgt_v, tol, agg="SUM"):
+        src = [(i + 1, v, "x") for i, v in enumerate(src_v)]
+        tgt = [(i + 1, v, "x") for i, v in enumerate(tgt_v)]
+        _, p = _run_one(
+            spark, tmp_path,
+            dict(agg_validations=[{"column": "v", "validations": [{"agg": agg, "tolerance": tol}]}]),
+            src, tgt, SCHEMA,
+        )
+        return p[f"agg_validation_v_{agg}"]
+
+    def test_equal_sums_zero_diff(self, spark, tmp_path):
+        r = self._agg(spark, tmp_path, [1.0, 2.0], [3.0], 0.0)
+        assert r["status"] == "PASS"
+        assert r["relative_diff_percent"] == "0.00%"
+
+    def test_greatest_denominator(self, spark, tmp_path):
+        # |100-80| / GREATEST(100,80) = 0.2 — NOT |s-t|/s = 0.2 (same here),
+        # asymmetric case: s=80, t=100 → 20/100 = 0.2 not 20/80=0.25
+        r = self._agg(spark, tmp_path, [80.0], [100.0], 0.21)
+        assert r["relative_diff_percent"] == "20.00%"
+        assert r["status"] == "PASS"
+        r = self._agg(spark, tmp_path, [80.0], [100.0], 0.19)
+        assert r["status"] == "FAIL"
+
+    def test_both_zero_passes(self, spark, tmp_path):
+        r = self._agg(spark, tmp_path, [0.0, 0.0], [0.0], 0.0)
+        assert r["status"] == "PASS"
+
+    def test_null_agg_passes_via_coalesce(self, spark, tmp_path):
+        # empty sides → SUM is NULL → diff NULL → COALESCE(...,0) ≤ tol
+        resolver_schema = SCHEMA
+        _, p = _run_one(
+            spark, tmp_path,
+            dict(agg_validations=[{"column": "v", "validations": [{"agg": "SUM", "tolerance": 0.0}]}]),
+            [], [], resolver_schema,
+        )
+        assert p["agg_validation_v_SUM"]["status"] == "PASS"
+
+
+class TestCountAndUniqueness:
+    def test_empty_source_vacuous_count_pass(self, spark, tmp_path):
+        _, p = _run_one(spark, tmp_path, dict(count_tolerance=0.0), [], [(1, 1.0, "a")], SCHEMA)
+        # COALESCE(.../NULLIF(0), 0) = 0 ≤ tol → vacuous PASS (j2:440)
+        assert p["count_validation"]["status"] == "PASS"
+
+    def test_uniqueness_fails_if_either_side_dupes(self, spark, tmp_path):
+        clean = [(1, 1.0, "a"), (2, 2.0, "b")]
+        duped = [(1, 1.0, "a"), (1, 1.0, "a"), (2, 2.0, "b")]
+        _, p = _run_one(
+            spark, tmp_path,
+            dict(uniqueness_columns=["id"], uniqueness_tolerance=0.0),
+            clean, duped, SCHEMA,
+        )
+        u = p["uniqueness_validation_id"]
+        assert u["source_duplicates"] == "0" and u["target_duplicates"] == "1"
+        assert u["status"] == "FAIL"
+
+    def test_row_hash_exact(self, spark, tmp_path):
+        src = [(1, 1.0, "a"), (2, 2.0, "b"), (3, 3.0, "c")]
+        tgt = [(1, 1.0, "a"), (2, 2.0, "X"), (3, 3.0, "c")]
+        _, p = _run_one(
+            spark, tmp_path,
+            dict(primary_keys=["id"], pk_row_hash_check=True, hash_columns=["v", "s"]),
+            src, tgt, SCHEMA,
+        )
+        rh = p["row_hash_validation"]
+        assert rh["compared_rows"] == "3" and rh["mismatch_count"] == "1"
+        assert rh["status"] == "FAIL"
+
+
+class TestCustomSql:
+    def test_empty_vs_empty_passes(self, spark, tmp_path):
+        rows = [(1, 1.0, "a")]
+        _, p = _run_one(
+            spark, tmp_path,
+            dict(custom_sql_tests=[{
+                "name": "empty check",
+                "sql": "SELECT * FROM {{ table_fqn }} WHERE id < 0",
+            }]),
+            rows, rows, SCHEMA,
+        )
+        c = p["custom_sql_validation_empty_check"]
+        # empty==empty ⇒ 'EMPTY' fingerprints match (j2:268-277,429-432)
+        assert c["status"] == "PASS"
+        assert c["source_row_count"] == "0"
+        assert "sample_missing_in_target" not in c or c["sample_missing_in_target"] is None
+
+    def test_dual_render_role(self, spark, tmp_path):
+        src = [(1, 1.0, "a")]
+        tgt = [(1, 1.0, "a")]
+        _, p = _run_one(
+            spark, tmp_path,
+            dict(custom_sql_tests=[{
+                "name": "role probe",
+                "sql": "SELECT '{{ rendered_role }}' AS role FROM {{ table_fqn }}",
+            }]),
+            src, tgt, SCHEMA,
+        )
+        c = p["custom_sql_validation_role_probe"]
+        assert c["status"] == "FAIL"  # 'source' row ≠ 'target' row
+        assert "source" in c["rendered_source_sql"]
+        assert "target" in c["rendered_target_sql"]
+
+
+class TestReferential:
+    def test_broadcast_anti_join_violations(self, spark, tmp_path):
+        resolver_extra = [(10,), (20,)]
+        resolver = TableResolver(spark)
+        resolver.register("src", spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30), (4, None)], "id long, fk int"))
+        resolver.register("tgt", spark.createDataFrame([(1, 10)], "id long, fk int"))
+        resolver.register("parent", spark.createDataFrame(resolver_extra, "pid int"))
+        engine = DataPactEngine(spark, resolver, results_path=str(tmp_path / "r"))
+        task = ValidationTask(
+            task_key="t", source="src", target="tgt",
+            referential_checks=[{
+                "name": "fk_parent", "fk_columns": ["fk"],
+                "ref_table": "parent", "ref_columns": ["pid"],
+                "strategy": "broadcast",
+            }],
+        )
+        res = engine.run(DataPactConfig(validations=[task]), job_name="u")
+        p = json.loads(res.outcomes["t"].payload)
+        r = p["referential_validation_fk_parent"]
+        # fk=30 violates; fk=NULL is NOT a violation (SQL FK semantics)
+        assert r["violation_rows"] == "1"
+        assert r["status"] == "FAIL"

@@ -1,0 +1,172 @@
+"""Config model validation — mirrors the reference's validator suite
+(/root/reference/tests/test_config_validators.py semantics)."""
+
+import pytest
+from pydantic import ValidationError
+
+from datapact_spark.config import (
+    CustomSqlTest,
+    DataPactConfig,
+    ReferentialCheck,
+    ValidationTask,
+    load_config,
+    make_identifier,
+)
+
+
+def _task(**kw):
+    base = dict(task_key="t", source="a", target="b")
+    base.update(kw)
+    return ValidationTask(**base)
+
+
+class TestTolerances:
+    @pytest.mark.parametrize("field", [
+        "count_tolerance", "pk_hash_tolerance",
+        "null_validation_tolerance", "uniqueness_tolerance",
+    ])
+    @pytest.mark.parametrize("bad", [-0.1, 1.5, 100.0])
+    def test_out_of_range_rejected(self, field, bad):
+        with pytest.raises(ValidationError, match="between 0.0 and 1.0"):
+            _task(**{field: bad})
+
+    def test_bounds_accepted(self):
+        t = _task(count_tolerance=0.0, pk_hash_tolerance=1.0)
+        assert t.count_tolerance == 0.0 and t.pk_hash_tolerance == 1.0
+
+
+class TestBusinessMetadata:
+    def test_priority_normalized(self):
+        assert _task(business_priority=" critical ").business_priority == "CRITICAL"
+
+    def test_priority_enum_enforced(self):
+        with pytest.raises(ValidationError, match="Critical, High, Medium, Low"):
+            _task(business_priority="urgent")
+
+    @pytest.mark.parametrize("field", ["expected_sla_hours", "estimated_impact_usd"])
+    def test_non_negative(self, field):
+        with pytest.raises(ValidationError):
+            _task(**{field: -1.0})
+
+
+class TestFilter:
+    def test_trimmed(self):
+        assert _task(filter="  x > 1  ").filter == "x > 1"
+
+    def test_empty_rejected(self):
+        with pytest.raises(ValidationError):
+            _task(filter="   ")
+
+    def test_trailing_semicolon_rejected(self):
+        with pytest.raises(ValidationError, match="semicolon"):
+            _task(filter="x > 1;")
+
+
+class TestCustomSql:
+    def test_name_rules(self):
+        with pytest.raises(ValidationError):
+            CustomSqlTest(name="", sql="SELECT 1")
+        with pytest.raises(ValidationError):
+            CustomSqlTest(name="bad;name", sql="SELECT 1")
+        with pytest.raises(ValidationError, match="semicolon"):
+            CustomSqlTest(name="ok", sql="SELECT 1;")
+
+    def test_duplicate_names_rejected(self):
+        with pytest.raises(ValidationError, match="Duplicate"):
+            _task(custom_sql_tests=[
+                {"name": "A Check", "sql": "SELECT 1"},
+                {"name": "a check", "sql": "SELECT 2"},
+            ])
+
+    def test_sanitization_collision_rejected(self):
+        # 'my check' and 'my-check' both slug to my_check (config.py:214-238
+        # parity)
+        with pytest.raises(ValidationError, match="sanitization"):
+            _task(custom_sql_tests=[
+                {"name": "my check", "sql": "SELECT 1"},
+                {"name": "my-check", "sql": "SELECT 2"},
+            ])
+
+    def test_make_identifier(self):
+        assert make_identifier("My Fancy Check!") == "my_fancy_check"
+        assert make_identifier("123abc").startswith("custom_sql_")
+
+
+class TestRefs:
+    def test_three_part_refs(self):
+        t = ValidationTask(
+            task_key="t",
+            source_catalog="c", source_schema="s", source_table="x",
+            target_catalog="c", target_schema="s", target_table="y",
+        )
+        assert t.source_ref == "c.s.x" and t.target_ref == "c.s.y"
+        assert t.source_parts() == ("c", "s", "x")
+
+    def test_missing_refs_rejected(self):
+        with pytest.raises(ValidationError, match="source"):
+            ValidationTask(task_key="t", target="b")
+
+    def test_referential_check_shape(self):
+        with pytest.raises(ValidationError, match="same length"):
+            ReferentialCheck(name="x", fk_columns=["a", "b"], ref_table="p", ref_columns=["c"])
+        with pytest.raises(ValidationError, match="strategy"):
+            ReferentialCheck(name="x", fk_columns=["a"], ref_table="p",
+                             ref_columns=["c"], strategy="hash")
+
+
+class TestRootConfig:
+    def test_duplicate_task_keys_rejected(self):
+        with pytest.raises(ValidationError, match="Duplicate task_key"):
+            DataPactConfig(validations=[_task(), _task()])
+
+    def test_yaml_roundtrip(self, tmp_path):
+        p = tmp_path / "c.yml"
+        p.write_text(
+            """
+results_path: /tmp/x
+validations:
+  - task_key: a
+    source: orders
+    target: orders
+    count_tolerance: 0.05
+    agg_validations:
+      - column: v
+        validations:
+          - {agg: sum, tolerance: 0.1}
+"""
+        )
+        cfg = load_config(p)
+        assert cfg.results_path == "/tmp/x"
+        assert cfg.validations[0].agg_validations[0].validations[0].agg == "sum"
+
+    def test_bad_agg_rejected(self):
+        with pytest.raises(ValidationError, match="agg must be"):
+            _task(agg_validations=[{"column": "v", "validations": [{"agg": "MEDIAN", "tolerance": 0.1}]}])
+
+
+class TestRoi:
+    def test_metrics_and_grades(self):
+        from datapact_spark.roi import (
+            DataQualityMetrics,
+            RoiModel,
+            grade_throughput,
+            processing_speed,
+            quality_tier,
+        )
+
+        m = DataQualityMetrics(
+            total_validations=100, passed_validations=95, failed_validations=5,
+            critical_failures=2, tables_validated=10, records_processed=1_000_000,
+            avg_runtime_seconds=10.0, data_quality_score=95.0,
+        )
+        assert m.success_rate == 95.0 and m.failure_rate == 5.0
+        sav = RoiModel().monthly_savings(m)
+        assert sav["incident_prevention"] == 2 * 0.8 * 150_000
+        assert sav["compliance_savings"] > 0  # score ≥ 95
+        roi = RoiModel().annual_roi(m)
+        assert roi["net_benefit"] == roi["annual_savings"] - 250_000
+        assert grade_throughput(1_500_000).startswith("Enterprise Elite")
+        assert grade_throughput(500) == "Development Grade (<1K rec/sec)"
+        assert processing_speed(1000, 0)["throughput_grade"] == "N/A"
+        assert quality_tier(99.6) == "World Class"
+        assert quality_tier(80.0) == "Below Standard"

@@ -1,0 +1,100 @@
+"""Drift operator tests: PSI/KS vs a numpy reference implementation,
+snapshot round-trip, and end-of-pipe integration in a task."""
+
+import json
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from datapact_spark.config import DataPactConfig, DriftCheck, ValidationTask
+from datapact_spark.engine import DataPactEngine
+from datapact_spark.operators.drift import (
+    drift_metrics,
+    drift_vs_snapshot,
+    histogram_snapshot,
+)
+from datapact_spark.sources.loader import TableResolver
+
+
+def _np_psi_ks(a: np.ndarray, b: np.ndarray, bins: int, lo: float, hi: float):
+    eps = 1e-6
+    width = (hi - lo) / bins
+    ba = np.clip(np.floor((a - lo) / width), 0, bins - 1).astype(int)
+    bb = np.clip(np.floor((b - lo) / width), 0, bins - 1).astype(int)
+    p = np.bincount(ba, minlength=bins) / len(a)
+    q = np.bincount(bb, minlength=bins) / len(b)
+    ps, qs = p + eps, q + eps
+    psi = float(np.sum((ps - qs) * np.log(ps / qs)))
+    ks = float(np.max(np.abs(np.cumsum(p) - np.cumsum(q))))
+    return psi, ks
+
+
+@pytest.fixture(scope="module")
+def dists(spark):
+    rng = np.random.RandomState(42)
+    a = rng.normal(100, 10, 20000)
+    b = rng.normal(110, 15, 20000)  # shifted + widened
+    dfa = spark.createDataFrame([(float(x),) for x in a], "x double")
+    dfb = spark.createDataFrame([(float(x),) for x in b], "x double")
+    return a, b, dfa, dfb
+
+
+def test_psi_matches_numpy(spark, dists):
+    a, b, dfa, dfb = dists
+    check = DriftCheck(column="x", metric="psi", bins=32)
+    got = drift_metrics(dfa, dfb, check).collect()[0][f"drift_psi_x"]
+    exp_psi, _ = _np_psi_ks(a, b, 32, a.min(), a.max())
+    assert got == pytest.approx(exp_psi, rel=1e-9)
+
+
+def test_ks_matches_numpy(spark, dists):
+    a, b, dfa, dfb = dists
+    check = DriftCheck(column="x", metric="ks", bins=32)
+    got = drift_metrics(dfa, dfb, check).collect()[0][f"drift_ks_x"]
+    _, exp_ks = _np_psi_ks(a, b, 32, a.min(), a.max())
+    assert got == pytest.approx(exp_ks, rel=1e-9)
+
+
+def test_identical_distribution_near_zero(spark, dists):
+    _, _, dfa, _ = dists
+    check = DriftCheck(column="x", metric="psi", bins=32)
+    got = drift_metrics(dfa, dfa, check).collect()[0][f"drift_psi_x"]
+    assert abs(got) < 1e-12
+
+
+def test_snapshot_roundtrip(spark, dists, tmp_path):
+    a, b, dfa, dfb = dists
+    check = DriftCheck(column="x", metric="psi", bins=32)
+    snap_path = str(tmp_path / "snap")
+    histogram_snapshot(dfa, "x", bins=32).write.parquet(snap_path)
+    snap = spark.read.parquet(snap_path)
+    got = drift_vs_snapshot(dfb, snap, check).collect()[0][f"drift_psi_x"]
+    exp_psi, _ = _np_psi_ks(a, b, 32, a.min(), a.max())
+    assert got == pytest.approx(exp_psi, rel=1e-9)
+
+
+def test_drift_check_in_task(spark, dists, tmp_path):
+    _, _, dfa, dfb = dists
+    resolver = TableResolver(spark)
+    resolver.register("src", dfa)
+    resolver.register("tgt_same", dfa)
+    resolver.register("tgt_shifted", dfb)
+    engine = DataPactEngine(spark, resolver, results_path=str(tmp_path / "r"))
+    cfg = DataPactConfig(
+        validations=[
+            ValidationTask(
+                task_key="same", source="src", target="tgt_same",
+                drift_checks=[{"column": "x", "metric": "psi", "threshold": 0.1}],
+            ),
+            ValidationTask(
+                task_key="shifted", source="src", target="tgt_shifted",
+                drift_checks=[{"column": "x", "metric": "psi", "threshold": 0.1}],
+            ),
+        ]
+    )
+    res = engine.run(cfg, job_name="drift")
+    assert res.outcomes["same"].status == "SUCCESS"
+    assert res.outcomes["shifted"].status == "FAILURE"
+    p = json.loads(res.outcomes["shifted"].payload)
+    assert p["drift_validation_x_psi"]["status"] == "FAIL"
