@@ -1,0 +1,118 @@
+"""Incremental / continuous validation via Structured Streaming.
+
+The reference validates only static tables (SURVEY.md §2.10). For a
+continuously-growing source (e.g. new crawl shards of the code table)
+this module adds two Spark-native modes:
+
+* ``validate_stream`` — ``readStream → foreachBatch``: every micro-batch
+  is validated against the (static) reference side with the SAME
+  compiled checks as a batch run; one verdict row per micro-batch is
+  appended to the results ledger. Exactly-once bookkeeping comes from
+  the streaming checkpoint (batch ids are stable across restarts, and
+  the ledger write is idempotent per (task, batch)).
+
+* ``windowed_profile`` — a watermarked tumbling-window stats profile
+  (count / nulls / aggs per event-time window): the single-pass profile
+  shape, expressed as a streaming aggregation so late data within the
+  watermark is folded into the right window.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapact_spark.config import ValidationTask
+from datapact_spark.plans.compiler import compile_task
+from datapact_spark.sources.loader import TableResolver
+
+
+def validate_stream(
+    spark: SparkSession,
+    task: ValidationTask,
+    resolver: TableResolver,
+    stream_df: DataFrame,
+    results_path: str,
+    checkpoint_dir: str,
+    job_name: str = "datapact_stream",
+    trigger_available_now: bool = True,
+    on_batch: Callable[[int, str, bool], None] | None = None,
+):
+    """Validate each micro-batch of ``stream_df`` as the task's source.
+
+    The task's ``source`` ref is bound to the micro-batch inside
+    ``foreachBatch``; the ``target`` resolves through ``resolver`` as
+    usual (a static reference table). Returns the StreamingQuery.
+    """
+    from datapact_spark.ledger import ResultsLedger
+
+    ledger = ResultsLedger(spark, results_path)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        batch_resolver = TableResolver(spark, base_dir=resolver.base_dir)
+        batch_resolver._registry.update(resolver._registry)
+        batch_resolver._paths.update(resolver._paths)
+        batch_resolver.register(task.source_ref, batch_df)
+        compiled = compile_task(spark, task, batch_resolver)
+        import datetime as dt
+
+        row_df = compiled.ledger_row(
+            run_id=batch_id,
+            job_id=batch_id,
+            job_name=job_name,
+            job_start_ts=dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
+        )
+        rows = row_df.collect()
+        ledger.append(spark.createDataFrame(rows, row_df.schema))
+        if on_batch is not None:
+            r = rows[0]
+            on_batch(batch_id, r["status"], r["status"] == "SUCCESS")
+
+    writer = stream_df.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_profile(
+    stream_df: DataFrame,
+    ts_col: str,
+    window_duration: str = "1 minute",
+    watermark: str = "2 minutes",
+    null_columns: list[str] | None = None,
+    agg_columns: list[str] | None = None,
+) -> DataFrame:
+    """Watermarked tumbling-window single-pass profile.
+
+    Output per window: row count, per-column null counts, per-column
+    sum/min/max — the streaming analogue of operators/profile.py. Late
+    rows inside the watermark update their window; beyond it they are
+    dropped (documented contract).
+    """
+    exprs = [F.count(F.lit(1)).alias("row_count")]
+    for c in null_columns or []:
+        exprs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"nulls_{c}")
+        )
+    for c in agg_columns or []:
+        exprs.append(F.sum(c).alias(f"sum_{c}"))
+        exprs.append(F.min(c).alias(f"min_{c}"))
+        exprs.append(F.max(c).alias(f"max_{c}"))
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("window"))
+        .agg(*exprs)
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *[c for c in ["row_count"]],
+            *[F.col(f"nulls_{c}") for c in (null_columns or [])],
+            *[x for c in (agg_columns or []) for x in (
+                F.col(f"sum_{c}"), F.col(f"min_{c}"), F.col(f"max_{c}"))],
+        )
+    )

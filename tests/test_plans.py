@@ -1,0 +1,110 @@
+"""Physical-plan assertions: the scale-critical properties must be
+visible in `explain` output, not assumed — filter pushdown to the
+parquet scan, column pruning, broadcast for dimension-sized FK parents,
+a single Aggregate pass for the profile, and whole-stage codegen."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datapact_spark.config import ReferentialCheck, ValidationTask
+from datapact_spark.operators import profile as P
+from datapact_spark.operators.referential import referential_violations
+
+
+def _explain(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def lineitem_path(sf_dir):
+    return os.path.join(sf_dir, "lineitem.parquet")
+
+
+def test_filter_pushdown_reaches_scan(spark, lineitem_path):
+    df = spark.read.parquet(lineitem_path).where("l_quantity < 10").select("l_orderkey")
+    plan = _explain(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,10.0)" in plan
+
+
+def test_column_pruning_in_profile(spark, lineitem_path):
+    """The single-pass profile must read ONLY referenced columns."""
+    task = ValidationTask(
+        task_key="t", source="s", target="t2",
+        count_tolerance=0.0,
+        agg_validations=[{"column": "l_quantity", "validations": [{"agg": "SUM", "tolerance": 0.0}]}],
+    )
+    df = P.profile_df(spark.read.parquet(lineitem_path), task, "source")
+    plan = _explain(df)
+    # ReadSchema must contain l_quantity and nothing else
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_profile_is_single_aggregate_over_one_scan(spark, lineitem_path):
+    task = ValidationTask(
+        task_key="t", source="s", target="t2",
+        count_tolerance=0.0,
+        null_validation_columns=["l_returnflag"],
+        null_validation_tolerance=0.0,
+        agg_validations=[{"column": "l_quantity", "validations": [
+            {"agg": "SUM", "tolerance": 0.0}, {"agg": "MIN", "tolerance": 0.0},
+            {"agg": "MAX", "tolerance": 0.0},
+        ]}],
+    )
+    df = P.profile_df(spark.read.parquet(lineitem_path), task, "source")
+    plan = _explain(df)
+    # formatted explain lists each node twice (tree + detail block);
+    # count scans in the tree section only
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, f"profile must be ONE scan:\n{tree}"
+    assert plan.count("HashAggregate") >= 2, "partial+final hash aggregation expected"
+
+
+def test_referential_broadcast_hint_respected(spark, sf_dir):
+    child = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    parent = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    check = ReferentialCheck(
+        name="fk", fk_columns=["l_orderkey"], ref_table="orders",
+        ref_columns=["o_orderkey"], strategy="broadcast",
+    )
+    plan = _explain(referential_violations(child, parent, check))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_referential_shuffle_hint_respected(spark, sf_dir):
+    child = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    parent = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    check = ReferentialCheck(
+        name="fk", fk_columns=["l_orderkey"], ref_table="orders",
+        ref_columns=["o_orderkey"], strategy="shuffle",
+    )
+    plan = _explain(referential_violations(child, parent, check))
+    assert "SortMergeJoin" in plan and "LeftAnti" in plan
+
+
+def test_grouped_hash_metrics_shuffles_narrow_rows(spark, sf_dir):
+    """compact_shuffle: the exchange before the join must carry only the
+    64-bit key + 64-bit hash + group cols, never `content`."""
+    from datapact_spark.operators.rowhash import grouped_row_hash_metrics
+    from datapact_spark.sources.codegen import synthesize_code_table
+
+    src = synthesize_code_table(spark, 1000, n_repos=5)
+    plan = _explain(
+        grouped_row_hash_metrics(
+            src, src, ["repo", "path"], ["repo", "lang"], ["content"], "sha256"
+        )
+    )
+    # find the Exchange blocks and assert none carries the content column
+    for block in plan.split("\n\n"):
+        if block.strip().startswith("(") and "Exchange" in block.split("\n")[0]:
+            assert "content" not in block, f"content leaked into shuffle:\n{block}"
+
+
+def test_aqe_enabled(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
