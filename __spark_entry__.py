@@ -441,6 +441,188 @@ def q_top_failing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_filtered_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-scoped validation (P1/S2): the filter applies to BOTH
+    sides once and feeds every builtin check (validation.sql.j2:104-118)."""
+    from datapact_spark.functions.exprs import count_rel_diff, pass_fail
+
+    orders = _t(spark, sf_dir, "orders")
+    flt = "o_orderpriority = '1-URGENT'"
+    src = orders.where(flt)
+    tgt = orders.where("o_totalprice > 500").where(flt)
+    s = src.agg(
+        F.count(F.lit(1)).alias("source_count"),
+        F.count_distinct(F.col("o_custkey")).alias("source_distinct_uniqs"),
+    )
+    t = tgt.agg(F.count(F.lit(1)).alias("target_count"))
+    diff = count_rel_diff(F.col("source_count"), F.col("target_count"))
+    return s.crossJoin(t).select(
+        "source_count",
+        "target_count",
+        "source_distinct_uniqs",
+        diff.alias("relative_diff"),
+        pass_fail(diff <= 0.10).alias("status"),
+    )
+
+
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self theta-join on time-interval overlap (J5) — the reference's
+    peak-parallelism KPI (client.py:1632-1642): events become 10-minute
+    intervals; count overlapping pairs per user (users < 40)."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where("user_id < 40")
+        .select(
+            "user_id",
+            F.col("event_id"),
+            F.col("ts").alias("begin_ts"),
+            (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("end_ts"),
+        )
+    )
+    a, b = ev.alias("a"), ev.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.event_id") < F.col("b.event_id"))
+        & (F.col("a.begin_ts") <= F.col("b.end_ts"))
+        & (F.col("b.begin_ts") <= F.col("a.end_ts")),
+    )
+    return pairs.groupBy(F.col("a.user_id").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("overlap_pairs")
+    )
+
+
+def q_dense_rank_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 recency ranking: DENSE_RANK over event days desc, keep the 3
+    most recent days (client.py:1667-1739)."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type", "value"
+    )
+    daily = ev.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(38,4)").alias("total_value"),
+    )
+    w = Window.orderBy(F.col("day").desc())
+    return (
+        daily.withColumn("recency_rank", F.dense_rank().over(w))
+        .where(F.col("recency_rank") <= 3)
+        .select("day", "event_type", "n", "total_value", "recency_rank")
+    )
+
+
+def q_percentile_runtimes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 performance metrics: exact p95 / median per group (the
+    reference dashboards use percentile over task runtimes,
+    client.py:1644-1656)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(value, 0.95)").alias("p95_value"),
+        F.median("value").alias("median_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+def q_status_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 CASE-mapping projections: status → label/emoji banding +
+    failure-first ordering key (client.py:966-994)."""
+    orders = _t(spark, sf_dir, "orders")
+    status_label = (
+        F.when(F.col("o_orderstatus") == "F", F.lit("FAILED"))
+        .when(F.col("o_orderstatus") == "O", F.lit("OPEN"))
+        .otherwise(F.lit("PARTIAL"))
+    )
+    band = (
+        F.when(F.col("o_totalprice") >= 200000, F.lit("critical"))
+        .when(F.col("o_totalprice") >= 100000, F.lit("high"))
+        .otherwise(F.lit("normal"))
+    )
+    return (
+        orders.select(
+            status_label.alias("status_label"),
+            band.alias("impact_band"),
+            F.concat_ws("|", status_label, band).alias("combined_key"),
+        )
+        .groupBy("status_label", "impact_band", "combined_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 order-insensitive dataset fingerprint, reference shape
+    (sha2(array_join(sort_array(collect_list(md5(row))), '||'), 256),
+    validation.sql.j2:268-277) with a portable row serialization, plus
+    the scale-path commutative fingerprint (sum of xxhash64 + count) as
+    a second column pair computed the portable way."""
+    orders = _t(spark, sf_dir, "orders")
+    ds = orders.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+    row = F.md5(
+        F.concat_ws(SEP, F.col("o_orderstatus"), F.col("n").cast("string"))
+    )
+    return ds.agg(
+        F.sha2(F.array_join(F.sort_array(F.collect_list(row)), "||"), 256).alias(
+            "reference_fingerprint"
+        ),
+        F.count(F.lit(1)).alias("fingerprint_count"),
+    )
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only): perturbed copies of every
+    13th doc must collide with their originals at small Hamming
+    distance."""
+    from datapact_spark.operators.dedup import simhash, simhash_near_dups
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = docs.where(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq")).alias("text"),
+    )
+    sims = simhash(docs.unionByName(perturbed))
+    return simhash_near_dups(sims, max_hamming=6).select("id_a", "id_b", "hamming")
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (rows-only; recall vs brute force
+    asserted in tests)."""
+    from datapact_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where("vec_id < 5")
+    return lsh_topk(emb, queries_df, k=5, bits=4, tables=16)
+
+
+def q_drift_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift score (rows-only: ln() bit-parity across engines is not
+    guaranteed; exactness vs numpy is covered in tests)."""
+    from datapact_spark.config import DriftCheck
+    from datapact_spark.operators.drift import drift_metrics
+
+    li = _t(spark, sf_dir, "lineitem")
+    check = DriftCheck(column="l_extendedprice", metric="psi", bins=32)
+    return drift_metrics(li, li.where("l_discount > 0.02"), check)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing (rows-only): binary payload → Arrow-batched
+    feature extraction via mapInPandas (decode stubbed deterministically)."""
+    from datapact_spark.operators.multimodal import (
+        extract_features,
+        synthesize_media_table,
+    )
+
+    media = synthesize_media_table(spark, n=96)
+    feats = extract_features(media, feature_dim=8)
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.sum(F.element_at("feature", 1).cast("double")).alias("f0_sum"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "count_validation": q_count_validation,
@@ -461,6 +643,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "run_aggregation": q_run_aggregation,
         "latest_per_task": q_latest_per_task,
         "top_failing": q_top_failing,
+        "filtered_validation": q_filtered_validation,
+        "interval_overlap": q_interval_overlap,
+        "dense_rank_recency": q_dense_rank_recency,
+        "percentile_runtimes": q_percentile_runtimes,
+        "status_labels": q_status_labels,
+        "dataset_fingerprint": q_dataset_fingerprint,
+        "simhash_pairs": q_simhash_pairs,
+        "lsh_topk": q_lsh_topk,
+        "drift_psi_value": q_drift_psi_value,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -695,5 +887,64 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id
             ORDER BY error_count DESC, user_id ASC
             LIMIT 10
+        """,
+        "filtered_validation": """
+            WITH s AS (SELECT COUNT(*) AS source_count, COUNT(DISTINCT o_custkey) AS source_distinct_uniqs
+                       FROM orders WHERE o_orderpriority = '1-URGENT'),
+                 t AS (SELECT COUNT(*) AS target_count
+                       FROM orders WHERE o_totalprice > 500 AND o_orderpriority = '1-URGENT')
+            SELECT source_count, target_count, source_distinct_uniqs,
+                   COALESCE(ABS(source_count - target_count) / NULLIF(CAST(source_count AS DOUBLE), 0), 0) AS relative_diff,
+                   CASE WHEN COALESCE(ABS(source_count - target_count) / NULLIF(CAST(source_count AS DOUBLE), 0), 0) <= 0.10
+                        THEN 'PASS' ELSE 'FAIL' END AS status
+            FROM s, t
+        """,
+        "interval_overlap": """
+            WITH iv AS (
+              SELECT user_id, event_id, ts AS begin_ts, ts + INTERVAL 10 MINUTE AS end_ts
+              FROM events WHERE user_id < 40)
+            SELECT a.user_id, COUNT(*) AS overlap_pairs
+            FROM iv a JOIN iv b
+              ON a.user_id = b.user_id AND a.event_id < b.event_id
+             AND a.begin_ts <= b.end_ts AND b.begin_ts <= a.end_ts
+            GROUP BY a.user_id
+        """,
+        "dense_rank_recency": """
+            WITH daily AS (
+              SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n,
+                     CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value
+              FROM events GROUP BY 1, 2),
+            ranked AS (
+              SELECT *, DENSE_RANK() OVER (ORDER BY day DESC) AS recency_rank FROM daily)
+            SELECT day, event_type, n, total_value, CAST(recency_rank AS INT) AS recency_rank
+            FROM ranked WHERE recency_rank <= 3
+        """,
+        "percentile_runtimes": """
+            SELECT event_type, COUNT(*) AS n,
+                   quantile_cont(value, 0.95) AS p95_value,
+                   median(value) AS median_value,
+                   MIN(value) AS min_value, MAX(value) AS max_value
+            FROM events GROUP BY event_type
+        """,
+        "status_labels": """
+            WITH labeled AS (
+              SELECT CASE WHEN o_orderstatus = 'F' THEN 'FAILED'
+                          WHEN o_orderstatus = 'O' THEN 'OPEN'
+                          ELSE 'PARTIAL' END AS status_label,
+                     CASE WHEN o_totalprice >= 200000 THEN 'critical'
+                          WHEN o_totalprice >= 100000 THEN 'high'
+                          ELSE 'normal' END AS impact_band
+              FROM orders)
+            SELECT status_label, impact_band,
+                   concat_ws('|', status_label, impact_band) AS combined_key,
+                   COUNT(*) AS n
+            FROM labeled GROUP BY 1, 2, 3
+        """,
+        "dataset_fingerprint": """
+            WITH ds AS (SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus),
+                 hashed AS (SELECT md5(concat_ws(chr(31), o_orderstatus, CAST(n AS VARCHAR))) AS h FROM ds)
+            SELECT sha256(string_agg(h, '||' ORDER BY h)) AS reference_fingerprint,
+                   COUNT(*) AS fingerprint_count
+            FROM hashed
         """,
     }

@@ -219,7 +219,10 @@ def simhash(
     arithmetic via transform/aggregate over the token array."""
     tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-    # accumulate bit balances: for each bit position, Σ(±1)
+    # accumulate bit balances: for each bit position, Σ(±1).
+    # NOTE: shift amounts are Column expressions inside lambdas, which
+    # the PySpark shiftright/shiftleft wrappers reject (int-only) — the
+    # underlying SQL functions accept expressions via call_function.
     balances = F.reduce(
         hashes,
         F.array_repeat(F.lit(0).cast("long"), bits),
@@ -227,7 +230,9 @@ def simhash(
             acc,
             F.transform(
                 F.sequence(F.lit(0), F.lit(bits - 1)),
-                lambda i: F.when(F.shiftright(h, i.cast("int")).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+                lambda i: F.when(
+                    F.call_function("shiftright", h, i.cast("int")).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1),
             ),
             lambda a, d: a + d.cast("long"),
         ),
@@ -236,7 +241,10 @@ def simhash(
         F.zip_with(
             balances,
             F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda bal, i: F.when(bal > 0, F.shiftleft(F.lit(1).cast("long"), i.cast("int"))).otherwise(F.lit(0).cast("long")),
+            lambda bal, i: F.when(
+                bal > 0,
+                F.call_function("shiftleft", F.lit(1).cast("long"), i.cast("int")),
+            ).otherwise(F.lit(0).cast("long")),
         ),
         F.lit(0).cast("long"),
         lambda acc, x: acc.bitwiseOR(x),
@@ -245,15 +253,28 @@ def simhash(
 
 
 def simhash_near_dups(
-    sim_df: DataFrame, max_hamming: int = 3, prefix_bits: int = 16
+    sim_df: DataFrame, max_hamming: int = 3, bits: int = 64
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: bucket on the top ``prefix_bits`` bits
-    (near-dups under small Hamming distance usually share the prefix),
-    self-join within buckets, filter by exact Hamming distance via
-    bit_count(xor)."""
-    bucketed = sim_df.withColumn(
-        "bucket", F.shiftright(F.col("simhash"), 64 - prefix_bits)
+    """Near-dup pairs by SimHash via pigeonhole segmentation: split the
+    hash into ``max_hamming + 1`` bit segments — a pair within the
+    Hamming budget differs in at most ``max_hamming`` segments, so at
+    least one segment matches EXACTLY (guaranteed 100% recall). Bucket
+    key = (segment index, segment bits); candidates self-join within
+    buckets, then the exact Hamming filter (bit_count of xor) prunes
+    false positives."""
+    segments = max_hamming + 1
+    seg_bits = bits // segments
+    mask = (1 << seg_bits) - 1
+    buckets = F.array(
+        *[
+            (
+                F.shiftright(F.col("simhash"), s * seg_bits).bitwiseAND(F.lit(mask))
+                + F.lit(s << 60)
+            )
+            for s in range(segments)
+        ]
     )
+    bucketed = sim_df.select("id", "simhash", F.explode(buckets).alias("bucket"))
     a, b = bucketed.alias("a"), bucketed.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
@@ -267,4 +288,5 @@ def simhash_near_dups(
             F.col("b.id").alias("id_b"),
             ham.alias("hamming"),
         )
+        .dropDuplicates(["id_a", "id_b"])
     )

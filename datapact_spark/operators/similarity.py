@@ -114,9 +114,12 @@ def lsh_topk(
     planes = _hyperplanes(dim, bits, tables, seed)
 
     def with_buckets(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        # reference the SOURCE column inside the bucket expressions — the
+        # aliased output column would be a lateral alias inside Generate,
+        # which Catalyst rejects
         buckets = F.array(
             *[
-                _sign_bucket(F.col(vec_alias), planes[t]) + F.lit(t << 32)
+                _sign_bucket(F.col(vec_col), planes[t]) + F.lit(t << 32)
                 for t in range(tables)
             ]
         )

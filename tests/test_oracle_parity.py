@@ -74,7 +74,13 @@ def test_query_matches_oracle(spark, ddb, name):
 def test_all_queries_have_oracle_or_are_rows_only():
     rows_only = set(QUERIES) - set(ORACLES)
     # rows-only allowed for non-SQL-expressible ops; keep the list tight
-    assert rows_only <= {"minhash_dedup"}, f"unexpected rows-only: {rows_only}"
+    assert rows_only <= {
+        "minhash_dedup",      # LSH banding not SQL-expressible
+        "simhash_pairs",      # bit-level fold not SQL-expressible
+        "lsh_topk",           # random-hyperplane LSH; recall asserted below
+        "drift_psi_value",    # ln() bit-parity not guaranteed cross-engine
+        "multimodal_features",  # mapInPandas UDF path
+    }, f"unexpected rows-only: {rows_only}"
 
 
 def test_entry_smoke(spark):
@@ -94,3 +100,38 @@ def test_minhash_dedup_rows_only(spark):
     expected_ids = [r["doc_id"] for r in docs.where("doc_id % 11 = 0").collect()]
     found = sum(1 for i in expected_ids if (i, i + 1000000) in pairs)
     assert found >= len(expected_ids) * 0.9, f"recall {found}/{len(expected_ids)}"
+
+
+def test_simhash_pairs_rows_only(spark):
+    rows = QUERIES["simhash_pairs"](spark, SF_DIR).collect()
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    expected_ids = [r["doc_id"] for r in docs.where("doc_id % 13 = 0").collect()]
+    pairs = {(r["id_a"], r["id_b"]) for r in rows}
+    found = sum(1 for i in expected_ids if (i, i + 1000000) in pairs)
+    assert found >= len(expected_ids) * 0.7, f"simhash recall {found}/{len(expected_ids)}"
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark):
+    lsh = QUERIES["lsh_topk"](spark, SF_DIR).collect()
+    bf = QUERIES["ann_bruteforce"](spark, SF_DIR).collect()
+    bf_sets = {}
+    for r in bf:
+        bf_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    lsh_sets = {}
+    for r in lsh:
+        lsh_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(bf_sets[q] & lsh_sets.get(q, set())) / len(bf_sets[q]) for q in bf_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6, f"LSH mean recall {recalls}"
+
+
+def test_drift_psi_value_positive(spark):
+    row = QUERIES["drift_psi_value"](spark, SF_DIR).collect()[0]
+    assert row["drift_psi_l_extendedprice"] > 0
+
+
+def test_multimodal_features_deterministic(spark):
+    a = {tuple(r) for r in QUERIES["multimodal_features"](spark, SF_DIR).collect()}
+    b = {tuple(r) for r in QUERIES["multimodal_features"](spark, SF_DIR).collect()}
+    assert a == b and len(a) == 3  # image/audio/video groups
