@@ -152,6 +152,77 @@ def explode_payload_checks(ledger: DataFrame) -> DataFrame:
     )
 
 
+def _fqn(*parts: str) -> F.Column:
+    """Dotted FQN skipping empty parts (bare registered names have empty
+    catalog/schema)."""
+    return F.concat_ws(".", *[F.nullif(F.col(p), F.lit("")) for p in parts])
+
+
+def genie_current_status(ledger: DataFrame) -> DataFrame:
+    """Latest validation status per task across all runs — genie table 1
+    (client.py:451-478): one row per task_key from its most recent run,
+    with source/target identity and business metadata flattened."""
+    w = Window.partitionBy("task_key").orderBy(F.col("validation_begin_ts").desc())
+    return (
+        ledger.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "task_key",
+            "status",
+            "run_id",
+            "job_name",
+            "validation_begin_ts",
+            _fqn("source_catalog", "source_schema", "source_table").alias(
+                "source_table_fqn"
+            ),
+            _fqn("target_catalog", "target_schema", "target_table").alias(
+                "target_table_fqn"
+            ),
+            "business_domain",
+            "business_owner",
+            "business_priority",
+            "estimated_impact_usd",
+        )
+    )
+
+
+def genie_table_quality(ledger: DataFrame) -> DataFrame:
+    """Per-target-table quality rollup — genie table 2 (client.py:480-510):
+    validations run, failures, success rate, last failure time."""
+    fqn = _fqn("target_catalog", "target_schema", "target_table")
+    return ledger.groupBy(fqn.alias("table_fqn")).agg(
+        F.count(F.lit(1)).alias("total_validations"),
+        F.sum(F.when(F.col("status") == "FAILURE", 1).otherwise(0)).alias(
+            "failed_validations"
+        ),
+        _success_rate().alias("success_rate_percent"),
+        F.max(
+            F.when(F.col("status") == "FAILURE", F.col("validation_begin_ts"))
+        ).alias("last_failure_ts"),
+        F.count_distinct(F.col("task_key")).alias("distinct_tasks"),
+    )
+
+
+def genie_issues(ledger: DataFrame) -> DataFrame:
+    """Open issues — genie table 3 (client.py:512-534): one row per
+    FAILED check from the latest run of each task, with the check's
+    payload fragment."""
+    latest = genie_current_status(ledger).select("task_key", "run_id")
+    failed = ledger.join(latest, ["task_key", "run_id"]).where(
+        F.col("status") == "FAILURE"
+    )
+    exploded = explode_payload_checks(failed)
+    return exploded.where(
+        F.get_json_object(F.col("check_json"), "$.status") == "FAIL"
+    ).select(
+        "task_key",
+        "run_id",
+        "check_type",
+        "check_key",
+        F.col("check_json").alias("details"),
+    )
+
+
 def check_status_counts(ledger: DataFrame) -> DataFrame:
     """Per-check-type pass/fail counts — replaces the reference's
     6-branch UNION ALL classification (client.py:901-925)."""

@@ -120,6 +120,11 @@ class DataPactEngine:
                 ).collect()[0]
                 for kind, vdf in compiled.violation_dfs.items():
                     self.ledger.write_violations(run_id, task.task_key, kind, vdf)
+                if task.partition_by:
+                    # north-star mode: per-partition verdicts computed,
+                    # checkpointed, and folded into the task payload +
+                    # status (any failing group fails the task)
+                    row = self._augment_with_partition_verdicts(task, run_id, row)
                 outcome = TaskOutcome(
                     task_key=task.task_key,
                     status=row["status"],
@@ -162,6 +167,47 @@ class DataPactEngine:
                 },
             )
         return result
+
+    def _augment_with_partition_verdicts(
+        self, task: ValidationTask, run_id: int, row: Row
+    ) -> Row:
+        """Run per-partition verdicts for a partition_by task and fold a
+        summary (group counts + up-to-10 failing group keys) into the
+        task's payload; any failing group fails the task."""
+        try:
+            verdicts = self.run_partitioned(task, run_id)
+        except ValueError:
+            # no groupable checks configured (e.g. custom-SQL only) —
+            # the task verdict stands alone
+            return row
+        group_cols = task.partition_by or []
+        summary = verdicts.agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.when(F.col("overall_validation_passed"), 0).otherwise(1)).alias(
+                "failed"
+            ),
+        ).collect()[0]
+        failed_keys = [
+            {c: r[c] for c in group_cols}
+            for r in verdicts.where(~F.col("overall_validation_passed"))
+            .select(*group_cols)
+            .orderBy(*group_cols)
+            .limit(10)
+            .collect()
+        ]
+        payload = json.loads(row["result_payload"])
+        payload["partition_verdicts"] = {
+            "partition_by": group_cols,
+            "total_groups": summary["total"],
+            "failed_groups": summary["failed"],
+            "sample_failed_keys": failed_keys,
+            "status": "PASS" if summary["failed"] == 0 else "FAIL",
+        }
+        d = row.asDict()
+        d["result_payload"] = json.dumps(payload)
+        if summary["failed"] > 0:
+            d["status"] = "FAILURE"
+        return Row(**d)
 
     # ------------------------------------------- per-partition verdicts
     def run_partitioned(
