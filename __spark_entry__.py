@@ -623,6 +623,64 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semi_join_scope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 semi-join scoping: events restricted to users that exist as
+    high-balance customers (`IN (subquery)` → left_semi,
+    client.py:1795-1800)."""
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer").where("c_acctbal > 5000").select(
+        F.col("c_custkey").alias("user_id")
+    )
+    return (
+        ev.join(cust, on="user_id", how="left_semi")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def q_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation (the batch shape of the
+    streaming windowed profile): hourly count/sum/nulls over events."""
+    ev = _t(spark, sf_dir, "events")
+    w = F.window(F.col("ts"), "1 hour")
+    return (
+        ev.groupBy(w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(38,4)").alias("total_value"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "total_value", "n_users")
+    )
+
+
+def q_genie_table_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genie per-table quality rollup (S6, client.py:480-510) over a
+    deterministic ledger derived from orders."""
+    from datapact_spark.aggregate import genie_table_quality
+
+    orders = _t(spark, sf_dir, "orders")
+    ledger = orders.where("o_orderkey % 20 = 0").select(
+        F.concat(F.lit("task_"), (F.col("o_orderkey") % 7).cast("string")).alias(
+            "task_key"
+        ),
+        F.when(F.col("o_orderstatus") == "F", F.lit("FAILURE"))
+        .otherwise(F.lit("SUCCESS"))
+        .alias("status"),
+        F.lit(1).cast("long").alias("run_id"),
+        F.lit("").alias("target_catalog"),
+        F.lit("").alias("target_schema"),
+        F.concat(F.lit("tbl_"), (F.col("o_custkey") % 3).cast("string")).alias(
+            "target_table"
+        ),
+        F.col("o_orderdate").alias("validation_begin_ts"),
+    )
+    return genie_table_quality(ledger)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "count_validation": q_count_validation,
@@ -653,6 +711,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "drift_psi_value": q_drift_psi_value,
         "multimodal_features": q_multimodal_features,
+        "semi_join_scope": q_semi_join_scope,
+        "tumbling_window_agg": q_tumbling_window_agg,
+        "genie_table_quality": q_genie_table_quality,
     }
 
 
@@ -939,6 +1000,36 @@ def oracle_sql() -> dict[str, str]:
                    concat_ws('|', status_label, impact_band) AS combined_key,
                    COUNT(*) AS n
             FROM labeled GROUP BY 1, 2, 3
+        """,
+        "semi_join_scope": """
+            SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+            FROM events
+            WHERE user_id IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+            GROUP BY event_type
+        """,
+        "tumbling_window_agg": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1
+        """,
+        "genie_table_quality": """
+            WITH ledger AS (
+              SELECT 'task_' || CAST(o_orderkey % 7 AS VARCHAR) AS task_key,
+                     CASE WHEN o_orderstatus = 'F' THEN 'FAILURE' ELSE 'SUCCESS' END AS status,
+                     'tbl_' || CAST(o_custkey % 3 AS VARCHAR) AS table_fqn,
+                     o_orderdate AS validation_begin_ts
+              FROM orders WHERE o_orderkey % 20 = 0)
+            SELECT table_fqn,
+                   COUNT(*) AS total_validations,
+                   SUM(CASE WHEN status = 'FAILURE' THEN 1 ELSE 0 END) AS failed_validations,
+                   CASE WHEN COUNT(*) = 0 THEN 0.0
+                        ELSE ROUND(SUM(CASE WHEN status = 'SUCCESS' THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 2)
+                   END AS success_rate_percent,
+                   MAX(CASE WHEN status = 'FAILURE' THEN validation_begin_ts END) AS last_failure_ts,
+                   COUNT(DISTINCT task_key) AS distinct_tasks
+            FROM ledger GROUP BY 1
         """,
         "dataset_fingerprint": """
             WITH ds AS (SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus),

@@ -1,0 +1,86 @@
+"""Safe filter construction + identifier validation.
+
+The Column API is injection-safe by construction, so most of the
+reference's escaping machinery (/root/reference/datapact/sql_utils.py)
+is unnecessary here. What remains useful:
+
+* ``build_filter`` — the typed (column, op, value) → Column builder with
+  the reference's operator whitelist and NULL semantics
+  (sql_utils.py:118-154);
+* ``validate_identifier`` — name validation for the places where raw SQL
+  strings still exist (custom SQL temp-view names, job names;
+  sql_utils.py:9-65 intent).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_SAFE_OPS = {"=", "!=", "<>", "<", "<=", ">", ">=", "LIKE", "IN", "NOT IN",
+             "IS NULL", "IS NOT NULL"}
+
+_IDENT_OK = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+_FORBIDDEN = re.compile(
+    r";|--|/\*|\bdrop\b|\bdelete\b|\binsert\b|\bupdate\b|\bgrant\b", re.IGNORECASE
+)
+
+
+def validate_identifier(name: str) -> str:
+    """Reject names that are not simple identifiers (defense for the SQL
+    string surfaces: temp view names, job names)."""
+    if not name or not _IDENT_OK.fullmatch(name):
+        raise ValueError(f"invalid identifier: {name!r}")
+    return name
+
+
+def validate_filter_text(text: str) -> str:
+    """Light screening for user-provided filter strings that go through
+    ``F.expr`` (a filter is user code by design — this blocks only
+    statement-level injection, mirroring sql_utils.py's keyword bans)."""
+    if _FORBIDDEN.search(text):
+        raise ValueError(f"filter contains forbidden token: {text!r}")
+    return text
+
+
+def build_filter(column: str, op: str, value=None) -> Column:
+    """Typed filter builder: whitelisted operator, engine-quoted values.
+
+    NULL semantics follow the reference: ``=``/``!=`` against None map
+    to IS NULL / IS NOT NULL.
+    """
+    op = op.upper().strip()
+    if op not in _SAFE_OPS:
+        raise ValueError(f"operator not allowed: {op!r}")
+    c = F.col(column)
+    if op in ("IS NULL",):
+        return c.isNull()
+    if op in ("IS NOT NULL",):
+        return c.isNotNull()
+    if value is None:
+        if op == "=":
+            return c.isNull()
+        if op in ("!=", "<>"):
+            return c.isNotNull()
+        raise ValueError(f"operator {op!r} requires a value")
+    if op == "=":
+        return c == F.lit(value)
+    if op in ("!=", "<>"):
+        return c != F.lit(value)
+    if op == "<":
+        return c < F.lit(value)
+    if op == "<=":
+        return c <= F.lit(value)
+    if op == ">":
+        return c > F.lit(value)
+    if op == ">=":
+        return c >= F.lit(value)
+    if op == "LIKE":
+        return c.like(str(value))
+    if op == "IN":
+        return c.isin(list(value))
+    if op == "NOT IN":
+        return ~c.isin(list(value))
+    raise AssertionError(op)

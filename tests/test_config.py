@@ -170,3 +170,39 @@ class TestRoi:
         assert processing_speed(1000, 0)["throughput_grade"] == "N/A"
         assert quality_tier(99.6) == "World Class"
         assert quality_tier(80.0) == "Below Standard"
+
+
+class TestFilterBuilder:
+    def test_safe_ops(self):
+        from datapact_spark.functions.filters import build_filter
+
+        def s(c):
+            return str(c).upper()
+
+        assert "= 5" in s(build_filter("x", "=", 5))
+        assert "ISNULL" in s(build_filter("x", "=", None)).replace(" ", "")
+        assert "ISNOTNULL" in s(build_filter("x", "!=", None)).replace(" ", "")
+        assert "IN" in s(build_filter("x", "in", [1, 2]))
+        assert "LIKE" in s(build_filter("x", "like", "a%"))
+
+    def test_bad_op_rejected(self):
+        from datapact_spark.functions.filters import build_filter
+
+        with pytest.raises(ValueError, match="not allowed"):
+            build_filter("x", "REGEXP", "a")
+
+    def test_identifier_validation(self):
+        from datapact_spark.functions.filters import validate_identifier
+
+        assert validate_identifier("good_name1") == "good_name1"
+        for bad in ["", "1bad", "bad-name", "bad;drop", "a b"]:
+            with pytest.raises(ValueError):
+                validate_identifier(bad)
+
+    def test_filter_text_screening(self):
+        from datapact_spark.functions.filters import validate_filter_text
+
+        assert validate_filter_text("x > 1 AND y = 'a'")
+        for bad in ["x; DROP TABLE t", "x -- comment", "1=1; DELETE FROM t"]:
+            with pytest.raises(ValueError, match="forbidden"):
+                validate_filter_text(bad)
