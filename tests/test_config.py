@@ -173,7 +173,8 @@ class TestRoi:
 
 
 class TestFilterBuilder:
-    def test_safe_ops(self):
+    def test_safe_ops(self, spark):
+        # Column construction needs an active SparkContext
         from datapact_spark.functions.filters import build_filter
 
         def s(c):
@@ -185,7 +186,7 @@ class TestFilterBuilder:
         assert "IN" in s(build_filter("x", "in", [1, 2]))
         assert "LIKE" in s(build_filter("x", "like", "a%"))
 
-    def test_bad_op_rejected(self):
+    def test_bad_op_rejected(self, spark):
         from datapact_spark.functions.filters import build_filter
 
         with pytest.raises(ValueError, match="not allowed"):
