@@ -180,11 +180,15 @@ class TestFilterBuilder:
         def s(c):
             return str(c).upper()
 
-        assert "= 5" in s(build_filter("x", "=", 5))
-        assert "ISNULL" in s(build_filter("x", "=", None)).replace(" ", "")
-        assert "ISNOTNULL" in s(build_filter("x", "!=", None)).replace(" ", "")
-        assert "IN" in s(build_filter("x", "in", [1, 2]))
-        assert "LIKE" in s(build_filter("x", "like", "a%"))
+        # behavioral check through a real plan, not repr-string matching
+        df = spark.createDataFrame([(1, "ab"), (5, None), (2, "zz")], "x int, y string")
+        assert df.where(build_filter("x", "=", 5)).count() == 1
+        assert df.where(build_filter("y", "=", None)).count() == 1
+        assert df.where(build_filter("y", "!=", None)).count() == 2
+        assert df.where(build_filter("x", "in", [1, 2])).count() == 2
+        assert df.where(build_filter("x", "not in", [1, 2])).count() == 1
+        assert df.where(build_filter("y", "like", "a%")).count() == 1
+        assert df.where(build_filter("x", ">=", 2)).count() == 2
 
     def test_bad_op_rejected(self, spark):
         from datapact_spark.functions.filters import build_filter
