@@ -217,39 +217,30 @@ def simhash(
     """64-bit SimHash per document: per-token xxhash64, sum the ±1
     contribution of each bit over tokens, sign → bit. All JVM Column
     arithmetic via transform/aggregate over the token array."""
+    # Explode tokens to (id, token_hash) rows, then one grouped aggregate
+    # with `bits` codegen'd SUM(±1) expressions — per-bit balances without
+    # any higher-order lambda (HOFs are interpreted and re-evaluate
+    # captured expressions per element; this shape is whole-stage codegen
+    # with map-side partial aggregation, same as the minhash signatures).
     tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-    # accumulate bit balances: for each bit position, Σ(±1).
-    # NOTE: shift amounts are Column expressions inside lambdas, which
-    # the PySpark shiftright/shiftleft wrappers reject (int-only) — the
-    # underlying SQL functions accept expressions via call_function.
-    balances = F.reduce(
-        hashes,
-        F.array_repeat(F.lit(0).cast("long"), bits),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bits - 1)),
-                lambda i: F.when(
-                    F.call_function("shiftright", h, i.cast("int")).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1),
-            ),
-            lambda a, d: a + d.cast("long"),
-        ),
-    )
-    sim = F.aggregate(
-        F.zip_with(
-            balances,
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda bal, i: F.when(
-                bal > 0,
-                F.call_function("shiftleft", F.lit(1).cast("long"), i.cast("int")),
-            ).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(x),
-    )
-    return df.select(F.col(id_col).alias("id"), sim.alias("simhash"))
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens).alias("tok")
+    ).select("id", F.xxhash64("tok").alias("h"))
+    balance_exprs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    balances = exploded.groupBy("id").agg(*balance_exprs)
+    sim = F.lit(0).cast("long")
+    for i in range(bits):
+        sim = sim.bitwiseOR(
+            F.when(
+                F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return balances.select("id", sim.alias("simhash"))
 
 
 def simhash_near_dups(

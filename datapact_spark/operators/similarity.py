@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -84,7 +86,10 @@ def _hyperplanes(dim: int, bits: int, tables: int, seed: int) -> list[list[list[
 
 
 def _sign_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Random-hyperplane signature: bit i = sign(vec · plane_i)."""
+    """Random-hyperplane signature: bit i = sign(vec · plane_i).
+
+    Column-expression variant — fine for a handful of planes; for full
+    table×bits signature matrices use ``sign_buckets_pandas`` (Arrow)."""
     acc = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         arr = F.array(*[F.lit(float(x)) for x in plane])
@@ -93,6 +98,36 @@ def _sign_bucket(vec: Column, planes: list[list[float]]) -> Column:
         )
         acc = acc.bitwiseOR(bit)
     return acc
+
+
+def make_sign_buckets_udf(planes: list[list[list[float]]]):
+    """Vectorized (Arrow/numpy) LSH signature builder: for each row's
+    vector, one bucket id per hash table, computed as a single batch
+    matmul against the stacked hyperplane matrix.
+
+    This is a sketch *build* — the one place the north-star contract
+    allows a pandas UDF — and it replaces tables×bits interpreted
+    ``F.aggregate`` dot products per row with one numpy GEMM per Arrow
+    batch (~100× less Python/JVM overhead).
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    tables = len(planes)
+    bits = len(planes[0])
+    # stack to (tables*bits, dim); bucket t = bits [t*bits, (t+1)*bits)
+    mat = np.asarray(planes, dtype=np.float64).reshape(tables * bits, -1).T  # (dim, T*B)
+    weights = (1 << np.arange(bits, dtype=np.int64))  # bit weights within a table
+
+    @pandas_udf(ArrayType(LongType()))
+    def sign_buckets(vecs: pd.Series) -> pd.Series:
+        arr = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
+        signs = (arr @ mat) >= 0  # (n, T*B)
+        signs = signs.reshape(len(arr), tables, bits)
+        buckets = (signs * weights).sum(axis=2) + (np.arange(tables, dtype=np.int64) << 32)
+        return pd.Series(list(buckets))
+
+    return sign_buckets
 
 
 def lsh_topk(
@@ -112,22 +147,14 @@ def lsh_topk(
     of candidates. Recall grows with tables; cost stays ~bucket-sized.
     Output schema matches ``brute_force_topk``."""
     planes = _hyperplanes(dim, bits, tables, seed)
+    buckets_udf = make_sign_buckets_udf(planes)
 
     def with_buckets(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
-        # reference the SOURCE column inside the bucket expressions — the
-        # aliased output column would be a lateral alias inside Generate,
-        # which Catalyst rejects
-        buckets = F.array(
-            *[
-                _sign_bucket(F.col(vec_col), planes[t]) + F.lit(t << 32)
-                for t in range(tables)
-            ]
-        )
         return df.select(
             F.col(id_col).alias(id_alias),
             F.col(vec_col).alias(vec_alias),
-            F.explode(buckets).alias("bucket"),
-        )
+            buckets_udf(F.col(vec_col)).alias("__buckets"),
+        ).select(id_alias, vec_alias, F.explode("__buckets").alias("bucket"))
 
     c = with_buckets(corpus, "neighbor_id", "c_vec")
     q = with_buckets(queries, "query_id", "q_vec")
@@ -165,12 +192,12 @@ def embedding_near_dups(
     """Embedding-cosine near-duplicate pairs via LSH self-join:
     (id_a, id_b, cosine_sim) with sim ≥ threshold, id_a < id_b."""
     planes = _hyperplanes(dim, bits, tables, seed)
-    buckets = F.array(
-        *[_sign_bucket(F.col(vec_col), planes[t]) + F.lit(t << 32) for t in range(tables)]
-    )
+    buckets_udf = make_sign_buckets_udf(planes)
     b = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.explode(buckets).alias("bucket")
-    )
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        buckets_udf(F.col(vec_col)).alias("__buckets"),
+    ).select("id", "v", F.explode("__buckets").alias("bucket"))
     pairs = (
         b.alias("a")
         .join(b.alias("b"), (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
