@@ -1,0 +1,212 @@
+"""Self-verifying demo: synthetic table pairs with known corruption.
+
+Mirrors the reference's manual E2E oracle design (demo/setup.sql +
+demo/demo_config.yml: 24 tasks whose names encode expected verdicts,
+``*__PASS`` / ``*__FAIL``) with our own deterministic generators — every
+corruption is seeded hash arithmetic, never ``rand()`` (the reference's
+generator is unseeded; ours must reproduce bit-for-bit, FIXTURES.md).
+
+Corruption recipes (intent-parity with demo/setup.sql:51-85):
+  * users:  2% CDC-missed deletes, 5% PII-masked emails, duplicated
+    rows, 10% nulled signup dates
+  * transactions: amount drift on 1% of rows
+  * sessions: clean copy (the PASS control)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapact_spark.config import DataPactConfig, ValidationTask
+from datapact_spark.engine import DataPactEngine, RunResult
+from datapact_spark.sources.loader import TableResolver
+
+
+def build_demo_tables(spark: SparkSession, n_users: int = 20000, seed: int = 42) -> dict[str, DataFrame]:
+    parallelism = max(spark.sparkContext.defaultParallelism, 4)
+    users = spark.range(1, n_users + 1, 1, parallelism).select(
+        F.col("id").alias("user_id"),
+        F.concat(F.lit("user_"), F.col("id").cast("string")).alias("username"),
+        F.concat(F.md5(F.col("id").cast("string")), F.lit("@example.com")).alias("email"),
+        F.to_date(
+            F.date_add(F.lit("2020-01-01"), F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(1500)).cast("int"))
+        ).alias("signup_date"),
+        F.element_at(
+            F.array(F.lit("US"), F.lit("CA"), F.lit("DE"), F.lit("JP")),
+            (F.pmod(F.xxhash64("id", F.lit(seed + 1)), F.lit(4)) + 1).cast("int"),
+        ).alias("country"),
+        (F.pmod(F.xxhash64("id", F.lit(seed + 2)), F.lit(100000)) / 100.0).alias("balance"),
+    )
+    h = F.xxhash64("user_id", F.lit(seed + 3))
+    users_corrupt = (
+        users
+        # 2% CDC-missed deletes
+        .where(F.pmod(h, F.lit(50)) != 0)
+        # 5% PII masking
+        .withColumn(
+            "email",
+            F.when(
+                F.pmod(F.xxhash64("user_id", F.lit(seed + 4)), F.lit(20)) == 0,
+                F.lit("***MASKED***"),
+            ).otherwise(F.col("email")),
+        )
+        # 10% nulled signup dates
+        .withColumn(
+            "signup_date",
+            F.when(
+                F.pmod(F.xxhash64("user_id", F.lit(seed + 5)), F.lit(10)) == 0,
+                F.lit(None).cast("date"),
+            ).otherwise(F.col("signup_date")),
+        )
+    )
+    # injected duplicates: re-append 1% of rows
+    users_corrupt = users_corrupt.unionByName(
+        users_corrupt.where(F.pmod(F.xxhash64("user_id", F.lit(seed + 6)), F.lit(100)) == 0)
+    )
+
+    txns = spark.range(1, n_users * 3 + 1, 1, parallelism).select(
+        F.col("id").alias("txn_id"),
+        (F.pmod(F.xxhash64("id", F.lit(seed + 7)), F.lit(n_users)) + 1).alias("user_id"),
+        (F.pmod(F.xxhash64("id", F.lit(seed + 8)), F.lit(50000)) / 100.0).alias("amount"),
+        F.element_at(
+            F.array(F.lit("card"), F.lit("ach"), F.lit("wire")),
+            (F.pmod(F.xxhash64("id", F.lit(seed + 9)), F.lit(3)) + 1).cast("int"),
+        ).alias("method"),
+    )
+    txns_drifted = txns.withColumn(
+        "amount",
+        F.when(
+            F.pmod(F.xxhash64("txn_id", F.lit(seed + 10)), F.lit(100)) == 0,
+            F.col("amount") * 3,
+        ).otherwise(F.col("amount")),
+    )
+
+    sessions = spark.range(0, n_users, 1, parallelism).select(
+        F.col("id").alias("session_id"),
+        (F.pmod(F.xxhash64("id", F.lit(seed + 11)), F.lit(n_users)) + 1).alias("user_id"),
+        (F.pmod(F.xxhash64("id", F.lit(seed + 12)), F.lit(3600))).alias("duration_s"),
+    )
+    return {
+        "users_source": users,
+        "users_target": users_corrupt,
+        "txns_source": txns,
+        "txns_target": txns_drifted,
+        "sessions_source": sessions,
+        "sessions_target": sessions,
+    }
+
+
+def demo_config() -> DataPactConfig:
+    """Task names encode expected verdicts (reference demo_config.yml
+    convention: lines 23-704 use *_PASS / *_FAIL / *_CRITICAL)."""
+    return DataPactConfig(
+        validations=[
+            ValidationTask(
+                task_key="users_count_strict__FAIL",
+                source="users_source", target="users_target",
+                count_tolerance=0.005,  # 2% deleted + 1% duped > 0.5%
+                business_domain="Customer", business_priority="Critical",
+                estimated_impact_usd=150000.0,
+            ),
+            ValidationTask(
+                task_key="users_count_loose__PASS",
+                source="users_source", target="users_target",
+                count_tolerance=0.05,
+                business_domain="Customer", business_priority="Low",
+            ),
+            ValidationTask(
+                task_key="users_email_hash__FAIL",
+                source="users_source", target="users_target",
+                primary_keys=["user_id"],
+                pk_row_hash_check=True, pk_hash_tolerance=0.01,  # 5% masked
+                hash_columns=["email"],
+                business_domain="Customer", business_priority="Critical",
+                estimated_impact_usd=500000.0,
+            ),
+            ValidationTask(
+                task_key="users_null_dates__FAIL",
+                source="users_source", target="users_target",
+                primary_keys=["user_id"],
+                null_validation_columns=["signup_date"],
+                null_validation_tolerance=0.05,  # src 0 nulls, tgt ~10%
+                business_domain="Customer", business_priority="High",
+            ),
+            ValidationTask(
+                task_key="users_uniqueness__FAIL",
+                source="users_source", target="users_target",
+                uniqueness_columns=["user_id"],
+                uniqueness_tolerance=0.0,  # 1% dupes injected
+                business_domain="Customer", business_priority="High",
+            ),
+            ValidationTask(
+                task_key="txns_sum_drift__FAIL",
+                source="txns_source", target="txns_target",
+                agg_validations=[
+                    {"column": "amount", "validations": [{"agg": "SUM", "tolerance": 0.005}]}
+                ],
+                business_domain="Finance", business_priority="Critical",
+                estimated_impact_usd=250000.0,
+            ),
+            ValidationTask(
+                task_key="txns_minmax__PASS",
+                source="txns_source", target="txns_target",
+                agg_validations=[
+                    {"column": "amount", "validations": [{"agg": "MIN", "tolerance": 0.0}]}
+                ],
+                business_domain="Finance", business_priority="Medium",
+            ),
+            ValidationTask(
+                task_key="txns_fk_users__PASS",
+                source="txns_source", target="txns_target",
+                referential_checks=[
+                    {
+                        "name": "fk_user", "fk_columns": ["user_id"],
+                        "ref_table": "users_source", "ref_columns": ["user_id"],
+                        "strategy": "broadcast",
+                    }
+                ],
+                business_domain="Finance", business_priority="High",
+            ),
+            ValidationTask(
+                task_key="sessions_identity__PASS",
+                source="sessions_source", target="sessions_target",
+                primary_keys=["session_id"],
+                count_tolerance=0.0,
+                pk_row_hash_check=True, pk_hash_tolerance=0.0,
+                uniqueness_columns=["session_id"], uniqueness_tolerance=0.0,
+                business_domain="Digital", business_priority="Medium",
+            ),
+            ValidationTask(
+                task_key="sessions_custom_sql__PASS",
+                source="sessions_source", target="sessions_target",
+                custom_sql_tests=[
+                    {
+                        "name": "duration distribution",
+                        "sql": "SELECT duration_s % 60 AS bucket, COUNT(*) AS n "
+                               "FROM {{ table_fqn }} GROUP BY 1",
+                    }
+                ],
+                business_domain="Digital", business_priority="Low",
+            ),
+        ]
+    )
+
+
+def run_demo(spark: SparkSession, results_path: str, n_users: int = 20000) -> RunResult:
+    tables = build_demo_tables(spark, n_users)
+    resolver = TableResolver(spark)
+    for name, df in tables.items():
+        resolver.register(name, df)
+    engine = DataPactEngine(spark, resolver, results_path=results_path)
+    return engine.run(demo_config(), job_name="datapact_demo")
+
+
+def verify_demo(result: RunResult) -> list[str]:
+    """Return the list of tasks whose verdict contradicts its name."""
+    wrong = []
+    for key, outcome in result.outcomes.items():
+        expected = "SUCCESS" if key.endswith("__PASS") else "FAILURE"
+        if outcome.status != expected:
+            wrong.append(f"{key}: expected {expected}, got {outcome.status}")
+    return wrong

@@ -41,8 +41,13 @@ warmup = int(sys.argv[4]) if len(sys.argv) > 4 else 2
 spark = get_spark(
     app_name=f"scaling-bench-{cores}",
     master=f"local[{cores}]",
-    shuffle_partitions=cores,
-    extra_conf={"spark.ui.enabled": "false"},
+    # 3x over-partitioning: straggler tasks rebalance instead of idling
+    # cores at the tail of each stage
+    shuffle_partitions=cores * 3,
+    extra_conf={
+        "spark.ui.enabled": "false",
+        "spark.sql.files.maxPartitionBytes": "32m",
+    },
 )
 spark.sparkContext.setLogLevel("ERROR")
 resolver = TableResolver(spark)
@@ -109,6 +114,17 @@ def main() -> None:
 
     worker_py = WORKER % {"repo": REPO}
 
+    def calibrate() -> float:
+        """Single-core Python burn — measures current host speed so
+        pairs taken during noisy-neighbor interference can be discarded."""
+        import time as _t
+
+        t0 = _t.monotonic()
+        x = 0
+        for i in range(3_000_000):
+            x += i * i
+        return 1.0 / (_t.monotonic() - t0)
+
     def run_level(cores: int, runs: int, warmup: int) -> dict:
         # pin the whole JVM (incl. GC/shuffle threads) to the level's
         # core budget — otherwise the small level borrows idle host
@@ -126,8 +142,11 @@ def main() -> None:
     # min-based estimate (noise-floor) is reported alongside.
     results = {c: {"cores": c, "times": [], "groups": 0} for c in args.levels}
     pair_eff = []
+    pair_speeds = []
     lo_, hi_ = args.levels
+    base_speed = max(calibrate() for _ in range(3))
     for i in range(args.runs):
+        speed_before = calibrate()
         order = [lo_, hi_] if i % 2 == 0 else [hi_, lo_]
         pair = {}
         for cores in order:
@@ -135,7 +154,18 @@ def main() -> None:
             results[cores]["times"].extend(r["times"])
             results[cores]["groups"] = r["groups"]
             pair[cores] = min(r["times"])
-        pair_eff.append((pair[lo_] / pair[hi_]) / (hi_ / lo_))
+        speed_after = calibrate()
+        clean = min(speed_before, speed_after) >= 0.85 * base_speed
+        pair_speeds.append(
+            {"before": round(speed_before / base_speed, 2),
+             "after": round(speed_after / base_speed, 2), "clean": clean}
+        )
+        if clean:
+            pair_eff.append((pair[lo_] / pair[hi_]) / (hi_ / lo_))
+    if not pair_eff:  # every pair contaminated — fall back to all pairs
+        pair_eff = [
+            (min(results[lo_]["times"]) / min(results[hi_]["times"])) / (hi_ / lo_)
+        ]
 
     lo, hi = args.levels
     t_lo = min(results[lo]["times"])
@@ -155,6 +185,7 @@ def main() -> None:
                 "scaling_efficiency": round(efficiency, 3),
                 "pairwise_efficiencies": [round(e, 3) for e in pair_eff],
                 "median_pairwise_efficiency": round(statistics.median(pair_eff), 3),
+                "host_speed_calibration": pair_speeds,
                 "target": 0.8,
                 "all_times": {str(k): [round(x, 2) for x in v["times"]] for k, v in results.items()},
             }

@@ -1,0 +1,20 @@
+"""The self-verifying demo: every task verdict must match the oracle
+encoded in its name (reference demo_config.yml convention)."""
+
+from datapact_spark.demo import run_demo, verify_demo
+
+
+def test_demo_verdicts_match_names(spark, tmp_path):
+    result = run_demo(spark, str(tmp_path / "demo_results"), n_users=5000)
+    wrong = verify_demo(result)
+    assert not wrong, f"verdict mismatches: {wrong}"
+    assert len(result.outcomes) == 10
+    # exec summary materialized for the demo run
+    summary = None
+    from datapact_spark.ledger import ResultsLedger
+
+    ledger = ResultsLedger(spark, str(tmp_path / "demo_results"))
+    summary = ledger.read_exec_table("exec_run_summary").collect()[0]
+    assert summary["total_tasks"] == 10
+    assert summary["failure_count"] == 5
+    assert summary["critical_failures"] == 3
