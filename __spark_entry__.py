@@ -623,6 +623,21 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection (rows-only): exact
+    duplicate vectors injected (vec_id+100000) must pair with their
+    originals at cosine 1.0 via the LSH self-join."""
+    from datapact_spark.operators.similarity import embedding_near_dups
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dups = emb.where(F.col("vec_id") % 17 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return embedding_near_dups(
+        emb.unionByName(dups), threshold=0.99, bits=12, tables=4
+    ).select("id_a", "id_b")
+
+
 def q_semi_join_scope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J7 semi-join scoping: events restricted to users that exist as
     high-balance customers (`IN (subquery)` → left_semi,
@@ -711,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "drift_psi_value": q_drift_psi_value,
         "multimodal_features": q_multimodal_features,
+        "embedding_near_dups": q_embedding_near_dups,
         "semi_join_scope": q_semi_join_scope,
         "tumbling_window_agg": q_tumbling_window_agg,
         "genie_table_quality": q_genie_table_quality,

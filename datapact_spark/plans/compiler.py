@@ -283,8 +283,11 @@ def compile_task(
 
     # ---- custom SQL ---------------------------------------------------
     if task.custom_sql_tests:
-        src_view = f"__dp_src_{task.task_key}"
-        tgt_view = f"__dp_tgt_{task.task_key}"
+        from datapact_spark.config import make_identifier
+
+        slug = make_identifier(task.task_key, prefix="task")
+        src_view = f"__dp_src_{slug}"
+        tgt_view = f"__dp_tgt_{slug}"
         source_raw.createOrReplaceTempView(src_view)
         target_raw.createOrReplaceTempView(tgt_view)
         for test in task.custom_sql_tests:

@@ -80,6 +80,7 @@ def test_all_queries_have_oracle_or_are_rows_only():
         "lsh_topk",           # random-hyperplane LSH; recall asserted below
         "drift_psi_value",    # ln() bit-parity not guaranteed cross-engine
         "multimodal_features",  # mapInPandas UDF path
+        "embedding_near_dups",  # LSH self-join; recall asserted below
     }, f"unexpected rows-only: {rows_only}"
 
 
@@ -135,3 +136,13 @@ def test_multimodal_features_deterministic(spark):
     a = {tuple(r) for r in QUERIES["multimodal_features"](spark, SF_DIR).collect()}
     b = {tuple(r) for r in QUERIES["multimodal_features"](spark, SF_DIR).collect()}
     assert a == b and len(a) == 3  # image/audio/video groups
+
+
+def test_embedding_near_dups_finds_injected(spark):
+    rows = QUERIES["embedding_near_dups"](spark, SF_DIR).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in rows}
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    expected = [r["vec_id"] for r in emb.where("vec_id % 17 = 0").collect()]
+    found = sum(1 for i in expected if (i, i + 100000) in pairs)
+    # exact duplicates share every LSH bucket -> recall must be total
+    assert found == len(expected), f"{found}/{len(expected)}"
