@@ -44,7 +44,17 @@ class ResultsLedger:
         self.history_path = os.path.join(path, "run_history")
 
     def append(self, rows: DataFrame) -> None:
-        rows.write.mode("append").partitionBy("run_id").parquet(self.history_path)
+        """Idempotent per-run write: dynamic partition overwrite replaces
+        only the run_id partitions present in ``rows`` — re-running a run
+        id replaces its rows instead of duplicating them (the reference's
+        DELETE WHERE run_id + INSERT contract, aggregate_results.sql.j2:
+        157-221), and streaming micro-batch retries become exactly-once."""
+        (
+            rows.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("run_id")
+            .parquet(self.history_path)
+        )
 
     def read(self) -> DataFrame:
         if not os.path.exists(self.history_path):
