@@ -131,6 +131,39 @@ def grouped_row_hash_metrics(
     )
 
 
+def grouped_null_join_metrics(
+    source: DataFrame,
+    target: DataFrame,
+    primary_keys: list[str],
+    null_columns: list[str],
+    group_cols: list[str],
+) -> DataFrame:
+    """Per-partition-group PK-join null parity: the grouped analogue of
+    ``null_join_metrics`` — group columns come from the source side."""
+    s = source.select(
+        *primary_keys,
+        *[F.col(g) for g in group_cols if g not in primary_keys],
+        *[F.col(c).alias(f"__s_{c}") for c in null_columns],
+    )
+    t = target.select(
+        *primary_keys, *[F.col(c).alias(f"__t_{c}") for c in null_columns]
+    )
+    joined = s.join(t, on=primary_keys, how="inner")
+    exprs = []
+    for c in null_columns:
+        exprs.append(
+            F.sum(F.when(F.col(f"__s_{c}").isNull(), 1).otherwise(0)).alias(
+                f"source_nulls_{c}"
+            )
+        )
+        exprs.append(
+            F.sum(F.when(F.col(f"__t_{c}").isNull(), 1).otherwise(0)).alias(
+                f"target_nulls_{c}"
+            )
+        )
+    return joined.groupBy(*[F.col(g) for g in group_cols]).agg(*exprs)
+
+
 def null_join_metrics(
     source: DataFrame,
     target: DataFrame,

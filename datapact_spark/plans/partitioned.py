@@ -87,12 +87,22 @@ def compile_partition_verdicts(
         metric_cols.append(diff.alias("count_rel_diff"))
         pass_conds.append(("count_passed", ok))
 
+    null_join_df = None
     if task.null_validation_columns and task.null_validation_tolerance is not None:
         tol = task.null_validation_tolerance
+        if task.primary_keys:
+            # PK-join variant per group (reference semantics j2:360-375)
+            null_join_df = H.grouped_null_join_metrics(
+                source, target, task.primary_keys,
+                task.null_validation_columns, group_cols,
+            )
         for col in task.null_validation_columns:
             sn = F.coalesce(F.col(f"source_nulls_{col}"), F.lit(0))
             tn = F.coalesce(F.col(f"target_nulls_{col}"), F.lit(0))
-            ok = E.null_pass_counts(sn, tn, tol)
+            if task.primary_keys:
+                ok = E.null_pass_pk(sn, tn, tol)
+            else:
+                ok = E.null_pass_counts(sn, tn, tol)
             metric_cols.append(sn.alias(f"source_nulls_{col}"))
             metric_cols.append(tn.alias(f"target_nulls_{col}"))
             pass_conds.append((f"null_{col}_passed", ok))
@@ -120,6 +130,8 @@ def compile_partition_verdicts(
         pass_conds.append(("uniqueness_passed", (s_ratio <= tol) & (t_ratio <= tol)))
 
     step = joined
+    if null_join_df is not None:
+        step = step.join(null_join_df, on=group_cols, how="left")
     if task.pk_row_hash_check and task.primary_keys:
         hm = H.grouped_row_hash_metrics(
             source, target, task.primary_keys, group_cols, task.hash_columns, task.hash_algo

@@ -132,3 +132,34 @@ def test_code_table_determinism(spark):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
     c = synthesize_code_table(spark, 1000, n_repos=10, seed=8)
     assert c.exceptAll(a).count() > 0
+
+
+def test_grouped_pk_null_join_variant(spark, tmp_path):
+    """PK-configured tasks use the PK-join null semantics per group:
+    s=0 ⇒ t must be 0 regardless of tolerance."""
+    from datapact_spark.plans.partitioned import compile_partition_verdicts
+    from pyspark.sql import functions as F
+
+    src = spark.createDataFrame(
+        [(g, i, "v") for g in ("a", "b") for i in range(10)],
+        "grp string, id long, payload string",
+    )
+    tgt = src.withColumn(
+        "payload",
+        F.when((F.col("grp") == "b") & (F.col("id") < 3), F.lit(None)).otherwise(
+            F.col("payload")
+        ),
+    )
+    resolver = TableResolver(spark)
+    resolver.register("s", src)
+    resolver.register("t", tgt)
+    task = ValidationTask(
+        task_key="nulls", source="s", target="t",
+        primary_keys=["grp", "id"], partition_by=["grp"],
+        null_validation_columns=["payload"], null_validation_tolerance=0.9,
+    )
+    rows = {r["grp"]: r for r in compile_partition_verdicts(spark, task, resolver).collect()}
+    assert rows["a"]["null_payload_passed"] is True
+    # group b: source nulls 0, target 3 → PK variant fails despite 0.9 tol
+    assert rows["b"]["null_payload_passed"] is False
+    assert rows["b"]["target_nulls_payload"] == 3
