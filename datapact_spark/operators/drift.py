@@ -120,6 +120,99 @@ def drift_metrics(source: DataFrame, target: DataFrame, check: DriftCheck) -> Da
     return both.select(metric_col.alias(f"drift_{check.metric}_{check.column}"))
 
 
+def grouped_drift_metrics(
+    source: DataFrame,
+    target: DataFrame,
+    check: DriftCheck,
+    group_cols: list[str],
+) -> DataFrame:
+    """Per-partition-group two-sample drift: one PSI/KS value per group.
+
+    Same construction as the global path, but every piece carries the
+    group key: per-group bounds (from the source side), per-(group, bin)
+    histograms, per-group totals, and a group-partitioned running CDF.
+    All shuffles are on the group key; nothing collects to the driver.
+    """
+    bins = check.bins
+    bounds = source.groupBy(*group_cols).agg(
+        F.min(F.col(check.column).cast("double")).alias("__lo"),
+        F.max(F.col(check.column).cast("double")).alias("__hi"),
+    )
+
+    def binned(df: DataFrame) -> DataFrame:
+        width = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
+        return (
+            df.select(*group_cols, F.col(check.column).cast("double").alias("__v"))
+            .where(F.col("__v").isNotNull())
+            .join(bounds, on=group_cols, how="inner")
+            .select(
+                *group_cols,
+                F.coalesce(
+                    F.least(
+                        F.greatest(
+                            F.floor(
+                                (F.col("__v") - F.col("__lo"))
+                                / F.nullif(width, F.lit(0.0))
+                            ),
+                            F.lit(0),
+                        ),
+                        F.lit(bins - 1),
+                    ).cast("int"),
+                    F.lit(0),
+                ).alias("bin"),
+            )
+            .groupBy(*group_cols, "bin")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    p = binned(source).withColumnRenamed("cnt", "p_cnt")
+    q = binned(target).withColumnRenamed("cnt", "q_cnt")
+    merged = p.join(q, on=[*group_cols, "bin"], how="full_outer").select(
+        *group_cols,
+        "bin",
+        F.coalesce(F.col("p_cnt"), F.lit(0)).alias("p_cnt"),
+        F.coalesce(F.col("q_cnt"), F.lit(0)).alias("q_cnt"),
+    )
+    totals = merged.groupBy(*group_cols).agg(
+        F.sum("p_cnt").alias("p_tot"), F.sum("q_cnt").alias("q_tot")
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ratios = (
+        merged.join(totals, on=group_cols)
+        .select(
+            *group_cols,
+            F.col("bin"),
+            F.coalesce(
+                F.col("p_cnt") / F.nullif(F.col("p_tot").cast("double"), F.lit(0.0)),
+                F.lit(0.0),
+            ).alias("p"),
+            F.coalesce(
+                F.col("q_cnt") / F.nullif(F.col("q_tot").cast("double"), F.lit(0.0)),
+                F.lit(0.0),
+            ).alias("q"),
+        )
+        .select(
+            *group_cols,
+            (F.col("p") + F.lit(_EPS)).alias("ps"),
+            (F.col("q") + F.lit(_EPS)).alias("qs"),
+            F.sum("p").over(w).alias("p_cdf"),
+            F.sum("q").over(w).alias("q_cdf"),
+        )
+    )
+    out = ratios.groupBy(*group_cols).agg(
+        F.sum((F.col("ps") - F.col("qs")) * F.log(F.col("ps") / F.col("qs"))).alias("psi"),
+        F.max(F.abs(F.col("p_cdf") - F.col("q_cdf"))).alias("ks"),
+    )
+    metric = F.col("psi") if check.metric == "psi" else F.col("ks")
+    return out.select(
+        *group_cols, metric.alias(f"drift_{check.metric}_{check.column}")
+    )
+
+
 def drift_vs_snapshot(
     df: DataFrame, snapshot: DataFrame, check: DriftCheck
 ) -> DataFrame:

@@ -158,6 +158,16 @@ def compile_partition_verdicts(
         metric_cols.append(vc.alias(f"violation_count_{check.name}"))
         pass_conds.append((f"ref_{check.name}_passed", ratio <= check.tolerance))
 
+    for dcheck in task.drift_checks or []:
+        from datapact_spark.operators.drift import grouped_drift_metrics
+
+        dm = grouped_drift_metrics(source, target, dcheck, group_cols)
+        step = step.join(dm, on=group_cols, how="left")
+        val = F.col(f"drift_{dcheck.metric}_{dcheck.column}")
+        ok = F.coalesce(val, F.lit(0.0)) <= dcheck.threshold
+        metric_cols.append(val)
+        pass_conds.append((f"drift_{dcheck.column}_{dcheck.metric}_passed", ok))
+
     if not pass_conds:
         raise ValueError(f"task {task.task_key} has no groupable checks configured")
 

@@ -98,3 +98,63 @@ def test_drift_check_in_task(spark, dists, tmp_path):
     assert res.outcomes["shifted"].status == "FAILURE"
     p = json.loads(res.outcomes["shifted"].payload)
     assert p["drift_validation_x_psi"]["status"] == "FAIL"
+
+
+def test_grouped_drift_per_partition(spark):
+    """Per-group PSI: the drifted group fails, the stable group doesn't,
+    and each group's value matches the numpy reference on that group."""
+    import numpy as np
+    from datapact_spark.operators.drift import grouped_drift_metrics
+    from datapact_spark.config import DriftCheck
+
+    rng = np.random.RandomState(7)
+    a_stable = rng.normal(50, 5, 8000)
+    a_drift = rng.normal(50, 5, 8000)
+    b_drift = rng.normal(80, 20, 8000)
+    src = spark.createDataFrame(
+        [("g1", float(x)) for x in a_stable] + [("g2", float(x)) for x in a_drift],
+        "grp string, x double",
+    )
+    tgt = spark.createDataFrame(
+        [("g1", float(x)) for x in a_stable] + [("g2", float(x)) for x in b_drift],
+        "grp string, x double",
+    )
+    check = DriftCheck(column="x", metric="psi", bins=32, threshold=0.2)
+    rows = {
+        r["grp"]: r["drift_psi_x"]
+        for r in grouped_drift_metrics(src, tgt, check, ["grp"]).collect()
+    }
+    assert abs(rows["g1"]) < 1e-12
+    exp, _ = _np_psi_ks(a_drift, b_drift, 32, a_drift.min(), a_drift.max())
+    assert rows["g2"] == pytest.approx(exp, rel=1e-9)
+    assert rows["g2"] > 0.2
+
+
+def test_grouped_drift_in_partitioned_task(spark, tmp_path):
+    import numpy as np
+    from datapact_spark.config import ValidationTask
+    from datapact_spark.plans.partitioned import compile_partition_verdicts
+    from datapact_spark.sources.loader import TableResolver
+
+    rng = np.random.RandomState(9)
+    src = spark.createDataFrame(
+        [("g1", float(x)) for x in rng.normal(10, 1, 4000)]
+        + [("g2", float(x)) for x in rng.normal(10, 1, 4000)],
+        "grp string, x double",
+    )
+    tgt = src.withColumn(
+        "x",
+        F.when(F.col("grp") == "g2", F.col("x") * 3).otherwise(F.col("x")),
+    )
+    resolver = TableResolver(spark)
+    resolver.register("s", src)
+    resolver.register("t", tgt)
+    task = ValidationTask(
+        task_key="gd", source="s", target="t", partition_by=["grp"],
+        count_tolerance=0.0,
+        drift_checks=[{"column": "x", "metric": "psi", "threshold": 0.2}],
+    )
+    rows = {r["grp"]: r for r in compile_partition_verdicts(spark, task, resolver).collect()}
+    assert rows["g1"]["drift_x_psi_passed"] is True
+    assert rows["g2"]["drift_x_psi_passed"] is False
+    assert rows["g2"]["overall_validation_passed"] is False
