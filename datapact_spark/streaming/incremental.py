@@ -49,7 +49,11 @@ def validate_stream(
     """
     from datapact_spark.ledger import ResultsLedger
 
-    ledger = ResultsLedger(spark, results_path)
+    # per-stream ledger subdirectory: micro-batch run_ids are batch ids,
+    # which collide across different streaming tasks — and the ledger's
+    # idempotent write overwrites per run_id partition, so two streams
+    # sharing one path would wipe each other's batches
+    ledger = ResultsLedger(spark, os.path.join(results_path, f"stream_{task.task_key}"))
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         batch_resolver = TableResolver(spark, base_dir=resolver.base_dir)

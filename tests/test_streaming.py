@@ -68,10 +68,10 @@ def test_validate_stream_microbatches(spark, tmp_path):
     # second shard has nulls on joined PKs while reference has none → FAIL
     assert seen and seen[-1][1] == "FAILURE"
 
-    # ledger got one row per micro-batch
+    # ledger got one row per micro-batch (per-stream subdirectory)
     from datapact_spark.ledger import ResultsLedger
 
-    ledger = ResultsLedger(spark, str(tmp_path / "results"))
+    ledger = ResultsLedger(spark, str(tmp_path / "results" / "stream_stream_check"))
     assert ledger.read().count() == 2
 
 
