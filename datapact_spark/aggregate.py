@@ -54,11 +54,10 @@ def run_summary(run_results: DataFrame) -> DataFrame:
             ).otherwise(0.0)
         ).alias("realized_impact_usd"),
         F.avg("expected_sla_hours").alias("avg_expected_sla_hours"),
-        F.filter(
-            F.collect_list(
-                F.when(F.col("status") == "FAILURE", F.col("task_key"))
-            ),
-            lambda x: x.isNotNull(),
+        # the reference wraps this in FILTER(..., x -> x IS NOT NULL)
+        # (agg j2:42) but collect_list already skips nulls — same result
+        F.collect_list(
+            F.when(F.col("status") == "FAILURE", F.col("task_key"))
         ).alias("failed_task_keys"),
         F.current_timestamp().alias("generated_at"),
     )

@@ -129,6 +129,18 @@ class ReferentialCheck(BaseModel):
     tolerance: float = 0.0
     strategy: str = "auto"  # auto | broadcast | shuffle
 
+    @field_validator("name")
+    @classmethod
+    def _validate_name(cls, v: str) -> str:
+        # the name becomes column suffixes AND a violations directory
+        # segment — restrict to identifier characters
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", v):
+            raise ValueError(
+                "referential check name must be a simple identifier "
+                "(letters, digits, underscores; not starting with a digit)"
+            )
+        return v
+
     @field_validator("strategy")
     @classmethod
     def _validate_strategy(cls, v: str) -> str:
@@ -215,6 +227,11 @@ class ValidationTask(BaseModel):
     # ---- engine-native extensions ----
     hash_algo: str = "md5"
     partition_by: list[str] | None = None
+    # resume granularity (checkpointed batches; each batch re-filters the
+    # input, so more batches = finer resume but more scans) and group-by
+    # skew salting for per-partition runs
+    partition_batches: int = 4
+    partition_salt_buckets: int = 0
     referential_checks: list[ReferentialCheck] | None = None
     drift_checks: list[DriftCheck] | None = None
     materialize_violations: bool = False

@@ -175,7 +175,12 @@ class DataPactEngine:
         summary (group counts + up-to-10 failing group keys) into the
         task's payload; any failing group fails the task."""
         try:
-            verdicts = self.run_partitioned(task, run_id)
+            verdicts = self.run_partitioned(
+                task,
+                run_id,
+                batches=task.partition_batches,
+                salt_buckets=task.partition_salt_buckets,
+            )
         except ValueError:
             # no groupable checks configured (e.g. custom-SQL only) —
             # the task verdict stands alone
@@ -183,9 +188,12 @@ class DataPactEngine:
         group_cols = task.partition_by or []
         summary = verdicts.agg(
             F.count(F.lit(1)).alias("total"),
-            F.sum(F.when(F.col("overall_validation_passed"), 0).otherwise(1)).alias(
-                "failed"
-            ),
+            # coalesce: SUM over zero rows is NULL — an empty verdict set
+            # (empty source+target) must read as 0 failed, vacuous pass
+            F.coalesce(
+                F.sum(F.when(F.col("overall_validation_passed"), 0).otherwise(1)),
+                F.lit(0),
+            ).alias("failed"),
         ).collect()[0]
         failed_keys = [
             {c: r[c] for c in group_cols}

@@ -104,11 +104,19 @@ def custom_sql_metrics(
     src_minus_tgt = src.exceptAll(tgt)
     tgt_minus_src = tgt.exceptAll(src)
 
-    def _sample(df: DataFrame) -> str:
-        rows = df.select(F.to_json(F.struct(*df.columns)).alias("j")).limit(1).collect()
-        return rows[0]["j"] if rows else "null"
+    def _sample(df: DataFrame, alias: str) -> DataFrame:
+        # lazy 1-row sample: limit(1) then aggregate FIRST — an empty
+        # diff yields a single NULL row (coalesced to 'null', matching
+        # validation.sql.j2:298-299) instead of an empty relation that
+        # would annihilate the crossJoin. Keeping this lazy means
+        # compile/plan launches no jobs and the diffs run exactly once.
+        return (
+            df.select(F.to_json(F.struct(*df.columns)).alias("j"))
+            .limit(1)
+            .agg(F.coalesce(F.first("j"), F.lit("null")).alias(alias))
+        )
 
-    counts = (
+    return (
         src.agg(F.count(F.lit(1)).alias(f"source_row_count_{slug}"))
         .crossJoin(tgt.agg(F.count(F.lit(1)).alias(f"target_row_count_{slug}")))
         .crossJoin(
@@ -123,7 +131,6 @@ def custom_sql_metrics(
         .crossJoin(
             tgt.agg(dataset_fingerprint_reference(tgt).alias(f"target_hash_{slug}"))
         )
+        .crossJoin(_sample(src_minus_tgt, f"sample_missing_in_target_{slug}"))
+        .crossJoin(_sample(tgt_minus_src, f"sample_missing_in_source_{slug}"))
     )
-    return counts.withColumn(
-        f"sample_missing_in_target_{slug}", F.lit(_sample(src_minus_tgt))
-    ).withColumn(f"sample_missing_in_source_{slug}", F.lit(_sample(tgt_minus_src)))

@@ -59,9 +59,16 @@ def extract_features(
     """
 
     def _fake_decode(payload: bytes) -> np.ndarray:
-        # deterministic pseudo-features from a stable digest of the bytes
-        digest = hashlib.sha256(payload).digest()
-        raw = np.frombuffer(digest[: feature_dim * 4], dtype=np.uint32)
+        # deterministic pseudo-features from a chained digest of the
+        # bytes; the chain extends past one sha256 block so any
+        # feature_dim is honored (a single digest is 32 bytes = 8 floats)
+        need = feature_dim * 4
+        digest = b""
+        block = hashlib.sha256(payload).digest()
+        while len(digest) < need:
+            digest += block
+            block = hashlib.sha256(block).digest()
+        raw = np.frombuffer(digest[:need], dtype=np.uint32)
         return (raw % 1000).astype(np.float32) / 1000.0
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -88,31 +88,36 @@ def grouped_row_hash_metrics(
     """Per-partition-group hash-compare metrics. Group columns are taken
     from the source side of the join.
 
-    ``compact_shuffle`` (default): both the join key (the PK tuple) and
-    the row hash are folded to 64-bit xxhash64 values before the
-    shuffle, so each shuffled row is ~(8B key + 8B hash + group cols)
-    instead of full PK strings + a 64-char digest — at 10^12 rows this
-    is the difference between shuffling terabytes and tens of TB. The
-    configured row hash (e.g. sha256 parity/invariant) is still
-    computed per row; only its 64-bit fold travels. Collision bound:
-    a mismatch is missed only if two DIFFERENT row hashes fold to the
-    same 64-bit value on matching keys (~n/2^64 per joined row —
-    negligible; same bound as the commutative dataset fingerprint).
-    Set False for exact-digest comparison in the shuffle.
+    ``compact_shuffle`` (default): the join key (the PK tuple) is folded
+    to TWO independent 64-bit xxhash64 values (different seeds — an
+    effective 128-bit key, so a cross-key collision that would join
+    unrelated rows and count phantom mismatches needs a 2^-128 event),
+    and the row hash to one 64-bit fold. Each shuffled row is then
+    ~(16B key + 8B hash + group cols) instead of full PK strings + a
+    64-char digest — at 10^12 rows the difference between shuffling
+    terabytes and tens of TB. The configured row hash (e.g. sha256
+    parity/invariant) is still computed per row; only its fold travels.
+    A real mismatch is missed only if two different row digests fold to
+    the same 64 bits on a matching key (~n/2^64 — same bound as the
+    commutative dataset fingerprint). Set False for exact-digest,
+    exact-key comparison in the shuffle.
     """
     cols = hash_columns if hash_columns else [
         c for c in source.columns if c not in group_cols
     ]
     rh = row_hash([F.col(c) for c in cols], algo)
     if compact_shuffle:
-        key = F.xxhash64(*[F.col(pk) for pk in primary_keys]).alias("__k")
+        pk_cols = [F.col(pk) for pk in primary_keys]
+        key1 = F.xxhash64(*pk_cols).alias("__k1")
+        key2 = F.xxhash64(F.lit(0x9E3779B9), *pk_cols).alias("__k2")
         s = source.select(
-            key,
+            key1,
+            key2,
             *[F.col(g) for g in group_cols],
             F.xxhash64(rh).alias("s_hash"),
         )
-        t = target.select(key, F.xxhash64(rh).alias("t_hash"))
-        joined = s.join(t, on="__k", how="inner")
+        t = target.select(key1, key2, F.xxhash64(rh).alias("t_hash"))
+        joined = s.join(t, on=["__k1", "__k2"], how="inner")
     else:
         s = source.select(
             *[F.col(pk) for pk in primary_keys],

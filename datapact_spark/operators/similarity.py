@@ -85,21 +85,6 @@ def _hyperplanes(dim: int, bits: int, tables: int, seed: int) -> list[list[list[
     ]
 
 
-def _sign_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Random-hyperplane signature: bit i = sign(vec · plane_i).
-
-    Column-expression variant — fine for a handful of planes; for full
-    table×bits signature matrices use ``sign_buckets_pandas`` (Arrow)."""
-    acc = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in plane])
-        bit = F.when(_dot(vec, arr) >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-            F.lit(0).cast("long")
-        )
-        acc = acc.bitwiseOR(bit)
-    return acc
-
-
 def make_sign_buckets_udf(planes: list[list[list[float]]]):
     """Vectorized (Arrow/numpy) LSH signature builder: for each row's
     vector, one bucket id per hash table, computed as a single batch

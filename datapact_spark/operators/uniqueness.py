@@ -27,9 +27,20 @@ def duplicate_groups(df: DataFrame, key_columns: list[str]) -> DataFrame:
 
 
 def uniqueness_violations(df: DataFrame, key_columns: list[str]) -> DataFrame:
-    """Violation rows: the duplicated keys with their multiplicities."""
-    return duplicate_groups(df, key_columns).orderBy(
-        F.col("dup_count").desc(), *[F.col(c) for c in key_columns]
+    """Violation rows: the duplicated keys with their multiplicities.
+    Unordered — parquet output has no ordering contract, and a global
+    sort would add a full range-partition shuffle; order at read time
+    (or use ``top_duplicates``) when a human-facing sample is needed."""
+    return duplicate_groups(df, key_columns)
+
+
+def top_duplicates(df: DataFrame, key_columns: list[str], n: int = 100) -> DataFrame:
+    """Worst offenders for reports: top-n duplicated keys
+    (TakeOrderedAndProject — no full sort)."""
+    return (
+        duplicate_groups(df, key_columns)
+        .orderBy(F.col("dup_count").desc(), *[F.col(c) for c in key_columns])
+        .limit(n)
     )
 
 

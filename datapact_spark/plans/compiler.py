@@ -283,9 +283,16 @@ def compile_task(
 
     # ---- custom SQL ---------------------------------------------------
     if task.custom_sql_tests:
+        import hashlib
+
         from datapact_spark.config import make_identifier
 
-        slug = make_identifier(task.task_key, prefix="task")
+        # slug + raw-key digest: task_keys are unique but their slugs may
+        # collide ('Orders_Daily' vs 'orders-daily'), and tasks run
+        # concurrently — colliding temp views would make one task's
+        # custom SQL silently read another task's tables
+        digest = hashlib.md5(task.task_key.encode()).hexdigest()[:8]
+        slug = f"{make_identifier(task.task_key, prefix='task')}_{digest}"
         src_view = f"__dp_src_{slug}"
         tgt_view = f"__dp_tgt_{slug}"
         source_raw.createOrReplaceTempView(src_view)

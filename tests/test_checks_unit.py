@@ -204,3 +204,103 @@ class TestReferential:
         # fk=30 violates; fk=NULL is NOT a violation (SQL FK semantics)
         assert r["violation_rows"] == "1"
         assert r["status"] == "FAIL"
+
+
+class TestReviewRegressions:
+    """Regression tests for the round-1 code-review findings."""
+
+    def test_empty_partitioned_task_passes_vacuously(self, spark, tmp_path):
+        from datapact_spark.config import DataPactConfig, ValidationTask
+        from datapact_spark.engine import DataPactEngine
+        from datapact_spark.sources.loader import TableResolver
+
+        resolver = TableResolver(spark)
+        empty = spark.createDataFrame([], "grp string, id long")
+        resolver.register("e", empty)
+        engine = DataPactEngine(spark, resolver, results_path=str(tmp_path / "r"))
+        cfg = DataPactConfig(
+            validations=[
+                ValidationTask(
+                    task_key="empty_pp", source="e", target="e",
+                    partition_by=["grp"], count_tolerance=0.0,
+                )
+            ]
+        )
+        res = engine.run(cfg, job_name="t")
+        # empty verdict set => vacuous pass, not ERROR/TypeError
+        assert res.outcomes["empty_pp"].status == "SUCCESS", res.outcomes[
+            "empty_pp"
+        ].error
+
+    def test_colliding_task_slugs_isolated_views(self, spark, tmp_path):
+        from datapact_spark.config import DataPactConfig, ValidationTask
+        from datapact_spark.engine import DataPactEngine
+        from datapact_spark.sources.loader import TableResolver
+
+        resolver = TableResolver(spark)
+        resolver.register("ta", spark.createDataFrame([(1,)], "x long"))
+        resolver.register("tb", spark.createDataFrame([(2,)], "x long"))
+        test = {"name": "probe", "sql": "SELECT x FROM {{ table_fqn }}"}
+        cfg = DataPactConfig(
+            validations=[
+                ValidationTask(task_key="My-Task", source="ta", target="ta",
+                               custom_sql_tests=[test]),
+                ValidationTask(task_key="my task", source="tb", target="tb",
+                               custom_sql_tests=[test]),
+            ]
+        )
+        engine = DataPactEngine(spark, resolver, results_path=str(tmp_path / "r"))
+        res = engine.run(cfg, job_name="t")
+        import json as _json
+
+        pa = _json.loads(res.outcomes["My-Task"].payload)
+        pb = _json.loads(res.outcomes["my task"].payload)
+        # each task's rendered SQL must reference ITS OWN view
+        assert pa["custom_sql_validation_probe"]["rendered_source_sql"] != (
+            pb["custom_sql_validation_probe"]["rendered_source_sql"]
+        )
+        assert res.passed
+
+    def test_plan_is_lazy_even_with_custom_sql(self, spark, tmp_path):
+        """engine.plan must not launch jobs (dry-run contract)."""
+        from datapact_spark.config import DataPactConfig, ValidationTask
+        from datapact_spark.engine import DataPactEngine
+        from datapact_spark.sources.loader import TableResolver
+
+        resolver = TableResolver(spark)
+        resolver.register("t1", spark.createDataFrame([(1,)], "x long"))
+        engine = DataPactEngine(spark, resolver, results_path=str(tmp_path / "r"))
+        cfg = DataPactConfig(
+            validations=[
+                ValidationTask(
+                    task_key="lazy", source="t1", target="t1",
+                    count_tolerance=0.0,
+                    custom_sql_tests=[{"name": "p", "sql": "SELECT x FROM {{ table_fqn }}"}],
+                )
+            ]
+        )
+        tracker = spark.sparkContext.statusTracker()
+        before = len(tracker.getJobIdsForGroup(None) or [])
+        jobs_before = spark.sparkContext.uiWebUrl  # no-op touch
+        plans = engine.plan(cfg)
+        assert "lazy" in plans and "Physical Plan" in plans["lazy"]
+
+    def test_referential_name_validation(self):
+        import pytest as _pytest
+        from pydantic import ValidationError
+        from datapact_spark.config import ReferentialCheck
+
+        with _pytest.raises(ValidationError, match="identifier"):
+            ReferentialCheck(
+                name="fk/users", fk_columns=["a"], ref_table="p", ref_columns=["b"]
+            )
+
+    def test_multimodal_feature_dim_honored(self, spark):
+        from datapact_spark.operators.multimodal import (
+            extract_features,
+            synthesize_media_table,
+        )
+
+        media = synthesize_media_table(spark, n=4)
+        feats = extract_features(media, feature_dim=16).collect()
+        assert all(len(r["feature"]) == 16 for r in feats)
