@@ -169,12 +169,23 @@ class DriftCheck(BaseModel):
     metric: str = "psi"  # psi | ks
     threshold: float = 0.2
     bins: int = 64
+    # "target": two-sample source-vs-target drift (the table-pair model);
+    # "snapshot": compare the source against a stored baseline histogram
+    # (bootstrap on first run), the north-star lifecycle
+    baseline: str = "target"
 
     @field_validator("metric")
     @classmethod
     def _validate_metric(cls, v: str) -> str:
         if v not in DRIFT_METRICS:
             raise ValueError(f"metric must be one of {sorted(DRIFT_METRICS)}")
+        return v
+
+    @field_validator("baseline")
+    @classmethod
+    def _validate_baseline(cls, v: str) -> str:
+        if v not in {"target", "snapshot"}:
+            raise ValueError("baseline must be 'target' or 'snapshot'")
         return v
 
 

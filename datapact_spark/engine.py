@@ -76,6 +76,9 @@ class DataPactEngine:
         self.spark = spark
         self.resolver = resolver or TableResolver(spark)
         self.ledger = ResultsLedger(spark, results_path)
+        from datapact_spark.ledger import BaselineStore
+
+        self.baselines = BaselineStore(spark, results_path)
 
     # ------------------------------------------------------------ plan
     def plan(self, config: DataPactConfig) -> dict[str, str]:
@@ -114,12 +117,22 @@ class DataPactEngine:
             )
             t0 = time.monotonic()
             try:
-                compiled = compile_task(self.spark, task, self.resolver)
+                compiled = compile_task(
+                    self.spark, task, self.resolver, baseline_store=self.baselines
+                )
                 row = compiled.ledger_row(
                     run_id, run_id, job_name, job_start_ts
                 ).collect()[0]
                 for kind, vdf in compiled.violation_dfs.items():
                     self.ledger.write_violations(run_id, task.task_key, kind, vdf)
+                for dcheck, src_df in compiled.bootstrap_drift:
+                    from datapact_spark.operators.drift import histogram_snapshot
+
+                    self.baselines.write(
+                        task.task_key,
+                        dcheck.column,
+                        histogram_snapshot(src_df, dcheck.column, dcheck.bins),
+                    )
                 if task.partition_by:
                     # north-star mode: per-partition verdicts computed,
                     # checkpointed, and folded into the task payload +

@@ -83,6 +83,29 @@ class ResultsLedger:
         df.write.mode("overwrite").parquet(out)
 
 
+class BaselineStore:
+    """Baseline distribution snapshots for drift checks (north-star:
+    'sketches compared against baseline snapshots'). One mergeable
+    histogram per (task, column), stored beside the ledger; first run
+    bootstraps it, later runs compare against it."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def _dir(self, task_key: str, column: str) -> str:
+        return os.path.join(self.path, "baselines", task_key, column)
+
+    def exists(self, task_key: str, column: str) -> bool:
+        return os.path.exists(os.path.join(self._dir(task_key, column), "_SUCCESS"))
+
+    def read(self, task_key: str, column: str) -> DataFrame:
+        return self.spark.read.parquet(self._dir(task_key, column))
+
+    def write(self, task_key: str, column: str, snapshot: DataFrame) -> None:
+        snapshot.write.mode("overwrite").parquet(self._dir(task_key, column))
+
+
 class CheckpointStore:
     """Per-partition completion manifest for resume-exactly semantics.
 

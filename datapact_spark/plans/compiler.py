@@ -62,6 +62,10 @@ class CompiledTask:
     task: ValidationTask
     metrics_df: DataFrame  # one row: metadata + result_payload + overall_validation_passed
     violation_dfs: dict[str, DataFrame] = field(default_factory=dict)
+    # snapshot-mode drift checks with no stored baseline yet: the engine
+    # bootstraps (writes) these after the run — compile stays side-effect
+    # free so `plan` remains a true dry run
+    bootstrap_drift: list = field(default_factory=list)  # [(check, source_df)]
 
     def ledger_row(
         self, run_id: int, job_id: int, job_name: str, job_start_ts: dt.datetime
@@ -109,9 +113,16 @@ def _meta_cols(task: ValidationTask, begin_ts: dt.datetime) -> list[Column]:
 
 
 def compile_task(
-    spark: SparkSession, task: ValidationTask, resolver: TableResolver
+    spark: SparkSession,
+    task: ValidationTask,
+    resolver: TableResolver,
+    baseline_store=None,
 ) -> CompiledTask:
-    """Compile one validation task into its single-row verdict plan."""
+    """Compile one validation task into its single-row verdict plan.
+
+    ``baseline_store`` (ledger.BaselineStore) enables snapshot-mode
+    drift checks; without it they degrade to two-sample mode.
+    """
     begin_ts = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
     source_raw = resolver.resolve(task.source_ref)
     target_raw = resolver.resolve(task.target_ref)
@@ -365,10 +376,25 @@ def compile_task(
             )
 
     # ---- distribution drift (north-star) -------------------------------
+    bootstrap_drift: list = []
     for dcheck in task.drift_checks or []:
-        from datapact_spark.operators.drift import drift_metrics
+        from datapact_spark.operators.drift import drift_metrics, drift_vs_snapshot
 
-        metric_dfs.append(drift_metrics(source, target, dcheck))
+        if dcheck.baseline == "snapshot" and baseline_store is not None:
+            if baseline_store.exists(task.task_key, dcheck.column):
+                snap = baseline_store.read(task.task_key, dcheck.column)
+                metric_dfs.append(drift_vs_snapshot(source, snap, dcheck))
+            else:
+                # bootstrap run: no baseline yet — vacuous 0 drift now,
+                # engine persists the snapshot after the run
+                metric_dfs.append(
+                    spark.range(1).select(
+                        F.lit(0.0).alias(f"drift_{dcheck.metric}_{dcheck.column}")
+                    )
+                )
+                bootstrap_drift.append((dcheck, source))
+        else:
+            metric_dfs.append(drift_metrics(source, target, dcheck))
         val = F.col(f"drift_{dcheck.metric}_{dcheck.column}")
         ok = F.coalesce(val, F.lit(0.0)) <= dcheck.threshold
         payload_fields.append(
@@ -398,4 +424,9 @@ def compile_task(
         F.to_json(F.struct(*payload_fields)).alias("result_payload"),
         overall.alias("overall_validation_passed"),
     )
-    return CompiledTask(task=task, metrics_df=metrics, violation_dfs=violation_dfs)
+    return CompiledTask(
+        task=task,
+        metrics_df=metrics,
+        violation_dfs=violation_dfs,
+        bootstrap_drift=bootstrap_drift,
+    )

@@ -158,3 +158,43 @@ def test_grouped_drift_in_partitioned_task(spark, tmp_path):
     assert rows["g1"]["drift_x_psi_passed"] is True
     assert rows["g2"]["drift_x_psi_passed"] is False
     assert rows["g2"]["overall_validation_passed"] is False
+
+
+def test_snapshot_baseline_lifecycle(spark, dists, tmp_path):
+    """Snapshot-mode drift: run 1 bootstraps the baseline (vacuous
+    pass + snapshot persisted); run 2 with a drifted source fails
+    against the stored baseline; run 3 with the original source passes."""
+    from datapact_spark.engine import DataPactEngine
+
+    a, b, dfa, dfb = dists
+    resolver = TableResolver(spark)
+    resolver.register("cur", dfa)
+    resolver.register("tgt_unused", dfa)
+    engine = DataPactEngine(spark, resolver, results_path=str(tmp_path / "r"))
+
+    def cfg():
+        return DataPactConfig(
+            validations=[
+                ValidationTask(
+                    task_key="snap", source="cur", target="tgt_unused",
+                    drift_checks=[{
+                        "column": "x", "metric": "psi",
+                        "threshold": 0.1, "baseline": "snapshot",
+                    }],
+                )
+            ]
+        )
+
+    r1 = engine.run(cfg(), job_name="d1")
+    assert r1.outcomes["snap"].status == "SUCCESS"  # bootstrap
+    assert engine.baselines.exists("snap", "x")
+
+    resolver.register("cur", dfb)  # drifted distribution arrives
+    r2 = engine.run(cfg(), job_name="d2")
+    assert r2.outcomes["snap"].status == "FAILURE"
+    p = json.loads(r2.outcomes["snap"].payload)
+    assert p["drift_validation_x_psi"]["status"] == "FAIL"
+
+    resolver.register("cur", dfa)  # back to baseline distribution
+    r3 = engine.run(cfg(), job_name="d3")
+    assert r3.outcomes["snap"].status == "SUCCESS"
