@@ -60,7 +60,10 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         task_key="flagship_lineitem",
         source="lineitem",
         target="lineitem_corrupted",
-        primary_keys=["l_orderkey", "l_linenumber"],
+        # the driver's synthetic lineitem is NOT unique on
+        # (l_orderkey, l_linenumber); the 4-column key is (≤2 dup rows
+        # at sf0.001, none at sf0.01+)
+        primary_keys=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
         count_tolerance=0.02,
         pk_row_hash_check=True,
         pk_hash_tolerance=0.05,
@@ -68,8 +71,8 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg_validations=[
             {"column": "l_extendedprice", "validations": [{"agg": "SUM", "tolerance": 0.05}]}
         ],
-        uniqueness_columns=["l_orderkey", "l_linenumber"],
-        uniqueness_tolerance=0.0,
+        uniqueness_columns=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
+        uniqueness_tolerance=0.001,
         referential_checks=[
             {
                 "name": "fk_orders",
