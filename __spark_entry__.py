@@ -641,6 +641,17 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b")
 
 
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (lag + running sum windows) rolled up to
+    per-session stats; 30-minute gap over the events table."""
+    from datapact_spark.operators.sessions import session_stats
+
+    ev = _t(spark, sf_dir, "events").where("user_id < 200")
+    return session_stats(ev, gap_minutes=30).select(
+        "user_id", "session_id", "n_events", "duration_us"
+    )
+
+
 def q_semi_join_scope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J7 semi-join scoping: events restricted to users that exist as
     high-balance customers (`IN (subquery)` → left_semi,
@@ -730,6 +741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_psi_value": q_drift_psi_value,
         "multimodal_features": q_multimodal_features,
         "embedding_near_dups": q_embedding_near_dups,
+        "sessionization": q_sessionization,
         "semi_join_scope": q_semi_join_scope,
         "tumbling_window_agg": q_tumbling_window_agg,
         "genie_table_quality": q_genie_table_quality,
@@ -1019,6 +1031,22 @@ def oracle_sql() -> dict[str, str]:
                    concat_ws('|', status_label, impact_band) AS combined_key,
                    COUNT(*) AS n
             FROM labeled GROUP BY 1, 2, 3
+        """,
+        "sessionization": """
+            WITH marked AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events WHERE user_id < 200),
+            sessioned AS (
+              SELECT user_id, ts,
+                     SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              FROM marked)
+            SELECT user_id, session_id, COUNT(*) AS n_events,
+                   epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+            FROM sessioned GROUP BY user_id, session_id
         """,
         "semi_join_scope": """
             SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users

@@ -1,0 +1,66 @@
+"""Event sessionization — gap-based sessions over an event stream.
+
+The classic training-data / clickstream primitive (the reference's demo
+has 15M "clickstream_sessions" rows but no sessionization operator; this
+is an engine-native addition). Batch path: a window ``lag`` marks
+session starts (gap > threshold), a running sum over the marks assigns
+session ids — two passes over data partitioned by user, no Python.
+
+Scale notes: both windows partition by the user key, so the single
+shuffle is on ``user_col``; AQE handles skewed users (a bot with
+millions of events still sorts within one partition — for pathological
+skew, pre-split such users by day before sessionizing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Assign ``session_id`` (per-user ordinal) to each event: a new
+    session starts when the gap to the previous event exceeds
+    ``gap_minutes``. Deterministic given unique (user, ts) ordering;
+    ties broken by the full ordering columns."""
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col))
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    # exact microsecond arithmetic (second-granularity casts truncate
+    # sub-second components engine-dependently)
+    is_new = (
+        prev_ts.isNull()
+        | (
+            F.unix_micros(F.col(ts_col).cast("timestamp"))
+            - F.unix_micros(prev_ts.cast("timestamp"))
+            > gap_minutes * 60 * 1_000_000
+        )
+    ).cast("long")
+    wsum = Window.partitionBy(user_col).orderBy(F.col(ts_col)).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return events.withColumn("session_id", F.sum(is_new).over(wsum))
+
+
+def session_stats(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Per-session rollup: event count, duration seconds, start/end."""
+    s = sessionize(events, user_col, ts_col, gap_minutes)
+    return s.groupBy(user_col, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.unix_micros(F.max(F.col(ts_col)).cast("timestamp"))
+            - F.unix_micros(F.min(F.col(ts_col)).cast("timestamp"))
+        ).alias("duration_us"),
+        F.min(F.col(ts_col)).alias("session_start"),
+        F.max(F.col(ts_col)).alias("session_end"),
+    )
