@@ -416,6 +416,39 @@ def q_run_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 domain breakdown (aggregate_results.sql.j2:46-62) over a
+    deterministic synthetic ledger, including the blank→'Unspecified'
+    normalization."""
+    from datapact_spark.aggregate import domain_breakdown
+
+    orders = _t(spark, sf_dir, "orders")
+    ledger = orders.where("o_orderkey % 50 = 0").select(
+        F.lit(7).cast("long").alias("run_id"),
+        F.lit("sim").alias("job_name"),
+        F.concat(F.lit("task_"), F.col("o_orderkey").cast("string")).alias("task_key"),
+        F.when(F.col("o_orderstatus") == "F", F.lit("FAILURE"))
+        .otherwise(F.lit("SUCCESS"))
+        .alias("status"),
+        F.when(F.col("o_custkey") % 3 == 0, F.lit("Sales"))
+        .when(F.col("o_custkey") % 3 == 1, F.lit("Finance"))
+        .otherwise(F.lit(" "))  # blank → 'Unspecified'
+        .alias("business_domain"),
+        F.lit(2.0).alias("expected_sla_hours"),
+        (F.col("o_orderkey") % 1000).cast("double").alias("estimated_impact_usd"),
+        F.col("o_orderdate").alias("validation_begin_ts"),
+    )
+    return domain_breakdown(ledger).select(
+        "business_domain",
+        "total_validations",
+        "failed_validations",
+        "success_rate_percent",
+        "potential_impact_usd",
+        "realized_impact_usd",
+        "last_failure_ts",
+    )
+
+
 def q_latest_per_task(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 window dedup: latest event per (user_id, event_type) — the
     row_number()-over-desc pattern (client.py:480-487)."""
@@ -728,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": q_ann_bruteforce,
         "minhash_dedup": q_minhash_dedup,
         "run_aggregation": q_run_aggregation,
+        "domain_breakdown": q_domain_breakdown,
         "latest_per_task": q_latest_per_task,
         "top_failing": q_top_failing,
         "filtered_validation": q_filtered_validation,
@@ -965,6 +999,26 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CASE WHEN status = 'FAILURE' THEN estimated_impact_usd ELSE 0.0 END) AS realized_impact_usd,
                    list_sort(list_filter(list(CASE WHEN status = 'FAILURE' THEN task_key END), x -> x IS NOT NULL)) AS failed_task_keys
             FROM ledger
+        """,
+        "domain_breakdown": """
+            WITH ledger AS (
+              SELECT CASE WHEN o_orderstatus = 'F' THEN 'FAILURE' ELSE 'SUCCESS' END AS status,
+                     CASE WHEN o_custkey % 3 = 0 THEN 'Sales'
+                          WHEN o_custkey % 3 = 1 THEN 'Finance'
+                          ELSE ' ' END AS business_domain,
+                     CAST(o_orderkey % 1000 AS DOUBLE) AS estimated_impact_usd,
+                     o_orderdate AS validation_begin_ts
+              FROM orders WHERE o_orderkey % 50 = 0)
+            SELECT COALESCE(NULLIF(TRIM(business_domain), ''), 'Unspecified') AS business_domain,
+                   COUNT(*) AS total_validations,
+                   SUM(CASE WHEN status = 'FAILURE' THEN 1 ELSE 0 END) AS failed_validations,
+                   CASE WHEN COUNT(*) = 0 THEN 0.0
+                        ELSE ROUND(SUM(CASE WHEN status = 'SUCCESS' THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 2)
+                   END AS success_rate_percent,
+                   SUM(COALESCE(estimated_impact_usd, 0.0)) AS potential_impact_usd,
+                   SUM(CASE WHEN status = 'FAILURE' THEN COALESCE(estimated_impact_usd, 0.0) ELSE 0.0 END) AS realized_impact_usd,
+                   MAX(CASE WHEN status = 'FAILURE' THEN validation_begin_ts END) AS last_failure_ts
+            FROM ledger GROUP BY 1
         """,
         "latest_per_task": """
             SELECT user_id, event_type, event_id, ts
