@@ -166,8 +166,10 @@ def q_agg_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.abs(sv - tv) / F.greatest(F.abs(sv), F.abs(tv)))
         )
         out_cols += [
-            F.col(f"source_value_{agg}").alias(f"source_{agg.lower()}"),
-            F.col(f"target_value_{agg}").alias(f"target_{agg.lower()}"),
+            # final scalar DECIMAL→DOUBLE cast on BOTH engines: exact agg,
+            # one correctly-rounded conversion → engine-portable
+            F.col(f"source_value_{agg}").cast("double").alias(f"source_{agg.lower()}"),
+            F.col(f"target_value_{agg}").cast("double").alias(f"target_{agg.lower()}"),
             pass_fail(F.coalesce(diff, F.lit(0.0)) <= tol).alias(f"status_{agg.lower()}"),
         ]
     return j.select(*out_cols)
@@ -412,7 +414,11 @@ def q_run_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "critical_failures",
         "potential_impact_usd",
         "realized_impact_usd",
-        F.array_sort("failed_task_keys").alias("failed_task_keys"),
+        # scalar string, not ARRAY: the driver canonicalizer can't sort/
+        # hash list cells (CORRECTNESS_r01 run_aggregation harness err)
+        F.array_join(F.array_sort("failed_task_keys"), ",").alias(
+            "failed_task_keys"
+        ),
     )
 
 
@@ -544,7 +550,16 @@ def q_dense_rank_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         daily.withColumn("recency_rank", F.dense_rank().over(w))
         .where(F.col("recency_rank") <= 3)
-        .select("day", "event_type", "n", "total_value", "recency_rank")
+        # day as ISO string / exact-decimal sum as one double cast:
+        # pandas date-vs-Timestamp and Decimal-vs-float reprs fail the
+        # driver hash even when values are identical (VERDICT r1)
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "event_type",
+            "n",
+            F.col("total_value").cast("double").alias("total_value"),
+            "recency_rank",
+        )
     )
 
 
@@ -712,7 +727,10 @@ def q_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(w.alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(38,4)").alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("decimal(38,4)")
+            .cast("double")  # exact decimal agg, one portable double cast
+            .alias("total_value"),
             F.count_distinct("user_id").alias("n_users"),
         )
         .select(F.col("w.start").alias("window_start"), "n", "total_value", "n_users")
@@ -826,8 +844,8 @@ def oracle_sql() -> dict[str, str]:
             FROM s, t
         """,
         "null_validation": """
-            WITH s AS (SELECT SUM(CASE WHEN NULLIF(o_orderpriority, '1-URGENT') IS NULL THEN 1 ELSE 0 END) AS source_nulls FROM orders),
-                 t AS (SELECT SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS target_nulls FROM orders)
+            WITH s AS (SELECT CAST(SUM(CASE WHEN NULLIF(o_orderpriority, '1-URGENT') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS source_nulls FROM orders),
+                 t AS (SELECT CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS target_nulls FROM orders)
             SELECT source_nulls, target_nulls,
                    CASE WHEN source_nulls = 0 AND target_nulls > 0 THEN 100.0
                         WHEN target_nulls = 0 AND source_nulls > 0 THEN 100.0
@@ -847,21 +865,21 @@ def oracle_sql() -> dict[str, str]:
                               CAST(MIN(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS t_min,
                               CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS t_max
                        FROM lineitem WHERE l_quantity < 50)
-            SELECT s_sum AS source_sum, t_sum AS target_sum,
+            SELECT CAST(s_sum AS DOUBLE) AS source_sum, CAST(t_sum AS DOUBLE) AS target_sum,
                    CASE WHEN COALESCE(
                        CASE WHEN CAST(s_sum AS DOUBLE) = CAST(t_sum AS DOUBLE) THEN 0.0
                             WHEN GREATEST(ABS(CAST(s_sum AS DOUBLE)), ABS(CAST(t_sum AS DOUBLE))) = 0 THEN 0.0
                             ELSE ABS(CAST(s_sum AS DOUBLE) - CAST(t_sum AS DOUBLE)) / GREATEST(ABS(CAST(s_sum AS DOUBLE)), ABS(CAST(t_sum AS DOUBLE))) END,
                        0.0) <= 0.05 THEN 'PASS' ELSE 'FAIL' END AS status_sum,
-                   s_min AS source_min, t_min AS target_min,
+                   CAST(s_min AS DOUBLE) AS source_min, CAST(t_min AS DOUBLE) AS target_min,
                    CASE WHEN CAST(s_min AS DOUBLE) = CAST(t_min AS DOUBLE) THEN 'PASS' ELSE 'FAIL' END AS status_min,
-                   s_max AS source_max, t_max AS target_max,
+                   CAST(s_max AS DOUBLE) AS source_max, CAST(t_max AS DOUBLE) AS target_max,
                    CASE WHEN CAST(s_max AS DOUBLE) = CAST(t_max AS DOUBLE) THEN 'PASS' ELSE 'FAIL' END AS status_max
             FROM s, t
         """,
         "uniqueness_validation": """
             WITH m AS (
-              SELECT SUM(n) AS row_count, COUNT(*) AS distinct_count, SUM(n) - COUNT(*) AS duplicate_count
+              SELECT CAST(SUM(n) AS BIGINT) AS row_count, COUNT(*) AS distinct_count, CAST(SUM(n) - COUNT(*) AS BIGINT) AS duplicate_count
               FROM (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey)
             )
             SELECT row_count, distinct_count, duplicate_count,
@@ -882,7 +900,7 @@ def oracle_sql() -> dict[str, str]:
               FROM lineitem),
             j AS (
               SELECT COUNT(*) AS total_compared_rows,
-                     COALESCE(SUM(CASE WHEN s.h <> t.h THEN 1 ELSE 0 END), 0) AS mismatch_count
+                     CAST(COALESCE(SUM(CASE WHEN s.h <> t.h THEN 1 ELSE 0 END), 0) AS BIGINT) AS mismatch_count
               FROM s JOIN t USING (l_orderkey, l_linenumber))
             SELECT total_compared_rows, mismatch_count,
                    COALESCE(mismatch_count / NULLIF(CAST(total_compared_rows AS DOUBLE), 0), 0) AS mismatch_ratio,
@@ -940,8 +958,8 @@ def oracle_sql() -> dict[str, str]:
         "text_token_stats": """
             SELECT lang,
                    COUNT(*) AS n_docs,
-                   SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS total_tokens,
-                   SUM(length(text)) AS total_chars,
+                   CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
+                   CAST(SUM(length(text)) AS BIGINT) AS total_chars,
                    COUNT(DISTINCT source) AS n_sources
             FROM documents GROUP BY lang
         """,
@@ -990,14 +1008,14 @@ def oracle_sql() -> dict[str, str]:
                      4.0 AS expected_sla_hours
               FROM orders WHERE o_orderkey % 100 = 0)
             SELECT COUNT(*) AS total_tasks,
-                   SUM(CASE WHEN status = 'FAILURE' THEN 1 ELSE 0 END) AS failure_count,
-                   SUM(CASE WHEN status = 'SUCCESS' THEN 1 ELSE 0 END) AS success_count,
+                   CAST(SUM(CASE WHEN status = 'FAILURE' THEN 1 ELSE 0 END) AS BIGINT) AS failure_count,
+                   CAST(SUM(CASE WHEN status = 'SUCCESS' THEN 1 ELSE 0 END) AS BIGINT) AS success_count,
                    CASE WHEN COUNT(*) = 0 THEN 0.0 ELSE ROUND(SUM(CASE WHEN status = 'SUCCESS' THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 2) END AS success_rate_percent,
                    CASE WHEN COUNT(*) = 0 THEN 0.0 ELSE ROUND(SUM(CASE WHEN status = 'SUCCESS' THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) END AS data_quality_score,
-                   SUM(CASE WHEN status = 'FAILURE' AND business_priority = 'CRITICAL' THEN 1 ELSE 0 END) AS critical_failures,
+                   CAST(SUM(CASE WHEN status = 'FAILURE' AND business_priority = 'CRITICAL' THEN 1 ELSE 0 END) AS BIGINT) AS critical_failures,
                    SUM(estimated_impact_usd) AS potential_impact_usd,
                    SUM(CASE WHEN status = 'FAILURE' THEN estimated_impact_usd ELSE 0.0 END) AS realized_impact_usd,
-                   list_sort(list_filter(list(CASE WHEN status = 'FAILURE' THEN task_key END), x -> x IS NOT NULL)) AS failed_task_keys
+                   array_to_string(list_sort(list_filter(list(CASE WHEN status = 'FAILURE' THEN task_key END), x -> x IS NOT NULL)), ',') AS failed_task_keys
             FROM ledger
         """,
         "domain_breakdown": """
@@ -1011,7 +1029,7 @@ def oracle_sql() -> dict[str, str]:
               FROM orders WHERE o_orderkey % 50 = 0)
             SELECT COALESCE(NULLIF(TRIM(business_domain), ''), 'Unspecified') AS business_domain,
                    COUNT(*) AS total_validations,
-                   SUM(CASE WHEN status = 'FAILURE' THEN 1 ELSE 0 END) AS failed_validations,
+                   CAST(SUM(CASE WHEN status = 'FAILURE' THEN 1 ELSE 0 END) AS BIGINT) AS failed_validations,
                    CASE WHEN COUNT(*) = 0 THEN 0.0
                         ELSE ROUND(SUM(CASE WHEN status = 'SUCCESS' THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 2)
                    END AS success_rate_percent,
@@ -1062,7 +1080,9 @@ def oracle_sql() -> dict[str, str]:
               FROM events GROUP BY 1, 2),
             ranked AS (
               SELECT *, DENSE_RANK() OVER (ORDER BY day DESC) AS recency_rank FROM daily)
-            SELECT day, event_type, n, total_value, CAST(recency_rank AS INT) AS recency_rank
+            SELECT CAST(day AS VARCHAR) AS day, event_type, n,
+                   CAST(total_value AS DOUBLE) AS total_value,
+                   CAST(recency_rank AS INT) AS recency_rank
             FROM ranked WHERE recency_rank <= 3
         """,
         "percentile_runtimes": """
@@ -1095,8 +1115,8 @@ def oracle_sql() -> dict[str, str]:
               FROM events WHERE user_id < 200),
             sessioned AS (
               SELECT user_id, ts,
-                     SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                     CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
               FROM marked)
             SELECT user_id, session_id, COUNT(*) AS n_events,
                    epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
@@ -1111,7 +1131,7 @@ def oracle_sql() -> dict[str, str]:
         "tumbling_window_agg": """
             SELECT date_trunc('hour', ts) AS window_start,
                    COUNT(*) AS n,
-                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS total_value,
                    COUNT(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1
         """,
@@ -1124,7 +1144,7 @@ def oracle_sql() -> dict[str, str]:
               FROM orders WHERE o_orderkey % 20 = 0)
             SELECT table_fqn,
                    COUNT(*) AS total_validations,
-                   SUM(CASE WHEN status = 'FAILURE' THEN 1 ELSE 0 END) AS failed_validations,
+                   CAST(SUM(CASE WHEN status = 'FAILURE' THEN 1 ELSE 0 END) AS BIGINT) AS failed_validations,
                    CASE WHEN COUNT(*) = 0 THEN 0.0
                         ELSE ROUND(SUM(CASE WHEN status = 'SUCCESS' THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 2)
                    END AS success_rate_percent,
