@@ -54,6 +54,20 @@ class CustomSqlTest(BaseModel):
     name: str
     sql: str
     description: str | None = None
+    # Dataset-fingerprint strategy for the pass/fail hash comparison:
+    # 'commutative' (default) = sum(xxhash64(row)) + count — a plain
+    # aggregate with map-side partials, no collect, safe at any scale;
+    # 'reference' = sha2 over the sorted collect_list of row md5s —
+    # bit-compatible with validation.sql.j2:268-277 but materializes
+    # every row hash on one node (opt in only for small result sets).
+    fingerprint: str = "commutative"
+
+    @field_validator("fingerprint")
+    @classmethod
+    def _validate_fingerprint(cls, v: str) -> str:
+        if v not in {"commutative", "reference"}:
+            raise ValueError("fingerprint must be 'commutative' or 'reference'")
+        return v
 
     @field_validator("name")
     @classmethod
@@ -229,6 +243,11 @@ class ValidationTask(BaseModel):
     agg_validations: list[AggValidation] | None = None
     uniqueness_columns: list[str] | None = None
     uniqueness_tolerance: float | None = None
+    # 'scalable' (north-star default: hash-repartitioned groupBy-count,
+    # key-only shuffle, no Expand) | 'parity' (COUNT(DISTINCT struct)
+    # folded into the single-pass profile — one scan, but Expand doubles
+    # the profile's shuffle at 10^12 rows) | 'auto' = scalable
+    uniqueness_strategy: str = "auto"
     business_domain: str | None = None
     business_owner: str | None = None
     business_priority: str | None = None
@@ -257,7 +276,9 @@ class ValidationTask(BaseModel):
             raise ValueError("Filter cannot be empty or whitespace.")
         if normalized.endswith(";"):
             raise ValueError("Filter should not include a trailing semicolon.")
-        return normalized
+        from datapact_spark.functions.filters import validate_filter_text
+
+        return validate_filter_text(normalized)
 
     @field_validator(
         "count_tolerance",
@@ -293,6 +314,27 @@ class ValidationTask(BaseModel):
     def _validate_hash_algo(cls, v: str) -> str:
         if v not in HASH_ALGOS:
             raise ValueError(f"hash_algo must be one of {sorted(HASH_ALGOS)}")
+        return v
+
+    @field_validator("uniqueness_strategy")
+    @classmethod
+    def _validate_uniq_strategy(cls, v: str) -> str:
+        if v not in {"auto", "parity", "scalable"}:
+            raise ValueError("uniqueness_strategy must be auto, parity, or scalable")
+        return v
+
+    @field_validator("partition_batches")
+    @classmethod
+    def _validate_partition_batches(cls, v: int) -> int:
+        if v < 1:
+            raise ValueError("partition_batches must be >= 1")
+        return v
+
+    @field_validator("partition_salt_buckets")
+    @classmethod
+    def _validate_salt_buckets(cls, v: int) -> int:
+        if v < 0:
+            raise ValueError("partition_salt_buckets must be >= 0")
         return v
 
     @model_validator(mode="after")
@@ -336,6 +378,30 @@ class ValidationTask(BaseModel):
                     f"'{test.name}' conflicts with '{collision}'."
                 )
             cte_names[normalized] = test.name
+        return self
+
+    @model_validator(mode="after")
+    def _validate_unique_metric_names(self) -> "ValidationTask":
+        # duplicate (column, agg) / (column, metric) pairs would alias
+        # the same metric column twice and fail the crossJoin at compile
+        # with an ambiguous-column error — reject them up front
+        seen_aggs: set[tuple[str, str]] = set()
+        for av in self.agg_validations or []:
+            for v in av.validations:
+                key = (av.column, v.agg.upper())
+                if key in seen_aggs:
+                    raise ValueError(
+                        f"Duplicate agg validation {key[1]} on column '{key[0]}'"
+                    )
+                seen_aggs.add(key)
+        seen_drift: set[tuple[str, str]] = set()
+        for dc in self.drift_checks or []:
+            key = (dc.column, dc.metric)
+            if key in seen_drift:
+                raise ValueError(
+                    f"Duplicate drift check '{key[1]}' on column '{key[0]}'"
+                )
+            seen_drift.add(key)
         return self
 
     # ---- helpers ----

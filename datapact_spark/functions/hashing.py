@@ -96,12 +96,31 @@ def dataset_fingerprint_reference(df: DataFrame) -> Column:
     )
 
 
+def dataset_fingerprint_commutative_col(df: DataFrame) -> Column:
+    """Column form of the commutative fingerprint, embeddable in a wide
+    1-row agg: ``'xx:<sum(xxhash64(row))>:<count>'`` (``'EMPTY'`` for the
+    empty set, matching the reference-variant sentinel). Equal multisets
+    ⇒ equal strings; plain SUM/COUNT aggregate ⇒ full map-side partial
+    aggregation and no driver-side collect at any scale."""
+    # sum in DECIMAL(38,0): a BIGINT sum of 64-bit hashes overflows (and
+    # throws under Spark 4 ANSI mode); decimal is exact to ~1e19 rows
+    h = F.xxhash64(F.to_json(F.struct(*df.columns))).cast("decimal(38,0)")
+    return F.when(F.count(F.lit(1)) == 0, F.lit("EMPTY")).otherwise(
+        F.concat_ws(
+            ":",
+            F.lit("xx"),
+            F.sum(h).cast("string"),
+            F.count(F.lit(1)).cast("string"),
+        )
+    )
+
+
 def dataset_fingerprint_commutative(df: DataFrame) -> DataFrame:
     """Scale-path order-insensitive fingerprint: (sum(xxhash64(row)),
     count). Commutative + associative ⇒ partial aggregation map-side,
     no driver collect, O(1) result. Equal multisets ⇒ equal
     fingerprints (collision odds ~2^-64 per comparison)."""
-    h = F.xxhash64(F.to_json(F.struct(*df.columns)))
+    h = F.xxhash64(F.to_json(F.struct(*df.columns))).cast("decimal(38,0)")
     return df.agg(
         F.sum(h).alias("fingerprint_sum"),
         F.count(F.lit(1)).alias("fingerprint_count"),

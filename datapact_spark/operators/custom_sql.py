@@ -22,7 +22,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datapact_spark.config import CustomSqlTest, ValidationTask
-from datapact_spark.functions.hashing import dataset_fingerprint_reference
+from datapact_spark.functions.hashing import (
+    dataset_fingerprint_commutative_col,
+    dataset_fingerprint_reference,
+)
 
 _env = Environment()
 
@@ -35,6 +38,8 @@ class RenderedCustomSql:
     cte_base_name: str
     source_sql: str
     target_sql: str
+    # 'commutative' (scale default) | 'reference' (collect_list parity)
+    fingerprint: str = "commutative"
 
 
 def render_custom_sql(
@@ -87,6 +92,7 @@ def render_custom_sql(
         cte_base_name=test.cte_base_name,
         source_sql=source_sql,
         target_sql=target_sql,
+        fingerprint=test.fingerprint,
     )
 
 
@@ -103,6 +109,14 @@ def custom_sql_metrics(
     tgt = spark.sql(rendered.target_sql)
     src_minus_tgt = src.exceptAll(tgt)
     tgt_minus_src = tgt.exceptAll(src)
+    # order-insensitive fingerprints: commutative sum-of-hashes by
+    # default (no single-node collect_list — fatal at 10^12 rows);
+    # reference collect_list variant opt-in via CustomSqlTest.fingerprint
+    _fp = (
+        dataset_fingerprint_reference
+        if rendered.fingerprint == "reference"
+        else dataset_fingerprint_commutative_col
+    )
 
     def _sample(df: DataFrame, alias: str) -> DataFrame:
         # lazy 1-row sample: limit(1) then aggregate FIRST — an empty
@@ -125,12 +139,8 @@ def custom_sql_metrics(
         .crossJoin(
             tgt_minus_src.agg(F.count(F.lit(1)).alias(f"rows_missing_in_source_{slug}"))
         )
-        .crossJoin(
-            src.agg(dataset_fingerprint_reference(src).alias(f"source_hash_{slug}"))
-        )
-        .crossJoin(
-            tgt.agg(dataset_fingerprint_reference(tgt).alias(f"target_hash_{slug}"))
-        )
+        .crossJoin(src.agg(_fp(src).alias(f"source_hash_{slug}")))
+        .crossJoin(tgt.agg(_fp(tgt).alias(f"target_hash_{slug}")))
         .crossJoin(_sample(src_minus_tgt, f"sample_missing_in_target_{slug}"))
         .crossJoin(_sample(tgt_minus_src, f"sample_missing_in_source_{slug}"))
     )

@@ -21,13 +21,20 @@ from datapact_spark.config import ValidationTask
 from datapact_spark.functions.exprs import DEC6
 
 
-def profile_exprs(task: ValidationTask, side: str) -> list[Column]:
+def profile_exprs(
+    task: ValidationTask, side: str, include_uniqueness: bool = True
+) -> list[Column]:
     """Aggregate expressions for one side ('source'|'target').
 
     Output column names follow the reference CTE contract
     (validation.sql.j2:127-151): ``<side>_count``,
     ``<side>_nulls_<col>``, ``<side>_distinct_uniqs``,
     ``<side>_value_<col>_<AGG>``.
+
+    ``include_uniqueness=False`` omits the ``COUNT(DISTINCT struct)``
+    (its Expand doubles the profile's shuffled volume at 10^12 rows) —
+    the compiler supplies ``<side>_distinct_uniqs`` from the scale path
+    (operators/uniqueness.py groupBy-count) instead.
     """
     exprs: list[Column] = [F.count(F.lit(1)).alias(f"{side}_count")]
     nulls_use_table_counts = (
@@ -42,7 +49,11 @@ def profile_exprs(task: ValidationTask, side: str) -> list[Column]:
                     f"{side}_nulls_{col}"
                 )
             )
-    if task.uniqueness_columns and task.uniqueness_tolerance is not None:
+    if (
+        include_uniqueness
+        and task.uniqueness_columns
+        and task.uniqueness_tolerance is not None
+    ):
         exprs.append(
             F.count_distinct(F.struct(*[F.col(c) for c in task.uniqueness_columns])).alias(
                 f"{side}_distinct_uniqs"
@@ -60,7 +71,10 @@ def profile_exprs(task: ValidationTask, side: str) -> list[Column]:
             }[agg]
             exprs.append(
                 fn(F.col(av.column))
-                .cast(DEC6)  # TRY_CAST(... AS DECIMAL(38,6)), j2:146
+                # TRY_CAST(... AS DECIMAL(38,6)), j2:146 — try_cast so an
+                # overflow/invalid value yields NULL (reference semantics)
+                # instead of throwing under Spark 4's default ANSI mode
+                .try_cast(DEC6)
                 .alias(f"{side}_value_{av.column}_{agg}")
             )
     return exprs
@@ -81,9 +95,11 @@ def stats_needed(task: ValidationTask) -> bool:
     )
 
 
-def profile_df(df: DataFrame, task: ValidationTask, side: str) -> DataFrame:
+def profile_df(
+    df: DataFrame, task: ValidationTask, side: str, include_uniqueness: bool = True
+) -> DataFrame:
     """One-row stats profile for one side — a single scan."""
-    return df.agg(*profile_exprs(task, side))
+    return df.agg(*profile_exprs(task, side, include_uniqueness))
 
 
 def grouped_profile_df(

@@ -89,9 +89,9 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
                 F.lit(lang).alias("lang"),
             )
         )
-    # argmax by (hits, lang-desc) then unwrap; array_max picks lexicographically
-    # greatest struct = highest hits, tie → latest lang; invert lang for
-    # deterministic earliest-lang tie-break.
+    # argmax via array_max over (hits, lang) structs: highest hits wins;
+    # on a hits tie the lexicographically GREATEST lang code wins — a
+    # deterministic tie-break the DuckDB oracle mirrors exactly.
     best = F.array_max(F.array(*scores))
     return df.select(
         "*",

@@ -165,9 +165,31 @@ def compile_task(
     violation_dfs: dict[str, DataFrame] = {}
 
     # ---- single-pass stats profiles -------------------------------
+    # uniqueness strategy: 'scalable' (auto default) computes distincts
+    # via hash-repartitioned groupBy-count (key-only shuffle, no Expand
+    # node inflating the profile's shuffle at 10^12 rows); 'parity'
+    # folds COUNT(DISTINCT struct) into the profile like the reference
+    uniq_scalable = (
+        task.uniqueness_columns
+        and task.uniqueness_tolerance is not None
+        and task.uniqueness_strategy in ("auto", "scalable")
+    )
     if P.stats_needed(task):
-        metric_dfs.append(P.profile_df(source, task, "source"))
-        metric_dfs.append(P.profile_df(target, task, "target"))
+        metric_dfs.append(
+            P.profile_df(source, task, "source", include_uniqueness=not uniq_scalable)
+        )
+        metric_dfs.append(
+            P.profile_df(target, task, "target", include_uniqueness=not uniq_scalable)
+        )
+    if uniq_scalable:
+        from datapact_spark.operators.uniqueness import uniqueness_metrics_scalable
+
+        for side, df_side in (("source", source), ("target", target)):
+            metric_dfs.append(
+                uniqueness_metrics_scalable(df_side, task.uniqueness_columns).select(
+                    F.col("distinct_count").alias(f"{side}_distinct_uniqs")
+                )
+            )
 
     # ---- count ------------------------------------------------------
     if task.count_tolerance is not None:

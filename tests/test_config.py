@@ -211,3 +211,63 @@ class TestFilterBuilder:
         for bad in ["x; DROP TABLE t", "x -- comment", "1=1; DELETE FROM t"]:
             with pytest.raises(ValueError, match="forbidden"):
                 validate_filter_text(bad)
+
+
+class TestRound2Validators:
+    """Config hardening added in round 2 (ADVICE r1 + VERDICT items 3/4)."""
+
+    def _task(self, **kw):
+        from datapact_spark.config import ValidationTask
+
+        return ValidationTask(task_key="t", source="a", target="b", **kw)
+
+    def test_partition_batches_must_be_positive(self):
+        with pytest.raises(ValueError, match="partition_batches"):
+            self._task(partition_batches=0)
+        with pytest.raises(ValueError, match="salt_buckets"):
+            self._task(partition_salt_buckets=-1)
+        assert self._task(partition_batches=1).partition_batches == 1
+
+    def test_uniqueness_strategy_validated(self):
+        assert self._task().uniqueness_strategy == "auto"
+        assert self._task(uniqueness_strategy="parity").uniqueness_strategy == "parity"
+        with pytest.raises(ValueError, match="uniqueness_strategy"):
+            self._task(uniqueness_strategy="fastest")
+
+    def test_custom_sql_fingerprint_validated(self):
+        from datapact_spark.config import CustomSqlTest
+
+        assert CustomSqlTest(name="a", sql="SELECT 1").fingerprint == "commutative"
+        assert (
+            CustomSqlTest(name="a", sql="SELECT 1", fingerprint="reference").fingerprint
+            == "reference"
+        )
+        with pytest.raises(ValueError, match="fingerprint"):
+            CustomSqlTest(name="a", sql="SELECT 1", fingerprint="md5")
+
+    def test_task_filter_is_screened(self):
+        # the documented injection screen must actually run on task.filter
+        with pytest.raises(ValueError, match="forbidden"):
+            self._task(filter="x = 1; DROP TABLE t")
+        with pytest.raises(ValueError, match="forbidden"):
+            self._task(filter="x = 1 -- sneaky")
+        assert self._task(filter="x > 1 AND y = 'a'").filter == "x > 1 AND y = 'a'"
+
+    def test_duplicate_agg_and_drift_pairs_rejected(self):
+        with pytest.raises(ValueError, match="Duplicate agg"):
+            self._task(
+                agg_validations=[{
+                    "column": "v",
+                    "validations": [
+                        {"agg": "SUM", "tolerance": 0.1},
+                        {"agg": "sum", "tolerance": 0.2},
+                    ],
+                }]
+            )
+        with pytest.raises(ValueError, match="Duplicate drift"):
+            self._task(
+                drift_checks=[
+                    {"column": "v", "metric": "psi"},
+                    {"column": "v", "metric": "psi"},
+                ]
+            )

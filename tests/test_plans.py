@@ -108,3 +108,66 @@ def test_grouped_hash_metrics_shuffles_narrow_rows(spark, sf_dir):
 def test_aqe_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def _compile(spark, sf_dir, **task_kwargs):
+    from datapact_spark.plans.compiler import compile_task
+    from datapact_spark.sources.loader import TableResolver
+
+    resolver = TableResolver(spark)
+    resolver.register("orders", spark.read.parquet(os.path.join(sf_dir, "orders.parquet")))
+    task = ValidationTask(task_key="t", source="orders", target="orders", **task_kwargs)
+    return compile_task(spark, task, resolver).metrics_df
+
+
+def test_uniqueness_scalable_avoids_distinct_aggregate(spark, sf_dir):
+    """Default (auto→scalable) uniqueness must plan the groupBy-count
+    path: no count(distinct …) rewrite (which shuffles the full distinct
+    struct through 4 aggregate phases and, with >1 distinct group, an
+    Expand — SURVEY §4.2) and no Expand node."""
+    df = _compile(
+        spark, sf_dir,
+        count_tolerance=0.0, uniqueness_columns=["o_custkey"], uniqueness_tolerance=0.9,
+    )
+    plan = _explain(df)
+    assert "count(distinct" not in plan, "scalable path must not plan COUNT DISTINCT"
+    assert "Expand" not in plan
+
+
+def test_uniqueness_parity_uses_count_distinct(spark, sf_dir):
+    """Opt-in parity path keeps COUNT(DISTINCT struct) in the single-pass
+    profile (one scan per side, reference plan shape)."""
+    df = _compile(
+        spark, sf_dir,
+        count_tolerance=0.0, uniqueness_columns=["o_custkey"], uniqueness_tolerance=0.9,
+        uniqueness_strategy="parity",
+    )
+    plan = _explain(df)
+    assert "count(distinct struct" in plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 2  # one per side — no extra scans
+
+
+def test_custom_sql_commutative_fingerprint_no_collect(spark, sf_dir):
+    """Default custom-SQL fingerprint must be the commutative sum-of-
+    hashes — no single-node collect_list anywhere in the plan."""
+    df = _compile(
+        spark, sf_dir,
+        custom_sql_tests=[{
+            "name": "grp", "sql": "SELECT o_orderstatus, COUNT(*) AS n FROM {{ table_fqn }} GROUP BY 1",
+        }],
+    )
+    plan = _explain(df)
+    assert "collect_list" not in plan, "commutative fingerprint must not collect row hashes"
+    assert "xxhash64" in plan
+
+
+def test_custom_sql_reference_fingerprint_opt_in(spark, sf_dir):
+    df = _compile(
+        spark, sf_dir,
+        custom_sql_tests=[{
+            "name": "grp", "sql": "SELECT o_orderstatus, COUNT(*) AS n FROM {{ table_fqn }} GROUP BY 1",
+            "fingerprint": "reference",
+        }],
+    )
+    assert "collect_list" in _explain(df)
