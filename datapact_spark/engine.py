@@ -243,16 +243,16 @@ class DataPactEngine:
         checkpointed, exactly-resumable batches.
 
         The verdict keyspace (task.partition_by) is split into
-        ``batches`` deterministic hash buckets; each bucket's verdicts
-        are computed and committed atomically (directory write + Spark
-        _SUCCESS marker). A killed run resumes by skipping committed
-        batches — recomputation happens only for the one interrupted
-        batch, which is overwritten idempotently.
-
-        Trade-off (documented): resume granularity costs ``batches``
-        scans of the input. On a real cluster with Delta/Iceberg you'd
-        commit per-partition files transactionally in one job instead;
-        the batch loop emulates that without a transactional format.
+        ``batches`` deterministic hash buckets. ALL uncommitted buckets
+        are computed and written in ONE Spark job — the verdict DataFrame
+        gains a ``batch`` column and is written ``partitionBy(batch)``
+        with dynamic partition overwrite, so the input is scanned once
+        per side regardless of ``batches`` (round 1 looped
+        ``verdicts.where(bucket == b)`` per batch: ``batches``× full
+        rescans of the join/profile DAG — fatal at 100 TB). Each bucket
+        directory then gets its own commit marker; a killed run resumes
+        by recomputing only unmarked buckets (idempotent dynamic
+        overwrite replaces exactly those directories).
         """
         from datapact_spark.ledger import CheckpointStore
         from datapact_spark.plans.partitioned import compile_partition_verdicts
@@ -262,13 +262,26 @@ class DataPactEngine:
         verdicts = compile_partition_verdicts(
             self.spark, task, self.resolver, salt_buckets=salt_buckets
         )
-        bucket = F.pmod(F.xxhash64(*[F.col(c) for c in group_cols]), F.lit(batches))
-        for b in range(batches):
-            if resume and store.batch_done(task.task_key, run_id, b):
-                log.info("task %s batch %d already committed — skipping", task.task_key, b)
-                continue
-            slice_df = verdicts.where(bucket == b)
-            store.write_batch(task.task_key, run_id, b, slice_df)
+        missing = [
+            b
+            for b in range(batches)
+            if not (resume and store.batch_done(task.task_key, run_id, b))
+        ]
+        if len(missing) < batches:
+            log.info(
+                "task %s: %d/%d batches already committed — recomputing %s",
+                task.task_key, batches - len(missing), batches, missing,
+            )
+        if missing:
+            bucket = F.pmod(
+                F.xxhash64(*[F.col(c) for c in group_cols]), F.lit(batches)
+            ).cast("int")
+            out = verdicts.withColumn("batch", bucket)
+            if len(missing) < batches:
+                out = out.where(F.col("batch").isin(missing))
+            store.write_batches(task.task_key, run_id, out)
+            for b in missing:
+                store.finalize_batch(task.task_key, run_id, b, verdicts.schema)
         return store.read_verdicts(task.task_key, run_id)
 
     def _refresh_exec_tables(self, run_id: int) -> None:

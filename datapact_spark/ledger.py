@@ -147,6 +147,36 @@ class CheckpointStore:
     def write_batch(self, task_key: str, run_id: int, batch: int, verdicts: DataFrame) -> None:
         verdicts.write.mode("overwrite").parquet(self._batch_dir(task_key, run_id, batch))
 
+    def write_batches(self, task_key: str, run_id: int, verdicts: DataFrame) -> None:
+        """Single-pass commit of MANY batches: ``verdicts`` carries a
+        ``batch`` column; one Spark job writes every bucket directory via
+        dynamic partition overwrite (only the bucket dirs present in the
+        data are replaced — committed batches from a previous attempt are
+        untouched). This is the one-scan replacement for looping
+        ``write_batch`` per bucket."""
+        (
+            verdicts.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch")
+            .parquet(self._dir(task_key, run_id))
+        )
+
+    def finalize_batch(self, task_key: str, run_id: int, batch: int, schema) -> None:
+        """Commit marker for one batch after a successful
+        ``write_batches`` job. Spark writes _SUCCESS only at the dataset
+        root, and an empty bucket produces no directory at all — so
+        materialize an empty, schema-bearing directory when needed (keeps
+        ``read_verdicts`` schema-safe) and touch the per-batch marker the
+        resume check looks for. Driver-side only; a kill before this
+        point leaves no marker, so the batch reruns idempotently."""
+        d = self._batch_dir(task_key, run_id, batch)
+        has_data = os.path.isdir(d) and any(
+            f.endswith(".parquet") for f in os.listdir(d)
+        )
+        if not has_data:
+            self.spark.createDataFrame([], schema).write.mode("overwrite").parquet(d)
+        open(os.path.join(d, "_SUCCESS"), "a").close()
+
     def read_verdicts(self, task_key: str, run_id: int) -> DataFrame:
         return self.spark.read.parquet(self._dir(task_key, run_id)).drop("batch")
 
