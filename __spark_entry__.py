@@ -761,6 +761,165 @@ def q_genie_table_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return genie_table_quality(ledger)
 
 
+def q_owner_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 owner breakdown (aggregate_results.sql.j2:63-79) incl. the
+    blank/NULL→'Unassigned' normalization and SLA averaging."""
+    from datapact_spark.aggregate import owner_breakdown
+
+    orders = _t(spark, sf_dir, "orders")
+    ledger = orders.where("o_orderkey % 50 = 0").select(
+        F.lit(7).cast("long").alias("run_id"),
+        F.lit("sim").alias("job_name"),
+        F.concat(F.lit("task_"), F.col("o_orderkey").cast("string")).alias("task_key"),
+        F.when(F.col("o_orderstatus") == "F", F.lit("FAILURE"))
+        .otherwise(F.lit("SUCCESS"))
+        .alias("status"),
+        F.when(F.col("o_custkey") % 4 == 0, F.lit("alice"))
+        .when(F.col("o_custkey") % 4 == 1, F.lit("bob"))
+        .when(F.col("o_custkey") % 4 == 2, F.lit(" "))  # blank → Unassigned
+        .otherwise(F.lit(None).cast("string"))  # NULL → Unassigned
+        .alias("business_owner"),
+        (F.col("o_orderkey") % 5).cast("double").alias("expected_sla_hours"),
+        (F.col("o_orderkey") % 1000).cast("double").alias("estimated_impact_usd"),
+        F.col("o_orderdate").alias("validation_begin_ts"),
+    )
+    return owner_breakdown(ledger).select(
+        "business_owner",
+        "total_validations",
+        "failed_validations",
+        "success_rate_percent",
+        "avg_expected_sla_hours",
+        "potential_impact_usd",
+        "realized_impact_usd",
+        "last_failure_ts",
+    )
+
+
+def q_priority_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 priority breakdown (aggregate_results.sql.j2:81-97):
+    blank→'UNSPECIFIED', no SLA column (reference shape)."""
+    from datapact_spark.aggregate import priority_breakdown
+
+    orders = _t(spark, sf_dir, "orders")
+    ledger = orders.where("o_orderkey % 50 = 0").select(
+        F.lit(7).cast("long").alias("run_id"),
+        F.lit("sim").alias("job_name"),
+        F.concat(F.lit("task_"), F.col("o_orderkey").cast("string")).alias("task_key"),
+        F.when(F.col("o_orderstatus") == "F", F.lit("FAILURE"))
+        .otherwise(F.lit("SUCCESS"))
+        .alias("status"),
+        F.when(F.col("o_custkey") % 3 == 0, F.lit("CRITICAL"))
+        .when(F.col("o_custkey") % 3 == 1, F.lit("HIGH"))
+        .otherwise(F.lit(""))
+        .alias("business_priority"),
+        F.lit(0.0).alias("expected_sla_hours"),  # aggregated then dropped
+        (F.col("o_orderkey") % 1000).cast("double").alias("estimated_impact_usd"),
+        F.col("o_orderdate").alias("validation_begin_ts"),
+    )
+    return priority_breakdown(ledger).select(
+        "business_priority",
+        "total_validations",
+        "failed_validations",
+        "success_rate_percent",
+        "potential_impact_usd",
+        "realized_impact_usd",
+        "last_failure_ts",
+    )
+
+
+def _issues_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-run synthetic ledger with real JSON payloads: run 1 fails on a
+    %7 pattern (must be superseded), run 2 fails when the count or
+    row-hash check fails. Exercises the payload-flattening surface
+    (client.py:451-534, 1311-1435) end to end."""
+    orders = _t(spark, sf_dir, "orders").where("o_orderkey % 100 = 0")
+
+    def mk(run_id: int, day_offset: int, count_fail, hash_fail) -> DataFrame:
+        failed = count_fail | hash_fail
+        payload = F.to_json(
+            F.struct(
+                F.lit(None).cast("string").alias("applied_filter"),  # metadata key
+                F.struct(
+                    F.when(count_fail, F.lit("FAIL")).otherwise(F.lit("PASS")).alias("status")
+                ).alias("count_validation"),
+                F.struct(
+                    F.when(hash_fail, F.lit("FAIL")).otherwise(F.lit("PASS")).alias("status")
+                ).alias("row_hash_validation"),
+            )
+        )
+        return orders.select(
+            F.concat(F.lit("task_"), F.col("o_orderkey").cast("string")).alias("task_key"),
+            F.when(failed, F.lit("FAILURE")).otherwise(F.lit("SUCCESS")).alias("status"),
+            F.lit(run_id).cast("long").alias("run_id"),
+            F.lit("sim").alias("job_name"),
+            (F.col("o_orderdate").cast("timestamp") + F.expr(f"INTERVAL {day_offset} DAYS")).alias(
+                "validation_begin_ts"
+            ),
+            F.lit("").alias("source_catalog"),
+            F.lit("").alias("source_schema"),
+            F.lit("src").alias("source_table"),
+            F.lit("").alias("target_catalog"),
+            F.lit("").alias("target_schema"),
+            F.lit("tgt").alias("target_table"),
+            F.lit("ops").alias("business_domain"),
+            F.lit("alice").alias("business_owner"),
+            F.lit("HIGH").alias("business_priority"),
+            F.lit(100.0).alias("estimated_impact_usd"),
+            payload.alias("result_payload"),
+        )
+
+    r1 = mk(1, 0, F.col("o_orderkey") % 7 == 0, F.lit(False))
+    r2 = mk(2, 40, F.col("o_totalprice") <= 1000, F.col("o_orderkey") % 3 == 0)
+    return r1.unionByName(r2)
+
+
+def q_payload_check_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload explosion → per-check-type status counts
+    (explode_payload_checks + check_status_counts; replaces the
+    reference's LATERAL VIEW ×4 / UNION ALL ×6, client.py:901-925,
+    1311-1435)."""
+    from datapact_spark.aggregate import check_status_counts
+
+    return check_status_counts(_issues_ledger(spark, sf_dir))
+
+
+def q_genie_issues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genie open-issues table (client.py:512-534): FAILED checks from
+    the LATEST run of each task only — run-1 failures superseded by run 2
+    must not appear."""
+    from datapact_spark.aggregate import genie_issues
+
+    return genie_issues(_issues_ledger(spark, sf_dir)).select(
+        "task_key", "run_id", "check_type", "check_key"
+    )
+
+
+def q_range_join_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 validity-window range join (client.py:1830-1838 shape): events
+    priced against a per-day rate table via the bucketed (shuffle) range
+    join — the non-broadcastable-dim scale path."""
+    from datapact_spark.operators.rangejoin import bucketed_range_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    rates = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("rate_id"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,n_nationkey,0,0,0)"
+        ).alias("valid_from"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,n_nationkey+1,0,0,0)"
+        ).alias("valid_to"),
+    )
+    j = bucketed_range_join(ev, rates, "ts", "valid_from", "valid_to", bucket_seconds=21600)
+    return j.groupBy("rate_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("decimal(38,4)")
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "count_validation": q_count_validation,
@@ -797,6 +956,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join_scope": q_semi_join_scope,
         "tumbling_window_agg": q_tumbling_window_agg,
         "genie_table_quality": q_genie_table_quality,
+        "owner_breakdown": q_owner_breakdown,
+        "priority_breakdown": q_priority_breakdown,
+        "payload_check_rollup": q_payload_check_rollup,
+        "genie_issues": q_genie_issues,
+        "range_join_validity": q_range_join_validity,
     }
 
 
@@ -1151,6 +1315,100 @@ def oracle_sql() -> dict[str, str]:
                    MAX(CASE WHEN status = 'FAILURE' THEN validation_begin_ts END) AS last_failure_ts,
                    COUNT(DISTINCT task_key) AS distinct_tasks
             FROM ledger GROUP BY 1
+        """,
+        "owner_breakdown": """
+            WITH ledger AS (
+              SELECT CASE WHEN o_orderstatus = 'F' THEN 'FAILURE' ELSE 'SUCCESS' END AS status,
+                     CASE WHEN o_custkey % 4 = 0 THEN 'alice'
+                          WHEN o_custkey % 4 = 1 THEN 'bob'
+                          WHEN o_custkey % 4 = 2 THEN ' '
+                          ELSE NULL END AS business_owner,
+                     CAST(o_orderkey % 5 AS DOUBLE) AS expected_sla_hours,
+                     CAST(o_orderkey % 1000 AS DOUBLE) AS estimated_impact_usd,
+                     o_orderdate AS validation_begin_ts
+              FROM orders WHERE o_orderkey % 50 = 0)
+            SELECT COALESCE(NULLIF(TRIM(business_owner), ''), 'Unassigned') AS business_owner,
+                   COUNT(*) AS total_validations,
+                   CAST(SUM(CASE WHEN status = 'FAILURE' THEN 1 ELSE 0 END) AS BIGINT) AS failed_validations,
+                   CASE WHEN COUNT(*) = 0 THEN 0.0
+                        ELSE ROUND(SUM(CASE WHEN status = 'SUCCESS' THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 2)
+                   END AS success_rate_percent,
+                   AVG(expected_sla_hours) AS avg_expected_sla_hours,
+                   SUM(COALESCE(estimated_impact_usd, 0.0)) AS potential_impact_usd,
+                   SUM(CASE WHEN status = 'FAILURE' THEN COALESCE(estimated_impact_usd, 0.0) ELSE 0.0 END) AS realized_impact_usd,
+                   MAX(CASE WHEN status = 'FAILURE' THEN validation_begin_ts END) AS last_failure_ts
+            FROM ledger GROUP BY 1
+        """,
+        "priority_breakdown": """
+            WITH ledger AS (
+              SELECT CASE WHEN o_orderstatus = 'F' THEN 'FAILURE' ELSE 'SUCCESS' END AS status,
+                     CASE WHEN o_custkey % 3 = 0 THEN 'CRITICAL'
+                          WHEN o_custkey % 3 = 1 THEN 'HIGH'
+                          ELSE '' END AS business_priority,
+                     CAST(o_orderkey % 1000 AS DOUBLE) AS estimated_impact_usd,
+                     o_orderdate AS validation_begin_ts
+              FROM orders WHERE o_orderkey % 50 = 0)
+            SELECT COALESCE(NULLIF(TRIM(business_priority), ''), 'UNSPECIFIED') AS business_priority,
+                   COUNT(*) AS total_validations,
+                   CAST(SUM(CASE WHEN status = 'FAILURE' THEN 1 ELSE 0 END) AS BIGINT) AS failed_validations,
+                   CASE WHEN COUNT(*) = 0 THEN 0.0
+                        ELSE ROUND(SUM(CASE WHEN status = 'SUCCESS' THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 2)
+                   END AS success_rate_percent,
+                   SUM(COALESCE(estimated_impact_usd, 0.0)) AS potential_impact_usd,
+                   SUM(CASE WHEN status = 'FAILURE' THEN COALESCE(estimated_impact_usd, 0.0) ELSE 0.0 END) AS realized_impact_usd,
+                   MAX(CASE WHEN status = 'FAILURE' THEN validation_begin_ts END) AS last_failure_ts
+            FROM ledger GROUP BY 1
+        """,
+        "payload_check_rollup": """
+            -- independent derivation: the Spark side round-trips through
+            -- JSON payload build → map explode → classify; the oracle
+            -- computes the same counts straight from the base predicates
+            WITH base AS (
+              SELECT (o_totalprice <= 1000) AS count_fail_r2,
+                     (o_orderkey % 3 = 0) AS hash_fail_r2,
+                     (o_orderkey % 7 = 0) AS count_fail_r1
+              FROM orders WHERE o_orderkey % 100 = 0),
+            checks AS (
+              SELECT CAST(1 AS BIGINT) AS run_id, 'count' AS check_type,
+                     CASE WHEN count_fail_r1 THEN 'FAIL' ELSE 'PASS' END AS check_status FROM base
+              UNION ALL
+              SELECT CAST(1 AS BIGINT), 'row_hash', 'PASS' FROM base
+              UNION ALL
+              SELECT CAST(2 AS BIGINT), 'count',
+                     CASE WHEN count_fail_r2 THEN 'FAIL' ELSE 'PASS' END FROM base
+              UNION ALL
+              SELECT CAST(2 AS BIGINT), 'row_hash',
+                     CASE WHEN hash_fail_r2 THEN 'FAIL' ELSE 'PASS' END FROM base)
+            SELECT run_id, check_type, check_status, COUNT(*) AS n
+            FROM checks GROUP BY 1, 2, 3
+        """,
+        "genie_issues": """
+            WITH base AS (
+              SELECT o_orderkey AS k,
+                     (o_totalprice <= 1000) AS count_fail,
+                     (o_orderkey % 3 = 0) AS hash_fail
+              FROM orders WHERE o_orderkey % 100 = 0),
+            fails AS (SELECT * FROM base WHERE count_fail OR hash_fail)
+            SELECT 'task_' || CAST(k AS VARCHAR) AS task_key,
+                   CAST(2 AS BIGINT) AS run_id,
+                   'count' AS check_type, 'count_validation' AS check_key
+            FROM fails WHERE count_fail
+            UNION ALL
+            SELECT 'task_' || CAST(k AS VARCHAR), CAST(2 AS BIGINT),
+                   'row_hash', 'row_hash_validation'
+            FROM fails WHERE hash_fail
+        """,
+        "range_join_validity": """
+            WITH rates AS (
+              SELECT n_nationkey AS rate_id,
+                     TIMESTAMP '2024-01-01' + n_nationkey * INTERVAL 1 DAY AS valid_from,
+                     TIMESTAMP '2024-01-01' + (n_nationkey + 1) * INTERVAL 1 DAY AS valid_to
+              FROM nation)
+            SELECT rate_id, COUNT(*) AS n,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS total_value
+            FROM events e JOIN rates r
+              ON e.ts >= r.valid_from AND e.ts < r.valid_to
+            GROUP BY rate_id
         """,
         "dataset_fingerprint": """
             WITH ds AS (SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus),

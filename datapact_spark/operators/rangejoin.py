@@ -1,0 +1,85 @@
+"""Validity-window range joins (J6 — the reference's price-validity
+join shape, /root/reference/datapact/client.py:1830-1838: usage facts
+joined to a rate table on ``usage_ts BETWEEN valid_from AND valid_to``).
+
+Two physical strategies:
+
+* ``validity_range_join`` — broadcast theta join. The dimension side
+  (rate/validity table) is dimension-sized by construction, so Spark
+  plans BroadcastNestedLoopJoin with the range predicate evaluated
+  stream-side. Right for dims up to ~10s of MB; the fact side streams
+  through without a shuffle.
+
+* ``bucketed_range_join`` — the 100-TB path when the dim side is too
+  large to broadcast. Time is quantized into fixed-width buckets: each
+  fact row computes ONE bucket (``floor(epoch/width)``); each dim row
+  explodes to EVERY bucket its window overlaps (``sequence`` — windows
+  are typically short, so the explosion factor is small and bounded by
+  ``ceil(window/width)+1``). An equi-join on the bucket co-locates
+  candidates (hash shuffle, AQE-coalesced) and the exact range predicate
+  filters them. Each (fact, dim) pair meets in exactly one bucket — the
+  fact's — so no dedup pass is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def validity_range_join(
+    facts: DataFrame,
+    dims: DataFrame,
+    fact_ts: str,
+    valid_from: str,
+    valid_to: str,
+    extra_cond: Column | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Broadcast theta join: fact.ts ∈ [valid_from, valid_to)."""
+    cond = (F.col(fact_ts) >= F.col(valid_from)) & (F.col(fact_ts) < F.col(valid_to))
+    if extra_cond is not None:
+        cond = cond & extra_cond
+    return facts.join(F.broadcast(dims), cond, how)
+
+
+def bucketed_range_join(
+    facts: DataFrame,
+    dims: DataFrame,
+    fact_ts: str,
+    valid_from: str,
+    valid_to: str,
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Shuffle-based range join via time-bucket co-location.
+
+    Equivalent results to ``validity_range_join`` (inner, half-open
+    window); use when ``dims`` is too large to broadcast. One shuffle of
+    each side on the bucket key; the dim side grows by its per-window
+    bucket span only.
+    """
+    # exact integer bucket arithmetic in microseconds (SQL `div`; double
+    # division misrounds near boundaries). Epochs assumed non-negative
+    # (post-1970 data) so div == floor.
+    w_us = bucket_seconds * 1_000_000
+    # cast: unix_micros requires TIMESTAMP; NTZ columns convert via the
+    # session zone (engine contract pins it to UTC)
+    f = facts.withColumn(
+        "__bucket", F.expr(f"unix_micros(cast({fact_ts} as timestamp)) div {w_us}L")
+    )
+    # every bucket index the window [from, to) touches; -1µs so a window
+    # ending exactly on a bucket boundary does not reach into the next
+    # bucket (half-open semantics)
+    d = dims.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"unix_micros(cast({valid_from} as timestamp)) div {w_us}L"),
+                F.expr(f"(unix_micros(cast({valid_to} as timestamp)) - 1) div {w_us}L"),
+            )
+        ),
+    )
+    joined = f.join(d, on="__bucket", how="inner").where(
+        (F.col(fact_ts) >= F.col(valid_from)) & (F.col(fact_ts) < F.col(valid_to))
+    )
+    return joined.drop("__bucket")

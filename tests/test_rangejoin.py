@@ -1,0 +1,73 @@
+"""Validity-window range join (J6): the bucketed shuffle path must be
+result-identical to the broadcast theta join, including window-boundary
+events and bucket widths that don't divide the window."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datapact_spark.operators.rangejoin import bucketed_range_join, validity_range_join
+
+
+@pytest.fixture(scope="module")
+def facts_dims(spark, sf_dir):
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "ts"
+    )
+    rates = spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).select(
+        F.col("n_nationkey").alias("rate_id"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,n_nationkey,0,0,0)"
+        ).alias("valid_from"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,n_nationkey+1,0,0,0)"
+        ).alias("valid_to"),
+    )
+    return ev, rates
+
+
+def _collect(df):
+    return sorted(
+        (r["event_id"], r["rate_id"]) for r in df.select("event_id", "rate_id").collect()
+    )
+
+
+@pytest.mark.parametrize("width", [86400, 21600, 7000, 99999])
+def test_bucketed_matches_broadcast(spark, facts_dims, width):
+    ev, rates = facts_dims
+    ref = _collect(validity_range_join(ev, rates, "ts", "valid_from", "valid_to"))
+    got = _collect(
+        bucketed_range_join(ev, rates, "ts", "valid_from", "valid_to", bucket_seconds=width)
+    )
+    assert got == ref and len(ref) > 0
+
+
+def test_boundary_semantics(spark):
+    """An event exactly at valid_from matches; exactly at valid_to does
+    not (half-open window) — in both strategies."""
+    facts = spark.createDataFrame(
+        [(1, "2024-01-02 00:00:00"), (2, "2024-01-03 00:00:00")],
+        "event_id int, ts_s string",
+    ).select("event_id", F.to_timestamp("ts_s").alias("ts"))
+    dims = spark.createDataFrame(
+        [(10, "2024-01-02 00:00:00", "2024-01-03 00:00:00")],
+        "rate_id int, f string, t string",
+    ).select(
+        "rate_id",
+        F.to_timestamp("f").alias("valid_from"),
+        F.to_timestamp("t").alias("valid_to"),
+    )
+    for df in (
+        validity_range_join(facts, dims, "ts", "valid_from", "valid_to"),
+        bucketed_range_join(facts, dims, "ts", "valid_from", "valid_to", 86400),
+        bucketed_range_join(facts, dims, "ts", "valid_from", "valid_to", 50000),
+    ):
+        assert _collect(df) == [(1, 10)]
+
+
+def test_broadcast_plan_for_small_dim(spark, facts_dims):
+    ev, rates = facts_dims
+    df = validity_range_join(ev, rates, "ts", "valid_from", "valid_to")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "BroadcastNestedLoopJoin" in plan
