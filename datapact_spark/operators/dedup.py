@@ -18,6 +18,32 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def cap_bucket_size(
+    df: DataFrame, bucket_cols: list[str], max_bucket_size: int | None
+) -> DataFrame:
+    """Drop rows belonging to degenerate LSH buckets (more than
+    ``max_bucket_size`` members). Without a cap, one adversarial bucket —
+    every empty document, a templated boilerplate page, a constant
+    column — funnels n rows into a single key and the within-bucket
+    self-join goes O(n²): fatal at 100 TB. The count is a window over
+    the bucket key, so it reuses the exact shuffle the self-join needs
+    anyway.
+
+    Recall trade-off (documented): members of an over-full bucket lose
+    THIS bucket's collisions but still meet in their other bands/tables
+    when genuinely similar; true mass-duplicates should be removed by
+    ``exact_duplicates`` before LSH."""
+    if not max_bucket_size:
+        return df
+    w = Window.partitionBy(*[F.col(c) for c in bucket_cols])
+    return (
+        df.withColumn("__bucket_n", F.count(F.lit(1)).over(w))
+        .where(F.col("__bucket_n") <= max_bucket_size)
+        .drop("__bucket_n")
+    )
 
 # 2^31-1: keeps (h mod M) * a < 2^62, inside 64-bit long arithmetic
 _MERSENNE = (1 << 31) - 1
@@ -121,7 +147,10 @@ def minhash_signatures(
 
 
 def minhash_lsh_candidates(
-    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
+    signatures: DataFrame,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """LSH banding: split each signature into ``bands`` bands of
     ``rows_per_band`` values, hash each band, self-join per (band,
@@ -149,6 +178,7 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "band_hash"),
     )
+    exploded = cap_bucket_size(exploded, ["band", "band_hash"], max_bucket_size)
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -202,12 +232,13 @@ def minhash_dedup(
     threshold: float = 0.7,
     shingle_n: int = 3,
     seed: int = 42,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Full near-dup pipeline: minhash → LSH candidates → Jaccard
     verify. Returns verified near-dup pairs (id_a, id_b, jaccard)."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed)
-    cands = minhash_lsh_candidates(sigs, bands, rows_per_band)
+    cands = minhash_lsh_candidates(sigs, bands, rows_per_band, max_bucket_size)
     return jaccard_verify(df, cands, id_col, text_col, shingle_n, threshold)
 
 
@@ -244,7 +275,10 @@ def simhash(
 
 
 def simhash_near_dups(
-    sim_df: DataFrame, max_hamming: int = 3, bits: int = 64
+    sim_df: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 64,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash via pigeonhole segmentation: split the
     hash into ``max_hamming + 1`` bit segments — a pair within the
@@ -266,6 +300,7 @@ def simhash_near_dups(
         ]
     )
     bucketed = sim_df.select("id", "simhash", F.explode(buckets).alias("bucket"))
+    bucketed = cap_bucket_size(bucketed, ["bucket"], max_bucket_size)
     a, b = bucketed.alias("a"), bucketed.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (

@@ -49,13 +49,21 @@ def synthesize_media_table(spark, n: int = 64, seed: int = 42) -> DataFrame:
 
 
 def extract_features(
-    media: DataFrame, feature_dim: int = 8, decode_stub: bool = True
+    media: DataFrame,
+    feature_dim: int = 8,
+    decode_stub: bool = True,
+    codec=None,
 ) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow batches).
 
-    Real deployment: replace ``_fake_decode`` with the codec call; the
-    Spark-side contract (batch iterator in, batch iterator out, schema
-    ``FEATURE_SCHEMA``) is unchanged.
+    ``codec`` is the plug-in seam: any callable ``bytes ->
+    np.ndarray[float32]`` (e.g. a PIL/librosa/ffmpeg pipeline) — it is
+    pickled to the executors and applied per payload inside the Arrow
+    batch loop. With no codec, ``decode_stub=True`` derives
+    deterministic fake features (plumbing fully testable in-sandbox) and
+    ``decode_stub=False`` raises at the exact plug-in point. The
+    Spark-side contract (batch iterator in/out, ``FEATURE_SCHEMA``) is
+    identical in all three modes.
     """
 
     def _fake_decode(payload: bytes) -> np.ndarray:
@@ -71,13 +79,16 @@ def extract_features(
         raw = np.frombuffer(digest[:need], dtype=np.uint32)
         return (raw % 1000).astype(np.float32) / 1000.0
 
+    decode = codec if codec is not None else _fake_decode
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not decode_stub:
+            if codec is None and not decode_stub:
                 raise NotImplementedError(
-                    "real media decode requires PIL/librosa/ffmpeg — not in sandbox"
+                    "real media decode requires PIL/librosa/ffmpeg — not in "
+                    "sandbox; inject one via the `codec` callable"
                 )
-            feats = pdf["payload"].map(lambda b: _fake_decode(bytes(b)).tolist())
+            feats = pdf["payload"].map(lambda b: np.asarray(decode(bytes(b))).tolist())
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -125,12 +125,17 @@ def lsh_topk(
     bits: int = 8,
     tables: int = 4,
     seed: int = 42,
+    max_bucket_size: int | None = 100_000,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH buckets (``tables``
     independent hash tables of ``bits`` bits), candidates = corpus rows
     sharing a bucket with the query in ANY table, exact cosine re-rank
     of candidates. Recall grows with tables; cost stays ~bucket-sized.
-    Output schema matches ``brute_force_topk``."""
+    Corpus buckets above ``max_bucket_size`` are dropped (degenerate-
+    vector protection — see dedup.cap_bucket_size). Output schema
+    matches ``brute_force_topk``."""
+    from datapact_spark.operators.dedup import cap_bucket_size
+
     planes = _hyperplanes(dim, bits, tables, seed)
     buckets_udf = make_sign_buckets_udf(planes)
 
@@ -141,7 +146,9 @@ def lsh_topk(
             buckets_udf(F.col(vec_col)).alias("__buckets"),
         ).select(id_alias, vec_alias, F.explode("__buckets").alias("bucket"))
 
-    c = with_buckets(corpus, "neighbor_id", "c_vec")
+    c = cap_bucket_size(
+        with_buckets(corpus, "neighbor_id", "c_vec"), ["bucket"], max_bucket_size
+    )
     q = with_buckets(queries, "query_id", "q_vec")
     cands = (
         c.join(F.broadcast(q), "bucket")
@@ -173,9 +180,14 @@ def embedding_near_dups(
     bits: int = 12,
     tables: int = 4,
     seed: int = 42,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH self-join:
-    (id_a, id_b, cosine_sim) with sim ≥ threshold, id_a < id_b."""
+    (id_a, id_b, cosine_sim) with sim ≥ threshold, id_a < id_b.
+    Buckets above ``max_bucket_size`` are dropped so one degenerate
+    bucket (e.g. all-zero vectors) can't go quadratic."""
+    from datapact_spark.operators.dedup import cap_bucket_size
+
     planes = _hyperplanes(dim, bits, tables, seed)
     buckets_udf = make_sign_buckets_udf(planes)
     b = df.select(
@@ -183,6 +195,7 @@ def embedding_near_dups(
         F.col(vec_col).alias("v"),
         buckets_udf(F.col(vec_col)).alias("__buckets"),
     ).select("id", "v", F.explode("__buckets").alias("bucket"))
+    b = cap_bucket_size(b, ["bucket"], max_bucket_size)
     pairs = (
         b.alias("a")
         .join(b.alias("b"), (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))

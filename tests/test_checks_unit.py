@@ -304,3 +304,102 @@ class TestReviewRegressions:
         media = synthesize_media_table(spark, n=4)
         feats = extract_features(media, feature_dim=16).collect()
         assert all(len(r["feature"]) == 16 for r in feats)
+
+
+class TestBucketCaps:
+    """Degenerate LSH buckets must not go quadratic: rows in over-full
+    buckets are dropped, bounded-size buckets are untouched."""
+
+    def test_minhash_constant_docs_bounded(self, spark):
+        from datapact_spark.operators.dedup import minhash_dedup
+
+        # 300 identical docs + 3 genuine near-dup pairs
+        const = spark.range(300).selectExpr(
+            "id AS doc_id", "'the same boilerplate text every time' AS text"
+        )
+        uniq = spark.createDataFrame(
+            [
+                (1000 + i, f"unique document number {i} with words alpha beta gamma delta {i}")
+                for i in range(6)
+            ],
+            "doc_id long, text string",
+        )
+        near = uniq.selectExpr("doc_id + 100 AS doc_id", "text || ' tail' AS text")
+        docs = const.unionByName(uniq).unionByName(near)
+        pairs = minhash_dedup(docs, threshold=0.5, max_bucket_size=50).collect()
+        ids = {(r["id_a"], r["id_b"]) for r in pairs}
+        # no pair from the degenerate constant bucket (both ids < 300)
+        assert not any(a < 300 and b < 300 for a, b in ids)
+        # genuine near-dups still found (they live in small buckets)
+        found = sum(1 for a, b in ids if (b - a) == 100 and a >= 1000)
+        assert found >= 5
+
+    def test_simhash_constant_docs_bounded(self, spark):
+        from datapact_spark.operators.dedup import simhash, simhash_near_dups
+
+        const = spark.range(200).selectExpr(
+            "id AS doc_id", "'identical words here' AS text"
+        )
+        sims = simhash(const)
+        pairs = simhash_near_dups(sims, max_hamming=3, max_bucket_size=50)
+        assert pairs.count() == 0  # degenerate bucket dropped entirely
+
+    def test_embedding_zero_vectors_bounded(self, spark):
+        import numpy as np
+
+        from datapact_spark.operators.similarity import embedding_near_dups
+
+        rows = [(i, [0.0] * 64) for i in range(200)]
+        rng = np.random.RandomState(7)
+        v = [float(x) for x in rng.randn(64)]
+        rows += [(1000, v), (1001, v)]  # one genuine dup pair
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        pairs = embedding_near_dups(df, threshold=0.99, max_bucket_size=50).collect()
+        ids = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert not any(a < 200 and b < 200 for a, b in ids)
+        assert (1000, 1001) in ids
+
+    def test_cap_disabled_passthrough(self, spark):
+        from datapact_spark.operators.dedup import cap_bucket_size
+
+        df = spark.range(100).selectExpr("id", "id % 2 AS bucket")
+        assert cap_bucket_size(df, ["bucket"], None).count() == 100
+        assert cap_bucket_size(df, ["bucket"], 10).count() == 0
+
+
+class TestCodecSeam:
+    """extract_features codec injection: decode_stub=False has a tested
+    contract when a codec callable is supplied."""
+
+    def test_injected_codec_runs(self, spark):
+        import numpy as np
+
+        from datapact_spark.operators.multimodal import (
+            extract_features,
+            synthesize_media_table,
+        )
+
+        def toy_codec(payload: bytes) -> "np.ndarray":
+            # stand-in for PIL/ffmpeg: 4 deterministic moments of the bytes
+            arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
+            return np.array(
+                [arr.mean(), arr.std(), arr.min(), arr.max()], dtype=np.float32
+            )
+
+        media = synthesize_media_table(spark, n=12)
+        feats = extract_features(media, decode_stub=False, codec=toy_codec)
+        rows = feats.collect()
+        assert len(rows) == 12
+        for r in rows:
+            assert len(r["feature"]) == 4
+            assert 0.0 <= r["feature"][0] <= 255.0
+
+    def test_stub_off_without_codec_raises(self, spark):
+        from datapact_spark.operators.multimodal import (
+            extract_features,
+            synthesize_media_table,
+        )
+
+        media = synthesize_media_table(spark, n=4)
+        with pytest.raises(Exception, match="NotImplementedError|decode"):
+            extract_features(media, decode_stub=False).collect()
