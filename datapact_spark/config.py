@@ -256,6 +256,13 @@ class ValidationTask(BaseModel):
     custom_sql_tests: list[CustomSqlTest] | None = None
     # ---- engine-native extensions ----
     hash_algo: str = "md5"
+    # Grouped row-hash strategy for per-partition verdicts:
+    # 'join' (default) PK-joins every row — exact under duplicate PKs;
+    # 'fingerprint' compares per-group commutative (pk,hash) fingerprints
+    # and PK-joins ONLY fingerprint-unequal groups — shuffles ~nothing
+    # when most groups are clean, but requires per-group-unique PKs
+    # (see rowhash.grouped_row_hash_metrics_fingerprint).
+    row_hash_mode: str = "join"
     partition_by: list[str] | None = None
     # resume granularity (checkpointed batches; each batch re-filters the
     # input, so more batches = finer resume but more scans) and group-by
@@ -321,6 +328,13 @@ class ValidationTask(BaseModel):
     def _validate_uniq_strategy(cls, v: str) -> str:
         if v not in {"auto", "parity", "scalable"}:
             raise ValueError("uniqueness_strategy must be auto, parity, or scalable")
+        return v
+
+    @field_validator("row_hash_mode")
+    @classmethod
+    def _validate_row_hash_mode(cls, v: str) -> str:
+        if v not in {"join", "fingerprint"}:
+            raise ValueError("row_hash_mode must be join or fingerprint")
         return v
 
     @field_validator("partition_batches")

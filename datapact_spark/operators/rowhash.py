@@ -136,6 +136,80 @@ def grouped_row_hash_metrics(
     )
 
 
+def grouped_row_hash_metrics_fingerprint(
+    source: DataFrame,
+    target: DataFrame,
+    primary_keys: list[str],
+    group_cols: list[str],
+    hash_columns: list[str] | None = None,
+    algo: str = "md5",
+) -> DataFrame:
+    """Fingerprint-first grouped hash compare — the minimal-shuffle path.
+
+    Instead of PK-joining every row, each side aggregates per group a
+    commutative fingerprint of its (pk, row_hash) multiset:
+    ``sum(xxhash64(pks…, row_hash))`` (DECIMAL accumulator) plus a count.
+    That is a plain aggregate with full map-side combine, so the shuffle
+    carries one ~40-byte partial per (group × map task) — effectively
+    zero compared to the join's per-row shuffle. Groups whose count AND
+    fingerprint match are exactly equal (collision odds ~2^-64/group)
+    and report (total_compared_rows = source rows, mismatch_count = 0).
+    Only groups whose fingerprints differ — in a healthy pipeline, a tiny
+    fraction — are re-checked with the exact PK join
+    (``grouped_row_hash_metrics``), scoped by a broadcast semi-join.
+
+    At 10^12 rows with 0.1% failing groups this shuffles ~0.1% of what
+    the all-groups join does. REQUIREMENT: primary keys must be unique
+    per side within a group — with duplicate PKs the join fans out and
+    can find mismatched cross-pairs inside a fingerprint-equal group
+    (equal multisets ⇒ fingerprints match but e.g. {(k,h1),(k,h2)} joins
+    h1×h2). Validate uniqueness (A6) or use the join path when PKs may
+    repeat. Output schema matches ``grouped_row_hash_metrics``:
+    (group_cols…, total_compared_rows, mismatch_count).
+    """
+    cols = hash_columns if hash_columns else [
+        c for c in source.columns if c not in group_cols
+    ]
+    rh = row_hash([F.col(c) for c in cols], algo)
+    pk_cols = [F.col(pk) for pk in primary_keys]
+    fp = F.sum(F.xxhash64(*pk_cols, rh).cast("decimal(38,0)"))
+
+    def side_fp(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy(*[F.col(g) for g in group_cols]).agg(
+            F.count(F.lit(1)).alias(f"{tag}_n"), fp.alias(f"{tag}_fp")
+        )
+
+    s, t = side_fp(source, "s"), side_fp(target, "t")
+    cmp = s.join(t, on=group_cols, how="full_outer")
+    equal = (
+        F.col("s_n").isNotNull()
+        & F.col("t_n").isNotNull()
+        & (F.col("s_n") == F.col("t_n"))
+        & (F.col("s_fp").eqNullSafe(F.col("t_fp")))
+    )
+    passing = cmp.where(equal).select(
+        *[F.col(g) for g in group_cols],
+        F.col("s_n").alias("total_compared_rows"),
+        F.lit(0).cast("long").alias("mismatch_count"),
+    )
+    # exact re-check only for fingerprint-unequal groups (broadcast the
+    # small failing-group key list into both scans)
+    failing_keys = cmp.where(~equal).select(*[F.col(g) for g in group_cols])
+    src_f = source.join(F.broadcast(failing_keys), on=group_cols, how="left_semi")
+    tgt_f = target.join(F.broadcast(failing_keys), on=group_cols, how="left_semi")
+    detailed = grouped_row_hash_metrics(
+        src_f, tgt_f, primary_keys, group_cols, hash_columns, algo
+    )
+    # groups missing entirely from the source side join to nothing — keep
+    # them visible with zeroed compares (the count check fails them)
+    detailed_all = failing_keys.join(detailed, on=group_cols, how="left").select(
+        *[F.col(g) for g in group_cols],
+        F.coalesce(F.col("total_compared_rows"), F.lit(0)).alias("total_compared_rows"),
+        F.coalesce(F.col("mismatch_count"), F.lit(0)).alias("mismatch_count"),
+    )
+    return passing.unionByName(detailed_all)
+
+
 def grouped_null_join_metrics(
     source: DataFrame,
     target: DataFrame,

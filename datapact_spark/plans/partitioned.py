@@ -133,9 +133,16 @@ def compile_partition_verdicts(
     if null_join_df is not None:
         step = step.join(null_join_df, on=group_cols, how="left")
     if task.pk_row_hash_check and task.primary_keys:
-        hm = H.grouped_row_hash_metrics(
-            source, target, task.primary_keys, group_cols, task.hash_columns, task.hash_algo
-        )
+        if task.row_hash_mode == "fingerprint":
+            hm = H.grouped_row_hash_metrics_fingerprint(
+                source, target, task.primary_keys, group_cols,
+                task.hash_columns, task.hash_algo,
+            )
+        else:
+            hm = H.grouped_row_hash_metrics(
+                source, target, task.primary_keys, group_cols,
+                task.hash_columns, task.hash_algo,
+            )
         step = step.join(hm, on=group_cols, how="left")
         tol = task.pk_hash_tolerance if task.pk_hash_tolerance is not None else 0.0
         ratio = E.hash_mismatch_ratio(

@@ -4,20 +4,33 @@ between N- and 4N-executor clusters).
 
 No real cluster exists in the sandbox, so the same job runs on the same
 materialized input at local[8] (N) and local[32] (4N); each level runs
-in its own JVM (fresh subprocess) with shuffle partitions scaled to the
-core count. Efficiency = throughput_4N / (4 × throughput_N).
+in its own JVM (fresh subprocess, taskset-pinned to its core budget)
+with shuffle partitions scaled to the core count. Efficiency =
+throughput_4N / (4 × throughput_N).
 
 The measured job is the flagship north-star workload: per-partition
 (repo, lang) validation of the synthetic code table vs a corrupted copy
-— grouped single-pass profile + sha256 row-hash PK join + count checks.
+— grouped single-pass profile + sha256 row-hash PK compare + count
+checks. Two row-hash modes:
 
-Usage: python scaling_bench.py [--files 2000000] [--runs 3]
+* ``--mode join`` (round-1 comparable): compact-shuffle PK join of every
+  row; corruption uniform (mutate_every=5000 ⇒ nearly every group dirty).
+* ``--mode fingerprint``: per-group commutative fingerprints with the PK
+  join scoped to fingerprint-unequal groups; corruption localized to ~2%
+  of repos (the realistic shape — damage is usually concentrated), so
+  ~98% of rows never enter a shuffle.
+
+Shuffle bytes are measured from Spark event logs (sum of Shuffle Bytes
+Written over the timed runs) and reported per level.
+
+Usage: python scaling_bench.py [--files 16000000] [--runs 3] [--mode join]
 Prints one JSON line; paste the numbers into BENCH.md.
 """
 
 from __future__ import annotations
 
 import argparse
+import glob
 import json
 import os
 import statistics
@@ -37,22 +50,38 @@ from datapact_spark.plans.partitioned import compile_partition_verdicts
 from datapact_spark.sources.loader import TableResolver
 
 cores = int(sys.argv[1]); runs = int(sys.argv[2]); data_dir = sys.argv[3]
-warmup = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+warmup = int(sys.argv[4]); mode = sys.argv[5]; eventlog_dir = sys.argv[6]
+tgt_name = "code_tgt_localized" if mode == "fingerprint" else "code_tgt"
+os.makedirs(eventlog_dir, exist_ok=True)
+local_dir = "/dev/shm/datapact_bench_local" if os.path.isdir("/dev/shm") else None
+conf = {
+    "spark.ui.enabled": "false",
+    "spark.sql.files.maxPartitionBytes": "32m",
+    # heap sized so 32 concurrent tasks don't GC-thrash (local mode:
+    # driver == executor); identical at both levels for fairness
+    "spark.driver.memory": os.environ.get("DATAPACT_DRIVER_MEM", "24g"),
+    "spark.eventLog.enabled": "true",
+    "spark.eventLog.dir": "file://" + eventlog_dir,
+    # classic single JSON file (Spark 4 defaults to rolling zstd dirs)
+    # so the parent can grep Shuffle Bytes Written directly
+    "spark.eventLog.compress": "false",
+    "spark.eventLog.rolling.enabled": "false",
+}
+if local_dir:
+    os.makedirs(local_dir, exist_ok=True)
+    conf["spark.local.dir"] = local_dir  # shuffle/spill on tmpfs
 spark = get_spark(
-    app_name=f"scaling-bench-{cores}",
+    app_name=f"scaling-bench-{cores}-{mode}",
     master=f"local[{cores}]",
     # 3x over-partitioning: straggler tasks rebalance instead of idling
     # cores at the tail of each stage
     shuffle_partitions=cores * 3,
-    extra_conf={
-        "spark.ui.enabled": "false",
-        "spark.sql.files.maxPartitionBytes": "32m",
-    },
+    extra_conf=conf,
 )
 spark.sparkContext.setLogLevel("ERROR")
 resolver = TableResolver(spark)
 resolver.register("code_src", os.path.join(data_dir, "code_src"))
-resolver.register("code_tgt", os.path.join(data_dir, "code_tgt"))
+resolver.register("code_tgt", os.path.join(data_dir, tgt_name))
 task = ValidationTask(
     task_key="scaling",
     source="code_src",
@@ -64,11 +93,12 @@ task = ValidationTask(
     pk_hash_tolerance=0.0,
     hash_columns=["content"],
     hash_algo="sha256",
+    row_hash_mode=mode,
 )
 out_dir = os.path.join(data_dir, f"verdicts_out_{cores}")
 times = []
-n = 0
 WARMUP = warmup  # JIT + codegen warmup runs, excluded from the median
+app_id = spark.sparkContext.applicationId
 for i in range(runs + WARMUP):
     t0 = time.monotonic()
     # write (not count): count() lets Catalyst prune every metric column
@@ -79,9 +109,30 @@ for i in range(runs + WARMUP):
     if i >= WARMUP:
         times.append(dt)
 n = spark.read.parquet(out_dir).count()
-print(json.dumps({"cores": cores, "times": times, "groups": n}))
+print(json.dumps({"cores": cores, "times": times, "groups": n,
+                  "app_id": app_id, "total_runs": runs + WARMUP}))
 spark.stop()
 """
+
+
+def shuffle_bytes_from_eventlog(eventlog_dir: str, app_id: str) -> int:
+    """Sum Shuffle Bytes Written across all tasks of one application."""
+    total = 0
+    for path in glob.glob(os.path.join(eventlog_dir, f"{app_id}*")):
+        with open(path, errors="replace") as fh:
+            for line in fh:
+                if '"SparkListenerTaskEnd"' not in line or "Shuffle Write Metrics" not in line:
+                    continue
+                try:
+                    ev = json.loads(line)
+                    total += (
+                        ev.get("Task Metrics", {})
+                        .get("Shuffle Write Metrics", {})
+                        .get("Shuffle Bytes Written", 0)
+                    )
+                except json.JSONDecodeError:
+                    continue
+    return total
 
 
 def main() -> None:
@@ -90,29 +141,49 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--tokens", type=int, nargs=2, default=[64, 256], help="min/max content tokens (realistic source files are KBs)")
     ap.add_argument("--levels", type=int, nargs=2, default=[8, 32])
+    ap.add_argument("--mode", choices=["join", "fingerprint"], default="join")
     args = ap.parse_args()
 
     data_dir = os.path.join(tempfile.gettempdir(), f"datapact_scaling_{args.files}_{args.tokens[0]}_{args.tokens[1]}")
-    if not os.path.exists(os.path.join(data_dir, "code_tgt", "_SUCCESS")):
+    need_loc = args.mode == "fingerprint" and not os.path.exists(
+        os.path.join(data_dir, "code_tgt_localized", "_SUCCESS")
+    )
+    if not os.path.exists(os.path.join(data_dir, "code_tgt", "_SUCCESS")) or need_loc:
         # materialize input once so every level reads identical files
         sys.path.insert(0, REPO)
+        from pyspark.sql import functions as F
+
         from datapact_spark.session import get_spark
         from datapact_spark.sources.codegen import corrupt_code_table, synthesize_code_table
 
         spark = get_spark(
             app_name="scaling-gen", master="local[32]", shuffle_partitions=32,
-            extra_conf={"spark.ui.enabled": "false"},
+            extra_conf={"spark.ui.enabled": "false",
+                        "spark.driver.memory": os.environ.get("DATAPACT_DRIVER_MEM", "24g")},
         )
         spark.sparkContext.setLogLevel("ERROR")
-        src = synthesize_code_table(spark, args.files, n_repos=200, seed=42, min_tokens=args.tokens[0], max_tokens=args.tokens[1])
-        src.write.mode("overwrite").parquet(os.path.join(data_dir, "code_src"))
+        if not os.path.exists(os.path.join(data_dir, "code_src", "_SUCCESS")):
+            src = synthesize_code_table(spark, args.files, n_repos=200, seed=42, min_tokens=args.tokens[0], max_tokens=args.tokens[1])
+            src.write.mode("overwrite").parquet(os.path.join(data_dir, "code_src"))
         src_back = spark.read.parquet(os.path.join(data_dir, "code_src"))
-        corrupt_code_table(src_back, drop_every=10000, mutate_every=5000).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(data_dir, "code_tgt"))
+        if not os.path.exists(os.path.join(data_dir, "code_tgt", "_SUCCESS")):
+            corrupt_code_table(src_back, drop_every=10000, mutate_every=5000).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(data_dir, "code_tgt"))
+        if need_loc:
+            # localized corruption: ~2% of repos dirty, ~1/500 of their
+            # rows mutated — the realistic concentrated-damage shape
+            dirty_repo = F.pmod(F.xxhash64("repo"), F.lit(50)) == 0
+            dirty_row = F.pmod(F.xxhash64("path"), F.lit(500)) == 0
+            src_back.withColumn(
+                "content",
+                F.when(dirty_repo & dirty_row, F.concat(F.col("content"), F.lit(" X")))
+                .otherwise(F.col("content")),
+            ).write.mode("overwrite").parquet(os.path.join(data_dir, "code_tgt_localized"))
         spark.stop()
 
     worker_py = WORKER % {"repo": REPO}
+    eventlog_dir = os.path.join(data_dir, f"eventlogs_{args.mode}")
 
     def calibrate() -> float:
         """Single-core Python burn — measures current host speed so
@@ -129,18 +200,22 @@ def main() -> None:
         # pin the whole JVM (incl. GC/shuffle threads) to the level's
         # core budget — otherwise the small level borrows idle host
         # cores and the ratio understates true scaling
-        cmd = [sys.executable, "-c", worker_py, str(cores), str(runs), data_dir, str(warmup)]
+        cmd = [sys.executable, "-c", worker_py, str(cores), str(runs), data_dir,
+               str(warmup), args.mode, eventlog_dir]
         if os.path.exists("/usr/bin/taskset"):
             cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
-        out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
-        return json.loads(out.stdout.strip().splitlines()[-1])
+        out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+        r = json.loads(out.stdout.strip().splitlines()[-1])
+        r["shuffle_bytes_total"] = shuffle_bytes_from_eventlog(eventlog_dir, r["app_id"])
+        r["shuffle_bytes_per_run"] = r["shuffle_bytes_total"] / max(r["total_runs"], 1)
+        return r
 
     # Interleave the levels in alternating-order pairs (A/B, B/A, A/B…)
     # so slow host-speed drift — the VM's clocks vary over time and the
     # host has noisy neighbors — contaminates both levels equally; the
     # reported efficiency is the median of per-pair ratios, and a
     # min-based estimate (noise-floor) is reported alongside.
-    results = {c: {"cores": c, "times": [], "groups": 0} for c in args.levels}
+    results = {c: {"cores": c, "times": [], "groups": 0, "shuffle_bytes": []} for c in args.levels}
     pair_eff = []
     pair_speeds = []
     lo_, hi_ = args.levels
@@ -153,6 +228,7 @@ def main() -> None:
             r = run_level(cores, 2, 1)
             results[cores]["times"].extend(r["times"])
             results[cores]["groups"] = r["groups"]
+            results[cores]["shuffle_bytes"].append(r["shuffle_bytes_per_run"])
             pair[cores] = min(r["times"])
         speed_after = calibrate()
         clean = min(speed_before, speed_after) >= 0.85 * base_speed
@@ -176,6 +252,7 @@ def main() -> None:
     print(
         json.dumps(
             {
+                "mode": args.mode,
                 "files": args.files,
                 "groups": results[hi]["groups"],
                 f"median_sec_local[{lo}]": round(t_lo, 2),
@@ -185,6 +262,10 @@ def main() -> None:
                 "scaling_efficiency": round(efficiency, 3),
                 "pairwise_efficiencies": [round(e, 3) for e in pair_eff],
                 "median_pairwise_efficiency": round(statistics.median(pair_eff), 3),
+                "shuffle_gb_per_run": {
+                    str(c): round(statistics.median(v["shuffle_bytes"]) / 1e9, 3)
+                    for c, v in results.items() if v["shuffle_bytes"]
+                },
                 "host_speed_calibration": pair_speeds,
                 "target": 0.8,
                 "all_times": {str(k): [round(x, 2) for x in v["times"]] for k, v in results.items()},

@@ -195,3 +195,56 @@ def test_partitioned_write_is_single_pass(engine, spark, tmp_path):
     eng = DataPactEngine(spark, resolver, results_path=str(tmp_path / "res2"))
     vdf = eng.run_partitioned(task, run_id=9, batches=batches, resume=False)
     assert vdf.count() == src.select("repo", "lang").dropDuplicates().count()
+
+
+def test_fingerprint_mode_matches_join_mode(engine, spark):
+    """row_hash_mode='fingerprint' must produce byte-identical grouped
+    metrics to the exact join on unique-PK data, including corrupted,
+    dropped, and clean groups."""
+    from datapact_spark.plans.partitioned import compile_partition_verdicts
+
+    def verdicts(mode):
+        df = compile_partition_verdicts(
+            spark, _task(task_key=f"fp_{mode}", row_hash_mode=mode), engine.resolver
+        )
+        key = lambda r: (r["repo"], r["lang"])
+        return {key(r): (r["total_compared_rows"], r["mismatch_count"],
+                         r["overall_validation_passed"]) for r in df.collect()}
+
+    j, f = verdicts("join"), verdicts("fingerprint")
+    assert j == f and len(j) > 0
+    # sanity: the dataset really has both clean and corrupted groups
+    stats = {v[1] > 0 for v in j.values()}
+    assert True in stats or any(v[0] == 0 for v in j.values())
+
+
+def test_fingerprint_mode_localized_corruption_scopes_join(spark, tmp_path):
+    """With corruption confined to one repo, every other group passes by
+    fingerprint and only the dirty repo's rows enter the exact join."""
+    from datapact_spark.operators.rowhash import (
+        grouped_row_hash_metrics,
+        grouped_row_hash_metrics_fingerprint,
+    )
+
+    src = synthesize_code_table(spark, 30000, n_repos=10, seed=3)
+    tgt = src.withColumn(
+        "content",
+        F.when(
+            (F.col("repo") == "repo_0") & (F.xxhash64("path") % 50 == 0),
+            F.concat(F.col("content"), F.lit(" CORRUPT")),
+        ).otherwise(F.col("content")),
+    )
+    fp = grouped_row_hash_metrics_fingerprint(
+        src, tgt, ["repo", "path"], ["repo", "lang"], ["content"], "sha256"
+    )
+    jn = grouped_row_hash_metrics(
+        src, tgt, ["repo", "path"], ["repo", "lang"], ["content"], "sha256"
+    )
+    as_map = lambda df: {
+        (r["repo"], r["lang"]): (r["total_compared_rows"], r["mismatch_count"])
+        for r in df.collect()
+    }
+    m_fp, m_jn = as_map(fp), as_map(jn)
+    assert m_fp == m_jn
+    dirty = {k for k, v in m_fp.items() if v[1] > 0}
+    assert dirty and all(k[0] == "repo_0" for k in dirty)
