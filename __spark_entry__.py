@@ -894,6 +894,34 @@ def q_genie_issues(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_failure_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend dashboard shape (client.py:861-871, 1585-1602): daily
+    failure rate over the ledger, restricted to the 30 most recent days
+    (dense_rank over day desc)."""
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders").where("o_orderkey % 20 = 0")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("total_validations"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias(
+            "failed_validations"
+        ),
+    )
+    w = Window.orderBy(F.col("day").desc())
+    return (
+        daily.withColumn("recency", F.dense_rank().over(w))
+        .where(F.col("recency") <= 30)
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "total_validations",
+            "failed_validations",
+            F.round(
+                F.col("failed_validations") * 100.0 / F.col("total_validations"), 2
+            ).alias("failure_rate_percent"),
+        )
+    )
+
+
 def q_range_join_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6 validity-window range join (client.py:1830-1838 shape): events
     priced against a per-day rate table via the bucketed (shuffle) range
@@ -961,6 +989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_check_rollup": q_payload_check_rollup,
         "genie_issues": q_genie_issues,
         "range_join_validity": q_range_join_validity,
+        "failure_rate_daily": q_failure_rate_daily,
     }
 
 
@@ -1397,6 +1426,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'task_' || CAST(k AS VARCHAR), CAST(2 AS BIGINT),
                    'row_hash', 'row_hash_validation'
             FROM fails WHERE hash_fail
+        """,
+        "failure_rate_daily": """
+            WITH daily AS (
+              SELECT o_orderdate AS day,
+                     COUNT(*) AS total_validations,
+                     CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS failed_validations
+              FROM orders WHERE o_orderkey % 20 = 0 GROUP BY 1),
+            ranked AS (
+              SELECT *, DENSE_RANK() OVER (ORDER BY day DESC) AS recency FROM daily)
+            SELECT CAST(day AS VARCHAR) AS day, total_validations, failed_validations,
+                   ROUND(failed_validations * 100.0 / total_validations, 2) AS failure_rate_percent
+            FROM ranked WHERE recency <= 30
         """,
         "range_join_validity": """
             WITH rates AS (

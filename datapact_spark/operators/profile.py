@@ -103,10 +103,17 @@ def profile_df(
 
 
 def grouped_profile_df(
-    df: DataFrame, task: ValidationTask, side: str, group_cols: list[str]
+    df: DataFrame,
+    task: ValidationTask,
+    side: str,
+    group_cols: list[str],
+    extra_exprs: list[Column] | None = None,
 ) -> DataFrame:
     """Per-partition-group stats profile (north-star per-partition
     verdicts): same single-pass expressions, grouped by the verdict key
     (e.g. repo, lang). One shuffle on the group key, partial aggregation
-    map-side."""
-    return df.groupBy(*[F.col(c) for c in group_cols]).agg(*profile_exprs(task, side))
+    map-side. ``extra_exprs`` lets callers fold additional commutative
+    aggregates (e.g. the row-hash group fingerprint) into the SAME scan."""
+    return df.groupBy(*[F.col(c) for c in group_cols]).agg(
+        *profile_exprs(task, side), *(extra_exprs or [])
+    )

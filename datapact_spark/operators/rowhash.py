@@ -143,44 +143,70 @@ def grouped_row_hash_metrics_fingerprint(
     group_cols: list[str],
     hash_columns: list[str] | None = None,
     algo: str = "md5",
+    persist: bool = False,
 ) -> DataFrame:
     """Fingerprint-first grouped hash compare — the minimal-shuffle path.
 
-    Instead of PK-joining every row, each side aggregates per group a
-    commutative fingerprint of its (pk, row_hash) multiset:
-    ``sum(xxhash64(pks…, row_hash))`` (DECIMAL accumulator) plus a count.
-    That is a plain aggregate with full map-side combine, so the shuffle
-    carries one ~40-byte partial per (group × map task) — effectively
-    zero compared to the join's per-row shuffle. Groups whose count AND
-    fingerprint match are exactly equal (collision odds ~2^-64/group)
-    and report (total_compared_rows = source rows, mismatch_count = 0).
-    Only groups whose fingerprints differ — in a healthy pipeline, a tiny
-    fraction — are re-checked with the exact PK join
-    (``grouped_row_hash_metrics``), scoped by a broadcast semi-join.
+    NOTE: when computing per-partition verdicts, prefer the compiler's
+    folded variant (plans/partitioned.py ``fp_in_profile``) which rides
+    the profile scan for free; this standalone operator re-scans the
+    input for the fingerprint pass.
 
-    At 10^12 rows with 0.1% failing groups this shuffles ~0.1% of what
-    the all-groups join does. REQUIREMENT: primary keys must be unique
-    per side within a group — with duplicate PKs the join fans out and
-    can find mismatched cross-pairs inside a fingerprint-equal group
-    (equal multisets ⇒ fingerprints match but e.g. {(k,h1),(k,h2)} joins
+    Each side is projected ONCE to a compact frame
+    ``(group…, k1, k2, h)`` — the 128-bit folded PK plus the 64-bit
+    folded row hash (~40 B/row vs the full ~1 KB row) — optionally
+    persisted (MEMORY_AND_DISK; measured counterproductive on a single
+    box where branch stages contend, hence default off). From that
+    frame:
+
+    1. a per-group commutative fingerprint ``sum(xxhash64(k1,k2,h))``
+       (DECIMAL accumulator) + count — a plain aggregate with full
+       map-side combine, so the shuffle carries one ~40-byte partial per
+       (group × map task). Groups whose count AND fingerprint match are
+       exactly equal (collision ~2^-64/group) and report
+       (total_compared_rows = source rows, mismatch_count = 0);
+    2. ONLY fingerprint-unequal groups — in a healthy pipeline, a tiny
+       fraction — are re-checked with the exact (k1,k2) join, scoped by
+       a broadcast semi-join against the failing-group key list. The
+       persisted compact frame means this costs a cached 40 B/row read,
+       NOT a second scan+hash of the raw input.
+
+    At 10^12 rows with 0.1% dirty groups this shuffles ~0.1% of what the
+    all-groups join does, and the heavy work (scan + sha256) happens
+    exactly once per side. REQUIREMENT: primary keys must be unique per
+    side within a group — with duplicate PKs the join fans out and can
+    find mismatched cross-pairs inside a fingerprint-equal group (equal
+    multisets ⇒ fingerprints match but e.g. {(k,h1),(k,h2)} joins
     h1×h2). Validate uniqueness (A6) or use the join path when PKs may
     repeat. Output schema matches ``grouped_row_hash_metrics``:
     (group_cols…, total_compared_rows, mismatch_count).
     """
+    from pyspark import StorageLevel
+
     cols = hash_columns if hash_columns else [
         c for c in source.columns if c not in group_cols
     ]
     rh = row_hash([F.col(c) for c in cols], algo)
     pk_cols = [F.col(pk) for pk in primary_keys]
-    fp = F.sum(F.xxhash64(*pk_cols, rh).cast("decimal(38,0)"))
+
+    def compact(df: DataFrame) -> DataFrame:
+        out = df.select(
+            *[F.col(g) for g in group_cols],
+            F.xxhash64(*pk_cols).alias("__k1"),
+            F.xxhash64(F.lit(0x9E3779B9), *pk_cols).alias("__k2"),
+            F.xxhash64(rh).alias("__h"),
+        )
+        return out.persist(StorageLevel.MEMORY_AND_DISK) if persist else out
+
+    s, t = compact(source), compact(target)
+    fp = F.sum(F.xxhash64("__k1", "__k2", "__h").cast("decimal(38,0)"))
 
     def side_fp(df: DataFrame, tag: str) -> DataFrame:
         return df.groupBy(*[F.col(g) for g in group_cols]).agg(
             F.count(F.lit(1)).alias(f"{tag}_n"), fp.alias(f"{tag}_fp")
         )
 
-    s, t = side_fp(source, "s"), side_fp(target, "t")
-    cmp = s.join(t, on=group_cols, how="full_outer")
+    cmp = side_fp(s, "s").join(side_fp(t, "t"), on=group_cols, how="full_outer")
     equal = (
         F.col("s_n").isNotNull()
         & F.col("t_n").isNotNull()
@@ -192,13 +218,16 @@ def grouped_row_hash_metrics_fingerprint(
         F.col("s_n").alias("total_compared_rows"),
         F.lit(0).cast("long").alias("mismatch_count"),
     )
-    # exact re-check only for fingerprint-unequal groups (broadcast the
-    # small failing-group key list into both scans)
     failing_keys = cmp.where(~equal).select(*[F.col(g) for g in group_cols])
-    src_f = source.join(F.broadcast(failing_keys), on=group_cols, how="left_semi")
-    tgt_f = target.join(F.broadcast(failing_keys), on=group_cols, how="left_semi")
-    detailed = grouped_row_hash_metrics(
-        src_f, tgt_f, primary_keys, group_cols, hash_columns, algo
+    s_f = s.join(F.broadcast(failing_keys), on=group_cols, how="left_semi")
+    t_f = t.join(F.broadcast(failing_keys), on=group_cols, how="left_semi")
+    joined = s_f.join(t_f.select("__k1", "__k2", F.col("__h").alias("__th")),
+                      on=["__k1", "__k2"], how="inner")
+    detailed = joined.groupBy(*[F.col(g) for g in group_cols]).agg(
+        F.count(F.lit(1)).alias("total_compared_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("__h") != F.col("__th"), 1).otherwise(0)), F.lit(0)
+        ).alias("mismatch_count"),
     )
     # groups missing entirely from the source side join to nothing — keep
     # them visible with zeroed compares (the count check fails them)

@@ -57,12 +57,44 @@ def compile_partition_verdicts(
         source = source.where(F.expr(task.filter))
         target = target.where(F.expr(task.filter))
 
+    # fingerprint row-hash mode folds the per-group (pk, row_hash)
+    # fingerprint into the SAME profile scan — zero extra passes for
+    # clean groups (salted profiles keep the standalone operator: the
+    # fp sum is salt-mergeable but the plumbing isn't worth the combo)
+    fp_in_profile = (
+        task.pk_row_hash_check
+        and task.primary_keys
+        and task.row_hash_mode == "fingerprint"
+        and salt_buckets == 0
+    )
+
+    def _fp_exprs(side: str) -> list[F.Column]:
+        from datapact_spark.functions.hashing import row_hash
+
+        cols = task.hash_columns or [
+            c for c in source.columns if c not in group_cols
+        ]
+        rh = row_hash([F.col(c) for c in cols], task.hash_algo)
+        pk_cols = [F.col(pk) for pk in task.primary_keys]
+        row_sig = F.xxhash64(
+            F.xxhash64(*pk_cols),
+            F.xxhash64(F.lit(0x9E3779B9), *pk_cols),
+            F.xxhash64(rh),
+        )
+        return [F.sum(row_sig.cast("decimal(38,0)")).alias(f"{side}_rowfp")]
+
     if salt_buckets > 0:
         s_prof = grouped_profile_salted(source, task, "source", group_cols, salt_buckets)
         t_prof = grouped_profile_salted(target, task, "target", group_cols, salt_buckets)
     else:
-        s_prof = P.grouped_profile_df(source, task, "source", group_cols)
-        t_prof = P.grouped_profile_df(target, task, "target", group_cols)
+        s_prof = P.grouped_profile_df(
+            source, task, "source", group_cols,
+            extra_exprs=_fp_exprs("source") if fp_in_profile else None,
+        )
+        t_prof = P.grouped_profile_df(
+            target, task, "target", group_cols,
+            extra_exprs=_fp_exprs("target") if fp_in_profile else None,
+        )
 
     joined = s_prof.join(t_prof, on=group_cols, how="full_outer")
     # zero-fill the count columns so missing groups fail loudly
@@ -133,27 +165,66 @@ def compile_partition_verdicts(
     if null_join_df is not None:
         step = step.join(null_join_df, on=group_cols, how="left")
     if task.pk_row_hash_check and task.primary_keys:
-        if task.row_hash_mode == "fingerprint":
-            hm = H.grouped_row_hash_metrics_fingerprint(
-                source, target, task.primary_keys, group_cols,
-                task.hash_columns, task.hash_algo,
-            )
-        else:
-            hm = H.grouped_row_hash_metrics(
-                source, target, task.primary_keys, group_cols,
-                task.hash_columns, task.hash_algo,
-            )
-        step = step.join(hm, on=group_cols, how="left")
         tol = task.pk_hash_tolerance if task.pk_hash_tolerance is not None else 0.0
-        ratio = E.hash_mismatch_ratio(
-            F.coalesce(F.col("mismatch_count"), F.lit(0)),
-            F.coalesce(F.col("total_compared_rows"), F.lit(0)),
-        )
-        metric_cols += [
-            F.coalesce(F.col("total_compared_rows"), F.lit(0)).alias("total_compared_rows"),
-            F.coalesce(F.col("mismatch_count"), F.lit(0)).alias("mismatch_count"),
-        ]
-        pass_conds.append(("row_hash_passed", ratio <= tol))
+        if fp_in_profile:
+            # fingerprints came along with the profile scan: groups whose
+            # counts AND (pk,row_hash) fingerprints match are exactly
+            # equal → (source_count, 0) with NO join at all; only
+            # fingerprint-unequal groups enter the exact compact join,
+            # scoped by a broadcast semi-join. Clean data ⇒ the row-hash
+            # check costs zero extra scans and ~zero shuffle.
+            fp_equal = (
+                (F.col("source_count") == F.col("target_count"))
+                & F.col("source_rowfp").eqNullSafe(F.col("target_rowfp"))
+            )
+            failing_keys = joined.where(~fp_equal).select(
+                *[F.col(g) for g in group_cols]
+            )
+            src_f = source.join(
+                F.broadcast(failing_keys), on=group_cols, how="left_semi"
+            )
+            tgt_f = target.join(
+                F.broadcast(failing_keys), on=group_cols, how="left_semi"
+            )
+            hm = H.grouped_row_hash_metrics(
+                src_f, tgt_f, task.primary_keys, group_cols,
+                task.hash_columns, task.hash_algo,
+            )
+            step = step.join(hm, on=group_cols, how="left")
+            tc = F.when(fp_equal, F.col("source_count")).otherwise(
+                F.coalesce(F.col("total_compared_rows"), F.lit(0))
+            )
+            mm = F.when(fp_equal, F.lit(0).cast("long")).otherwise(
+                F.coalesce(F.col("mismatch_count"), F.lit(0))
+            )
+            ratio = E.hash_mismatch_ratio(mm, tc)
+            metric_cols += [
+                tc.alias("total_compared_rows"),
+                mm.alias("mismatch_count"),
+            ]
+            pass_conds.append(("row_hash_passed", ratio <= tol))
+        else:
+            if task.row_hash_mode == "fingerprint":
+                # salted-profile combo: standalone fingerprint operator
+                hm = H.grouped_row_hash_metrics_fingerprint(
+                    source, target, task.primary_keys, group_cols,
+                    task.hash_columns, task.hash_algo,
+                )
+            else:
+                hm = H.grouped_row_hash_metrics(
+                    source, target, task.primary_keys, group_cols,
+                    task.hash_columns, task.hash_algo,
+                )
+            step = step.join(hm, on=group_cols, how="left")
+            ratio = E.hash_mismatch_ratio(
+                F.coalesce(F.col("mismatch_count"), F.lit(0)),
+                F.coalesce(F.col("total_compared_rows"), F.lit(0)),
+            )
+            metric_cols += [
+                F.coalesce(F.col("total_compared_rows"), F.lit(0)).alias("total_compared_rows"),
+                F.coalesce(F.col("mismatch_count"), F.lit(0)).alias("mismatch_count"),
+            ]
+            pass_conds.append(("row_hash_passed", ratio <= tol))
 
     for check in task.referential_checks or []:
         parent = resolver.resolve(check.ref_table)

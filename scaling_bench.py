@@ -100,6 +100,7 @@ times = []
 WARMUP = warmup  # JIT + codegen warmup runs, excluded from the median
 app_id = spark.sparkContext.applicationId
 for i in range(runs + WARMUP):
+    spark.catalog.clearCache()  # fingerprint mode persists compact frames
     t0 = time.monotonic()
     # write (not count): count() lets Catalyst prune every metric column
     # and eliminate the unique-key joins, skipping the actual work
