@@ -51,7 +51,10 @@ from datapact_spark.sources.loader import TableResolver
 
 cores = int(sys.argv[1]); runs = int(sys.argv[2]); data_dir = sys.argv[3]
 warmup = int(sys.argv[4]); mode = sys.argv[5]; eventlog_dir = sys.argv[6]
-tgt_name = "code_tgt_localized" if mode == "fingerprint" else "code_tgt"
+tgt_name = {"fingerprint": "code_tgt_localized", "fingerprint_clean": "code_src"}.get(
+    mode, "code_tgt"
+)
+mode = "fingerprint" if mode == "fingerprint_clean" else mode
 os.makedirs(eventlog_dir, exist_ok=True)
 local_dir = "/dev/shm/datapact_bench_local" if os.path.isdir("/dev/shm") else None
 conf = {
@@ -142,13 +145,17 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--tokens", type=int, nargs=2, default=[64, 256], help="min/max content tokens (realistic source files are KBs)")
     ap.add_argument("--levels", type=int, nargs=2, default=[8, 32])
-    ap.add_argument("--mode", choices=["join", "fingerprint"], default="join")
+    ap.add_argument(
+        "--mode", choices=["join", "fingerprint", "fingerprint_clean"], default="join",
+        help="fingerprint_clean = steady-state: target IS the source "
+        "(every group passes by fingerprint; 2 scans total, no join)",
+    )
     args = ap.parse_args()
 
     data_dir = os.path.join(tempfile.gettempdir(), f"datapact_scaling_{args.files}_{args.tokens[0]}_{args.tokens[1]}")
     need_loc = args.mode == "fingerprint" and not os.path.exists(
         os.path.join(data_dir, "code_tgt_localized", "_SUCCESS")
-    )
+    )  # fingerprint_clean reads code_src for both sides — nothing extra
     if not os.path.exists(os.path.join(data_dir, "code_tgt", "_SUCCESS")) or need_loc:
         # materialize input once so every level reads identical files
         sys.path.insert(0, REPO)
