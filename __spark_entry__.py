@@ -894,6 +894,44 @@ def q_genie_issues(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard on candidate pairs (the verify stage of
+    near-dup dedup) computed over gram STRINGS so DuckDB can mirror it
+    exactly; pairs = every 11th doc vs its tail-perturbed copy."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def with_grams(df: DataFrame, id_out: str) -> DataFrame:
+        return (
+            df.select(
+                F.col("doc_id").alias(id_out),
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"),
+            )
+            .where(F.size("toks") >= 3)
+            .select(
+                id_out,
+                F.expr(
+                    "array_distinct(transform(sequence(0, size(toks)-3),"
+                    " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"
+                ).alias(f"grams_{id_out}"),
+            )
+        )
+
+    a = with_grams(docs.where(F.col("doc_id") % 11 == 0), "id_a")
+    perturbed = docs.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz zzz qq")).alias("text"),
+    )
+    b = with_grams(perturbed, "id_b")
+    pairs = a.join(b, F.col("id_b") - 1000000 == F.col("id_a"))
+    inter = F.size(F.array_intersect("grams_id_a", "grams_id_b"))
+    union = F.size(F.array_union("grams_id_a", "grams_id_b"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (inter / F.nullif(union.cast("double"), F.lit(0.0))).alias("jaccard"),
+    )
+
+
 def q_failure_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trend dashboard shape (client.py:861-871, 1585-1602): daily
     failure rate over the ledger, restricted to the 30 most recent days
@@ -990,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "genie_issues": q_genie_issues,
         "range_join_validity": q_range_join_validity,
         "failure_rate_daily": q_failure_rate_daily,
+        "ngram_jaccard": q_ngram_jaccard,
     }
 
 
@@ -1426,6 +1465,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'task_' || CAST(k AS VARCHAR), CAST(2 AS BIGINT),
                    'row_hash', 'row_hash_validation'
             FROM fails WHERE hash_fail
+        """,
+        "ngram_jaccard": """
+            WITH base AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+              FROM documents WHERE doc_id % 11 = 0),
+            pert AS (
+              SELECT doc_id + 1000000 AS doc_id,
+                     regexp_split_to_array(lower(trim(text || ' zzz zzz qq')), '\\s+') AS toks
+              FROM documents WHERE doc_id % 11 = 0),
+            ga AS (
+              SELECT doc_id AS id_a,
+                     list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS grams
+              FROM base WHERE len(toks) >= 3),
+            gb AS (
+              SELECT doc_id AS id_b,
+                     list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS grams
+              FROM pert WHERE len(toks) >= 3)
+            SELECT id_a, id_b,
+                   len(list_intersect(ga.grams, gb.grams))
+                     / NULLIF(CAST(len(list_distinct(list_concat(ga.grams, gb.grams))) AS DOUBLE), 0) AS jaccard
+            FROM ga JOIN gb ON gb.id_b - 1000000 = ga.id_a
         """,
         "failure_rate_daily": """
             WITH daily AS (

@@ -207,11 +207,19 @@ def grouped_row_hash_metrics_fingerprint(
         )
 
     cmp = side_fp(s, "s").join(side_fp(t, "t"), on=group_cols, how="full_outer")
+    # equality via sentinel-coalesced plain comparisons, NOT
+    # isNotNull/eqNullSafe: Spark's dynamic-partition-pruning rule only
+    # fires when the build-side filter is "likely selective", and
+    # EqualNullSafe/IsNotNull defeat that heuristic — with plain
+    # comparisons the detail re-scan gets a dynamicpruning partition
+    # filter on repo-partitioned storage. Distinct sentinels keep a
+    # missing side (NULL count/fp) unequal to anything real; counts are
+    # ≥1 for any group the aggregate emitted, so -1/-2 can't collide.
     equal = (
-        F.col("s_n").isNotNull()
-        & F.col("t_n").isNotNull()
-        & (F.col("s_n") == F.col("t_n"))
-        & (F.col("s_fp").eqNullSafe(F.col("t_fp")))
+        F.coalesce(F.col("s_n"), F.lit(-1)) == F.coalesce(F.col("t_n"), F.lit(-2))
+    ) & (
+        F.coalesce(F.col("s_fp"), F.lit(-1).cast("decimal(38,0)"))
+        == F.coalesce(F.col("t_fp"), F.lit(-2).cast("decimal(38,0)"))
     )
     passing = cmp.where(equal).select(
         *[F.col(g) for g in group_cols],

@@ -173,9 +173,16 @@ def compile_partition_verdicts(
             # fingerprint-unequal groups enter the exact compact join,
             # scoped by a broadcast semi-join. Clean data ⇒ the row-hash
             # check costs zero extra scans and ~zero shuffle.
+            # sentinel-coalesced plain comparisons (not eqNullSafe):
+            # keeps the filter "likely selective" so dynamic partition
+            # pruning fires on the detail re-scan (see rowhash.py note);
+            # a side missing the group has count 0 ≠ the other side's >0,
+            # and fp sentinels -1/-2 can't make missing == present
             fp_equal = (
-                (F.col("source_count") == F.col("target_count"))
-                & F.col("source_rowfp").eqNullSafe(F.col("target_rowfp"))
+                F.col("source_count") == F.col("target_count")
+            ) & (
+                F.coalesce(F.col("source_rowfp"), F.lit(-1).cast("decimal(38,0)"))
+                == F.coalesce(F.col("target_rowfp"), F.lit(-2).cast("decimal(38,0)"))
             )
             failing_keys = joined.where(~fp_equal).select(
                 *[F.col(g) for g in group_cols]

@@ -248,3 +248,32 @@ def test_fingerprint_mode_localized_corruption_scopes_join(spark, tmp_path):
     assert m_fp == m_jn
     dirty = {k for k, v in m_fp.items() if v[1] > 0}
     assert dirty and all(k[0] == "repo_0" for k in dirty)
+
+
+def test_fingerprint_detail_scan_uses_dynamic_partition_pruning(spark, tmp_path):
+    """On repo-partitioned storage (the Iceberg-at-scale layout), the
+    fingerprint mode's detail re-scan must prune to the dirty repos via
+    dynamic partition pruning from the broadcast semi-join — reading ~2%
+    of the data, not all of it."""
+    from datapact_spark.operators.rowhash import grouped_row_hash_metrics_fingerprint
+
+    src = synthesize_code_table(spark, 20000, n_repos=10, seed=5)
+    src_p, tgt_p = str(tmp_path / "psrc"), str(tmp_path / "ptgt")
+    src.write.partitionBy("repo").parquet(src_p)
+    src.withColumn(
+        "content",
+        F.when(
+            (F.col("repo") == "repo_3") & (F.xxhash64("path") % 20 == 0),
+            F.concat(F.col("content"), F.lit(" DIRTY")),
+        ).otherwise(F.col("content")),
+    ).write.partitionBy("repo").parquet(tgt_p)
+    s = spark.read.parquet(src_p)
+    t = spark.read.parquet(tgt_p)
+    m = grouped_row_hash_metrics_fingerprint(
+        s, t, ["repo", "path"], ["repo", "lang"], ["content"], "sha256", persist=False
+    )
+    plan = m._sc._jvm.PythonSQLUtils.explainString(m._jdf.queryExecution(), "formatted")
+    assert "dynamicpruning" in plan.lower(), f"no DPP in detail scan:\n{plan[:3000]}"
+    rows = {(r["repo"], r["lang"]): r["mismatch_count"] for r in m.collect()}
+    dirty = {k for k, v in rows.items() if v > 0}
+    assert dirty and all(k[0] == "repo_3" for k in dirty)
