@@ -657,9 +657,28 @@ def q_drift_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift_metrics(li, li.where("l_discount > 0.02"), check)
 
 
+def q_drift_psi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bin PSI terms + running CDFs (A11): each row is a fixed
+    sequence of IEEE ops from exact counts (ln verified bitwise-portable
+    Spark↔DuckDB on this platform), so the whole drift computation short
+    of the final Σ is value-checked; `drift_psi_value` keeps the
+    rows-only Σ."""
+    from datapact_spark.operators.drift import _binned, _bounds, psi_ks_terms
+
+    li = _t(spark, sf_dir, "lineitem")
+    tgt = li.where("l_discount > 0.02")
+    bounds = _bounds(li, "l_extendedprice")
+    hs = _binned(li, "l_extendedprice", 16, bounds)
+    ht = _binned(tgt, "l_extendedprice", 16, bounds)
+    return psi_ks_terms(hs, ht)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing (rows-only): binary payload → Arrow-batched
-    feature extraction via mapInPandas (decode stubbed deterministically)."""
+    """Multimodal plumbing, oracle-checked: binary payload →
+    Arrow-batched feature extraction via mapInPandas. The deterministic
+    stub decode is a sha256 chain DuckDB can replicate exactly;
+    ``round(f0*1000)`` recovers the integer (digest_u32 % 1000) so the
+    rollup sums BIGINTs (order-independent) instead of float32s."""
     from datapact_spark.operators.multimodal import (
         extract_features,
         synthesize_media_table,
@@ -670,7 +689,9 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.groupBy("kind").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("n_bytes").alias("total_bytes"),
-        F.sum(F.element_at("feature", 1).cast("double")).alias("f0_sum"),
+        F.sum(F.round(F.element_at("feature", 1) * 1000).cast("long")).alias(
+            "f0_millis_sum"
+        ),
     )
 
 
@@ -1029,6 +1050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_validity": q_range_join_validity,
         "failure_rate_daily": q_failure_rate_daily,
         "ngram_jaccard": q_ngram_jaccard,
+        "drift_psi_terms": q_drift_psi_terms,
     }
 
 
@@ -1465,6 +1487,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'task_' || CAST(k AS VARCHAR), CAST(2 AS BIGINT),
                    'row_hash', 'row_hash_validation'
             FROM fails WHERE hash_fail
+        """,
+        "multimodal_features": """
+            -- mirrors multimodal.synthesize_media_table + the stub
+            -- decode: payload = ASCII hex of sha256('42'||id); feature
+            -- u32 = first 4 bytes (LE) of sha256(payload); f0_millis =
+            -- u32 % 1000
+            WITH media AS (
+              SELECT range AS id,
+                     list_extract(['image','audio','video'], CAST(range % 3 AS INT) + 1) AS kind,
+                     sha256('42' || CAST(range AS VARCHAR)) AS payload_hex
+              FROM range(96)),
+            feat AS (
+              SELECT kind, length(payload_hex) AS n_bytes,
+                     sha256(payload_hex) AS d
+              FROM media),
+            u AS (
+              SELECT kind, n_bytes,
+                     CAST('0x' || substr(d, 1, 2) AS BIGINT)
+                   + CAST('0x' || substr(d, 3, 2) AS BIGINT) * 256
+                   + CAST('0x' || substr(d, 5, 2) AS BIGINT) * 65536
+                   + CAST('0x' || substr(d, 7, 2) AS BIGINT) * 16777216 AS u32
+              FROM feat)
+            SELECT kind, COUNT(*) AS n,
+                   CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+                   CAST(SUM(u32 % 1000) AS BIGINT) AS f0_millis_sum
+            FROM u GROUP BY kind
+        """,
+        "drift_psi_terms": """
+            WITH b AS (SELECT MIN(CAST(l_extendedprice AS DOUBLE)) AS lo, MAX(CAST(l_extendedprice AS DOUBLE)) AS hi FROM lineitem),
+            binned_s AS (
+              SELECT CAST(LEAST(GREATEST(FLOOR((CAST(l_extendedprice AS DOUBLE) - lo) / NULLIF((hi - lo) / 16.0, 0)), 0), 15) AS INT) AS bin
+              FROM lineitem, b WHERE l_extendedprice IS NOT NULL),
+            binned_t AS (
+              SELECT CAST(LEAST(GREATEST(FLOOR((CAST(l_extendedprice AS DOUBLE) - lo) / NULLIF((hi - lo) / 16.0, 0)), 0), 15) AS INT) AS bin
+              FROM lineitem, b WHERE l_extendedprice IS NOT NULL AND l_discount > 0.02),
+            hp AS (SELECT bin, COUNT(*) AS p_cnt FROM binned_s GROUP BY bin),
+            hq AS (SELECT bin, COUNT(*) AS q_cnt FROM binned_t GROUP BY bin),
+            merged AS (
+              SELECT COALESCE(hp.bin, hq.bin) AS bin,
+                     COALESCE(p_cnt, 0) AS p_cnt, COALESCE(q_cnt, 0) AS q_cnt
+              FROM hp FULL OUTER JOIN hq ON hp.bin = hq.bin),
+            tot AS (SELECT SUM(p_cnt) AS p_tot, SUM(q_cnt) AS q_tot FROM merged),
+            ratios AS (
+              SELECT bin,
+                     COALESCE(p_cnt / NULLIF(CAST(p_tot AS DOUBLE), 0), 0.0) AS p,
+                     COALESCE(q_cnt / NULLIF(CAST(q_tot AS DOUBLE), 0), 0.0) AS q
+              FROM merged, tot),
+            staged AS (
+              SELECT bin, p + 1e-6 AS ps, q + 1e-6 AS qs,
+                     SUM(p) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_cdf,
+                     SUM(q) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS q_cdf
+              FROM ratios)
+            SELECT bin, (ps - qs) * ln(ps / qs) AS psi_term, p_cdf, q_cdf
+            FROM staged
         """,
         "ngram_jaccard": """
             WITH base AS (

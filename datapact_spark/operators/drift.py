@@ -75,8 +75,13 @@ def histogram_snapshot(df: DataFrame, column: str, bins: int = 64) -> DataFrame:
     return _binned(df, column, bins, bounds).crossJoin(F.broadcast(bounds))
 
 
-def _psi_ks(hist_p: DataFrame, hist_q: DataFrame, bins: int) -> DataFrame:
-    """1-row (psi, ks) from two (bin, cnt) histograms on the same grid."""
+def psi_ks_terms(hist_p: DataFrame, hist_q: DataFrame) -> DataFrame:
+    """Per-bin drift terms from two (bin, cnt) histograms on one grid:
+    (bin, psi_term, p_cdf, q_cdf). Every value is a fixed sequence of
+    IEEE ops from exact integer counts (one division, +ε, ln, −, ×, and
+    an ordered running sum), so the rows are bitwise engine-portable —
+    the DuckDB oracle checks them value-exactly; only the final Σ of
+    psi_term is summation-order-dependent."""
     p = hist_p.select(F.col("bin"), F.col("cnt").alias("p_cnt"))
     q = hist_q.select(F.col("bin"), F.col("cnt").alias("q_cnt"))
     merged = p.join(q, on="bin", how="full_outer").select(
@@ -88,7 +93,7 @@ def _psi_ks(hist_p: DataFrame, hist_q: DataFrame, bins: int) -> DataFrame:
         F.sum("p_cnt").alias("p_tot"), F.sum("q_cnt").alias("q_tot")
     )
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-    ratios = (
+    return (
         merged.crossJoin(F.broadcast(totals))
         .select(
             F.col("bin"),
@@ -103,9 +108,21 @@ def _psi_ks(hist_p: DataFrame, hist_q: DataFrame, bins: int) -> DataFrame:
             F.sum("p").over(w).alias("p_cdf"),
             F.sum("q").over(w).alias("q_cdf"),
         )
+        .select(
+            "bin",
+            ((F.col("ps") - F.col("qs")) * F.log(F.col("ps") / F.col("qs"))).alias(
+                "psi_term"
+            ),
+            "p_cdf",
+            "q_cdf",
+        )
     )
-    return ratios.agg(
-        F.sum((F.col("ps") - F.col("qs")) * F.log(F.col("ps") / F.col("qs"))).alias("psi"),
+
+
+def _psi_ks(hist_p: DataFrame, hist_q: DataFrame, bins: int) -> DataFrame:
+    """1-row (psi, ks) from two (bin, cnt) histograms on the same grid."""
+    return psi_ks_terms(hist_p, hist_q).agg(
+        F.sum("psi_term").alias("psi"),
         F.max(F.abs(F.col("p_cdf") - F.col("q_cdf"))).alias("ks"),
     )
 
