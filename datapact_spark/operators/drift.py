@@ -89,12 +89,21 @@ def psi_ks_terms(hist_p: DataFrame, hist_q: DataFrame) -> DataFrame:
         F.coalesce(F.col("p_cnt"), F.lit(0)).alias("p_cnt"),
         F.coalesce(F.col("q_cnt"), F.lit(0)).alias("q_cnt"),
     )
-    totals = merged.agg(
-        F.sum("p_cnt").alias("p_tot"), F.sum("q_cnt").alias("q_tot")
+    # totals as an unbounded window over the (tiny, ≤bins-row) merged
+    # histogram — NOT a separate .agg(): a second aggregate re-computes
+    # the whole upstream subtree (scans included) since Catalyst doesn't
+    # share non-exchange subplans, doubling the input scans at scale
+    wt = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    merged = merged.select(
+        "bin", "p_cnt", "q_cnt",
+        F.sum("p_cnt").over(wt).alias("p_tot"),
+        F.sum("q_cnt").over(wt).alias("q_tot"),
     )
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     return (
-        merged.crossJoin(F.broadcast(totals))
+        merged
         .select(
             F.col("bin"),
             (F.col("p_cnt") / F.nullif(F.col("p_tot").cast("double"), F.lit(0.0))).alias("p"),
@@ -190,8 +199,16 @@ def grouped_drift_metrics(
         F.coalesce(F.col("p_cnt"), F.lit(0)).alias("p_cnt"),
         F.coalesce(F.col("q_cnt"), F.lit(0)).alias("q_cnt"),
     )
-    totals = merged.groupBy(*group_cols).agg(
-        F.sum("p_cnt").alias("p_tot"), F.sum("q_cnt").alias("q_tot")
+    # per-group totals as an unbounded window (same shuffle as the CDF
+    # window below) — a groupBy+join would recompute merged's whole
+    # upstream, doubling both input scans
+    wt = Window.partitionBy(*group_cols).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    merged = merged.select(
+        *group_cols, "bin", "p_cnt", "q_cnt",
+        F.sum("p_cnt").over(wt).alias("p_tot"),
+        F.sum("q_cnt").over(wt).alias("q_tot"),
     )
     w = (
         Window.partitionBy(*group_cols)
@@ -199,7 +216,7 @@ def grouped_drift_metrics(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     ratios = (
-        merged.join(totals, on=group_cols)
+        merged
         .select(
             *group_cols,
             F.col("bin"),
