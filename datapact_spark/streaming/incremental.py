@@ -83,6 +83,90 @@ def validate_stream(
     return writer.start()
 
 
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events long"
+)
+_SESSION_STATE_SCHEMA = "start_us long, last_us long, n long"
+
+
+def stateful_sessionize(
+    stream_df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    gap-based sessionization over an event stream.
+
+    Per user, consecutive events within ``gap_minutes`` belong to one
+    session. A session row (user, start, end, n_events) is emitted when
+    the session CLOSES — either a later event arrives past the gap, or
+    the event-time timeout fires (watermark passed the session's close
+    horizon, so no in-order event can reopen it).
+
+    This is the Arrow-batched stateful path the north star allows for
+    custom operators Spark's built-ins can't express: state is one tiny
+    (start, last, n) tuple per user, keys are hash-partitioned by the
+    streaming engine, and each micro-batch processes whole pandas
+    batches per key.
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def _fn(key, pdf_iter, state: GroupState):
+        (user,) = key
+        closed: list[tuple[int, int, int, int]] = []  # (user, start, last, n)
+        if state.hasTimedOut:
+            if state.exists:
+                s, last, n = state.get
+                closed.append((user, s, last, n))
+                state.remove()
+        else:
+            ts_us: list[int] = []
+            for pdf in pdf_iter:
+                # pandas datetime64 → integer microseconds
+                ts_us.extend(
+                    int(v) // 1000 for v in pdf[ts_col].astype("int64").tolist()
+                )
+            ts_us.sort()
+            if state.exists:
+                s, last, n = state.get
+            else:
+                s, last, n = ts_us[0], ts_us[0], 0
+            for t in ts_us:
+                if t - last > gap_us:
+                    closed.append((user, s, last, n))
+                    s, n = t, 0
+                last = max(last, t)
+                n += 1
+            state.update((s, last, n))
+            # close when the watermark passes last_event + gap: no
+            # in-order event can extend this session anymore
+            state.setTimeoutTimestamp(last // 1000 + gap_minutes * 60 * 1000)
+        out = pd.DataFrame(
+            closed, columns=["user_id", "start_us", "last_us", "n_events"]
+        )
+        out["session_start"] = pd.to_datetime(out["start_us"], unit="us")
+        out["session_end"] = pd.to_datetime(out["last_us"], unit="us")
+        yield out[["user_id", "session_start", "session_end", "n_events"]]
+
+    return (
+        stream_df.select(F.col(user_col).alias("user_id"), F.col(ts_col).alias(ts_col))
+        .withWatermark(ts_col, watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _fn,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def windowed_profile(
     stream_df: DataFrame,
     ts_col: str,

@@ -110,3 +110,61 @@ def test_windowed_profile_with_watermark(spark, tmp_path):
     assert got["00:01"]["row_count"] == 2
     assert got["00:01"]["nulls_v"] == 1
     assert got["00:01"]["min_v"] == 3.0
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization must emit exactly the
+    sessions the batch operator computes, once the watermark passes
+    their close horizon (forced by far-future sentinel events)."""
+    from datapact_spark.operators.sessions import session_stats
+    from datapact_spark.streaming.incremental import stateful_sessionize
+
+    src_dir = str(tmp_path / "sess_in")
+    base = [
+        # user 1: two sessions (gap > 30 min between 00:20 and 01:10)
+        (1, "2026-01-01 00:00:00"), (1, "2026-01-01 00:10:00"),
+        (1, "2026-01-01 00:20:00"), (1, "2026-01-01 01:10:00"),
+        (1, "2026-01-01 01:15:00"),
+        # user 2: one session
+        (2, "2026-01-01 00:05:00"), (2, "2026-01-01 00:25:00"),
+    ]
+    ev = spark.createDataFrame(base, "user_id long, ts_s string").withColumn(
+        "ts", F.to_timestamp("ts_s")
+    ).drop("ts_s")
+    ev.coalesce(1).write.mode("append").parquet(src_dir)
+    # batch 2: far-future sentinels advance the watermark far beyond
+    # every base session's close horizon, forcing their emission
+    spark.createDataFrame(
+        [(1, "2026-01-02 00:00:00"), (2, "2026-01-02 00:00:00")],
+        "user_id long, ts_s string",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s").coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+
+    stream = spark.readStream.schema("user_id long, ts timestamp").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src_dir)
+    sessions = stateful_sessionize(stream, gap_minutes=30, watermark="0 seconds")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_start"].isoformat(), r["session_end"].isoformat(),
+         r["n_events"])
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    expected_df = session_stats(ev, gap_minutes=30)
+    expected = {
+        (r["user_id"], r["session_start"].isoformat(), r["session_end"].isoformat(),
+         r["n_events"])
+        for r in expected_df.select(
+            "user_id", "session_start", "session_end", "n_events"
+        ).collect()
+    }
+    assert got == expected and len(expected) == 3
