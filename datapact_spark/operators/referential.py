@@ -50,13 +50,28 @@ def referential_violations(
 def referential_metrics(
     child: DataFrame, parent: DataFrame, check: ReferentialCheck
 ) -> DataFrame:
-    """1-row DF: (child_count_<name>, violation_count_<name>)."""
+    """1-row DF: (child_count_<name>, violation_count_<name>).
+
+    Single pass over the child: LEFT join against the deduped parent
+    keys (multiplicity 1 by construction) and count null-matches —
+    instead of a separate count + anti-join, which scans the child
+    twice. NULL-FK rows count toward child_count but are never
+    violations (SQL FK convention)."""
     name = check.name
-    total = child.agg(F.count(F.lit(1)).alias(f"child_count_{name}"))
-    violations = referential_violations(child, parent, check).agg(
-        F.count(F.lit(1)).alias(f"violation_count_{name}")
+    keys = _parent_keys(parent, check).withColumn("__matched", F.lit(1))
+    non_null_pred = F.lit(True)
+    for fk in check.fk_columns:
+        non_null_pred = non_null_pred & F.col(fk).isNotNull()
+    joined = child.join(keys, on=check.fk_columns, how="left")
+    return joined.agg(
+        F.count(F.lit(1)).alias(f"child_count_{name}"),
+        F.coalesce(
+            F.sum(
+                F.when(non_null_pred & F.col("__matched").isNull(), 1).otherwise(0)
+            ),
+            F.lit(0),
+        ).alias(f"violation_count_{name}"),
     )
-    return total.crossJoin(violations)
 
 
 def grouped_referential_metrics(

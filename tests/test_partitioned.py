@@ -277,3 +277,22 @@ def test_fingerprint_detail_scan_uses_dynamic_partition_pruning(spark, tmp_path)
     rows = {(r["repo"], r["lang"]): r["mismatch_count"] for r in m.collect()}
     dirty = {k for k, v in rows.items() if v > 0}
     assert dirty and all(k[0] == "repo_3" for k in dirty)
+
+
+def test_salted_profile_with_fingerprint_mode(engine, spark):
+    """salt_buckets + row_hash_mode=fingerprint routes through the
+    standalone fingerprint operator and still matches the join path."""
+    from datapact_spark.plans.partitioned import compile_partition_verdicts
+
+    def run(mode, salt):
+        df = compile_partition_verdicts(
+            spark, _task(task_key=f"sf_{mode}_{salt}", row_hash_mode=mode),
+            engine.resolver, salt_buckets=salt,
+        )
+        return {
+            (r["repo"], r["lang"]): (r["total_compared_rows"], r["mismatch_count"],
+                                     r["overall_validation_passed"])
+            for r in df.collect()
+        }
+
+    assert run("fingerprint", 8) == run("join", 0)
