@@ -246,7 +246,9 @@ class ValidationTask(BaseModel):
     # 'scalable' (north-star default: hash-repartitioned groupBy-count,
     # key-only shuffle, no Expand) | 'parity' (COUNT(DISTINCT struct)
     # folded into the single-pass profile — one scan, but Expand doubles
-    # the profile's shuffle at 10^12 rows) | 'auto' = scalable
+    # the profile's shuffle at 10^12 rows) | 'approx' (HyperLogLog++,
+    # ~1% rsd, one scan and NO key shuffle — for tolerances ≫ rsd) |
+    # 'auto' = scalable
     uniqueness_strategy: str = "auto"
     business_domain: str | None = None
     business_owner: str | None = None
@@ -326,8 +328,10 @@ class ValidationTask(BaseModel):
     @field_validator("uniqueness_strategy")
     @classmethod
     def _validate_uniq_strategy(cls, v: str) -> str:
-        if v not in {"auto", "parity", "scalable"}:
-            raise ValueError("uniqueness_strategy must be auto, parity, or scalable")
+        if v not in {"auto", "parity", "scalable", "approx"}:
+            raise ValueError(
+                "uniqueness_strategy must be auto, parity, scalable, or approx"
+            )
         return v
 
     @field_validator("row_hash_mode")

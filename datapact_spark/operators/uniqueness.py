@@ -59,6 +59,30 @@ def uniqueness_metrics_scalable(df: DataFrame, key_columns: list[str]) -> DataFr
     )
 
 
+def uniqueness_metrics_approx(
+    df: DataFrame, key_columns: list[str], rsd: float = 0.01
+) -> DataFrame:
+    """1-row (row_count, distinct_count, duplicate_count) via
+    HyperLogLog++ (``approx_count_distinct``) — for scale regimes where
+    even the key-only shuffle of the exact groupBy-count is unwanted.
+    ONE scan, no shuffle beyond the single-row final aggregate, ~rsd
+    relative error on distinct_count (duplicate_count inherits it).
+    Use only with a tolerance comfortably above the rsd; the exact path
+    (``uniqueness_metrics_scalable``) is the default."""
+    from pyspark.sql import functions as F
+
+    return df.agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.approx_count_distinct(
+            F.struct(*[F.col(c) for c in key_columns]), rsd
+        ).alias("distinct_count"),
+        (
+            F.count(F.lit(1))
+            - F.approx_count_distinct(F.struct(*[F.col(c) for c in key_columns]), rsd)
+        ).alias("duplicate_count"),
+    )
+
+
 def salted_group_count(
     df: DataFrame, key_columns: list[str], salt_buckets: int = 32
 ) -> DataFrame:

@@ -169,24 +169,34 @@ def compile_task(
     # via hash-repartitioned groupBy-count (key-only shuffle, no Expand
     # node inflating the profile's shuffle at 10^12 rows); 'parity'
     # folds COUNT(DISTINCT struct) into the profile like the reference
-    uniq_scalable = (
-        task.uniqueness_columns
-        and task.uniqueness_tolerance is not None
-        and task.uniqueness_strategy in ("auto", "scalable")
+    uniq_configured = (
+        task.uniqueness_columns and task.uniqueness_tolerance is not None
     )
+    uniq_strategy = (
+        "scalable" if task.uniqueness_strategy == "auto" else task.uniqueness_strategy
+    )
+    uniq_external = uniq_configured and uniq_strategy in ("scalable", "approx")
     if P.stats_needed(task):
         metric_dfs.append(
-            P.profile_df(source, task, "source", include_uniqueness=not uniq_scalable)
+            P.profile_df(source, task, "source", include_uniqueness=not uniq_external)
         )
         metric_dfs.append(
-            P.profile_df(target, task, "target", include_uniqueness=not uniq_scalable)
+            P.profile_df(target, task, "target", include_uniqueness=not uniq_external)
         )
-    if uniq_scalable:
-        from datapact_spark.operators.uniqueness import uniqueness_metrics_scalable
+    if uniq_external:
+        from datapact_spark.operators.uniqueness import (
+            uniqueness_metrics_approx,
+            uniqueness_metrics_scalable,
+        )
 
+        fn = (
+            uniqueness_metrics_approx
+            if uniq_strategy == "approx"
+            else uniqueness_metrics_scalable
+        )
         for side, df_side in (("source", source), ("target", target)):
             metric_dfs.append(
-                uniqueness_metrics_scalable(df_side, task.uniqueness_columns).select(
+                fn(df_side, task.uniqueness_columns).select(
                     F.col("distinct_count").alias(f"{side}_distinct_uniqs")
                 )
             )

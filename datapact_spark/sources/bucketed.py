@@ -1,0 +1,75 @@
+"""Bucketed-table helpers: co-located, shuffle-free PK joins.
+
+At 10^12 rows the row-hash PK join's shuffle dominates even in compact
+form. If the source and target land in the warehouse bucketed and
+sorted BY THE SAME keys into the SAME bucket count, Spark plans the
+join with zero Exchange on either side (bucket pruning + per-bucket
+sort-merge) — the cluster-scale equivalent of co-partitioned Iceberg
+writes. This module wraps the write and gives the engine a helper to
+check co-location before trusting it.
+
+Usage::
+
+    write_bucketed(df, "src_b", ["repo", "path"], buckets=256)
+    write_bucketed(tgt, "tgt_b", ["repo", "path"], buckets=256)
+    s, t = spark.table("src_b"), spark.table("tgt_b")
+    # rowhash joins on (repo, path) now plan without any Exchange
+
+Note: Spark bucketing requires a catalog table (``saveAsTable``), not a
+bare parquet path — bucket metadata lives in the catalog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    buckets: int = 256,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed+sorted catalog table.
+
+    ``buckets`` should be sized so one bucket ≈ one task's worth of data
+    at the target scale (e.g. 10^12 rows / 256 B avg → ~4k buckets of
+    ~60 GB... pick per deployment); both join sides MUST use the same
+    ``bucket_cols`` and ``buckets`` for the exchange-free plan.
+    """
+    writer = (
+        df.write.mode(mode)
+        .bucketBy(buckets, *bucket_cols)
+        .sortBy(*(sort_cols or bucket_cols))
+        .format("parquet")
+    )
+    writer.saveAsTable(table)
+
+
+def is_colocated(
+    spark: SparkSession, table_a: str, table_b: str, join_cols: list[str]
+) -> bool:
+    """True when both catalog tables are bucketed by exactly
+    ``join_cols`` with equal bucket counts — the precondition for a
+    shuffle-free join."""
+
+    def spec(table: str) -> tuple[tuple[str, ...], int] | None:
+        rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+        info = {r["col_name"]: r["data_type"] for r in rows}
+        if "Num Buckets" not in info:
+            return None
+        cols = tuple(
+            c.strip().strip("`")
+            for c in info.get("Bucket Columns", "").strip("[]").split(",")
+            if c.strip()
+        )
+        return cols, int(info["Num Buckets"])
+
+    a, b = spec(table_a), spec(table_b)
+    return (
+        a is not None
+        and a == b
+        and a[0] == tuple(join_cols)
+    )

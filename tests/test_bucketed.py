@@ -1,0 +1,83 @@
+"""Bucketed co-located joins: same bucket spec on both sides ⇒ the PK
+join plans with NO Exchange on either side."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datapact_spark.sources.bucketed import is_colocated, write_bucketed
+
+
+def _explain(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark):
+    from datapact_spark.sources.codegen import corrupt_code_table, synthesize_code_table
+
+    src = synthesize_code_table(spark, 5000, n_repos=6, seed=13)
+    tgt = corrupt_code_table(src, mutate_every=100)
+    write_bucketed(src, "bsrc", ["repo", "path"], buckets=8)
+    write_bucketed(tgt, "btgt", ["repo", "path"], buckets=8)
+    yield "bsrc", "btgt"
+    spark.sql("DROP TABLE IF EXISTS bsrc")
+    spark.sql("DROP TABLE IF EXISTS btgt")
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    """Force SMJ (test tables are broadcast-sized; at 10^12 rows neither
+    side broadcasts — that's the regime bucketing exists for)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_join_is_exchange_free(spark, bucketed_tables, no_broadcast):
+    a, b = bucketed_tables
+    s, t = spark.table(a), spark.table(b)
+    joined = s.select("repo", "path", "content").join(
+        t.select("repo", "path", F.col("content").alias("t_content")),
+        on=["repo", "path"],
+    )
+    plan = _explain(joined)
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree, f"bucketed join must not shuffle:\n{tree}"
+    assert "SortMergeJoin" in tree
+    assert joined.count() > 0
+
+
+def test_row_hash_over_bucketed_tables_no_exchange_before_join(
+    spark, bucketed_tables, no_broadcast
+):
+    """The engine's row-hash compare inherits bucketing: hashing is a
+    projection, so the join beneath grouped metrics still needs no
+    exchange before the SMJ when inputs are co-bucketed on the PKs."""
+    from datapact_spark.operators.rowhash import row_hash_metrics
+
+    a, b = bucketed_tables
+    m = row_hash_metrics(
+        spark.table(a), spark.table(b), ["repo", "path"], ["content"], "sha256"
+    )
+    plan = _explain(m)
+    tree = plan.split("\n\n")[0]
+    # only the final 1-row aggregate may exchange (SinglePartition);
+    # no hash-partitioned shuffle anywhere — the join rides the buckets
+    assert "SortMergeJoin" in tree
+    assert plan.count("Exchange hashpartitioning") == 0, (
+        f"PK join over bucketed tables shuffled:\n{tree}"
+    )
+
+
+def test_is_colocated(spark, bucketed_tables):
+    a, b = bucketed_tables
+    assert is_colocated(spark, a, b, ["repo", "path"])
+    assert not is_colocated(spark, a, b, ["repo"])
+    spark.range(10).write.mode("overwrite").saveAsTable("plain_t")
+    try:
+        assert not is_colocated(spark, a, "plain_t", ["repo", "path"])
+    finally:
+        spark.sql("DROP TABLE IF EXISTS plain_t")

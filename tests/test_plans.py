@@ -171,3 +171,22 @@ def test_custom_sql_reference_fingerprint_opt_in(spark, sf_dir):
         }],
     )
     assert "collect_list" in _explain(df)
+
+
+def test_uniqueness_approx_no_key_shuffle(spark, sf_dir):
+    """'approx' uniqueness (HLL++) plans one scan per side with no
+    hash-partitioned exchange, and lands within rsd of the exact count."""
+    df = _compile(
+        spark, sf_dir,
+        count_tolerance=0.0, uniqueness_columns=["o_custkey"], uniqueness_tolerance=0.95,
+        uniqueness_strategy="approx",
+    )
+    plan = _explain(df)
+    assert "approx_count_distinct" in plan
+    assert "Exchange hashpartitioning" not in plan
+    row = df.collect()[0]
+    import json
+
+    payload = json.loads(row["result_payload"])
+    uniq = payload["uniqueness_validation_o_custkey"]
+    assert uniq["status"] == "PASS"
