@@ -259,12 +259,29 @@ class ValidationTask(BaseModel):
     # ---- engine-native extensions ----
     hash_algo: str = "md5"
     # Grouped row-hash strategy for per-partition verdicts:
-    # 'join' (default) PK-joins every row — exact under duplicate PKs;
+    # 'join' (default) PK-joins every row — reference join semantics,
+    #   including fan-out under duplicate PKs;
     # 'fingerprint' compares per-group commutative (pk,hash) fingerprints
-    # and PK-joins ONLY fingerprint-unequal groups — shuffles ~nothing
-    # when most groups are clean, but requires per-group-unique PKs
-    # (see rowhash.grouped_row_hash_metrics_fingerprint).
+    #   and PK-joins ONLY fingerprint-unequal groups — shuffles ~nothing
+    #   when most groups are clean. Bit-identical to 'join' only when PKs
+    #   are unique per group, so it REQUIRES a uniqueness check on (a
+    #   subset of) the PKs; groups with dup PKs are routed to the exact
+    #   join (see rowhash.grouped_row_hash_metrics_fingerprint);
+    # 'fingerprint_multiset' — same plan WITHOUT the uniqueness
+    #   requirement: group equality is (pk, row_hash) MULTISET equality.
+    #   Never misses corruption (unequal multisets always fingerprint-
+    #   unequal, collision ~2^-64), but on a multiset-equal group with
+    #   duplicate PKs it reports 0 mismatches where 'join' would report
+    #   fan-out cross-pairs. The max-scale mode when an exact distinct
+    #   count (a full PK-tuple shuffle) is not worth paying for.
     row_hash_mode: str = "join"
+    # How fingerprint mode scopes the exact join to fingerprint-unequal
+    # groups: 'broadcast' (default) hints the failing-key list to the
+    # driver — optimal when data is mostly clean (the designed regime);
+    # 'auto' omits the hint so AQE picks broadcast vs shuffled join from
+    # the key list's ACTUAL size at runtime — safe under widespread
+    # corruption, where an unbounded broadcast could OOM the driver.
+    fingerprint_scope_join: str = "broadcast"
     partition_by: list[str] | None = None
     # resume granularity (checkpointed batches; each batch re-filters the
     # input, so more batches = finer resume but more scans) and group-by
@@ -337,9 +354,51 @@ class ValidationTask(BaseModel):
     @field_validator("row_hash_mode")
     @classmethod
     def _validate_row_hash_mode(cls, v: str) -> str:
-        if v not in {"join", "fingerprint"}:
-            raise ValueError("row_hash_mode must be join or fingerprint")
+        if v not in {"join", "fingerprint", "fingerprint_multiset"}:
+            raise ValueError(
+                "row_hash_mode must be join, fingerprint, or fingerprint_multiset"
+            )
         return v
+
+    @field_validator("fingerprint_scope_join")
+    @classmethod
+    def _validate_fingerprint_scope_join(cls, v: str) -> str:
+        if v not in {"broadcast", "auto"}:
+            raise ValueError("fingerprint_scope_join must be broadcast or auto")
+        return v
+
+    @model_validator(mode="after")
+    def _validate_fingerprint_requires_pk_uniqueness(self) -> "ValidationTask":
+        # fingerprint row-hash mode is only exact when PKs are unique per
+        # group (rowhash.grouped_row_hash_metrics_fingerprint: equal
+        # multisets with duplicate PKs fingerprint-match while the join
+        # path would count cross-pair mismatches). Enforce the guard at
+        # compile time: a uniqueness check over (a subset of) the primary
+        # keys must be configured — uniqueness of a PK subset implies PK
+        # uniqueness — so dup-PK data fails the uniqueness check loudly
+        # and (in the default compiled plan) dup groups are routed to the
+        # exact join path instead of trusting their fingerprints.
+        # 'fingerprint_multiset' opts out: documented multiset-equality
+        # semantics instead of join parity (see row_hash_mode comment).
+        if self.row_hash_mode == "fingerprint" and self.pk_row_hash_check:
+            pks = set(self.primary_keys or [])
+            uniq = set(self.uniqueness_columns or [])
+            has_pk_uniqueness = (
+                bool(uniq)
+                and uniq.issubset(pks)
+                and self.uniqueness_tolerance is not None
+            )
+            if not has_pk_uniqueness:
+                raise ValueError(
+                    "row_hash_mode='fingerprint' requires a uniqueness check "
+                    "on (a subset of) the primary keys: set "
+                    "uniqueness_columns to PK columns and a "
+                    "uniqueness_tolerance; or use row_hash_mode='join' "
+                    "(reference join semantics under duplicate PKs) or "
+                    "'fingerprint_multiset' (multiset-equality semantics, "
+                    "no uniqueness check needed)"
+                )
+        return self
 
     @field_validator("partition_batches")
     @classmethod

@@ -279,6 +279,10 @@ class DataPactEngine:
             out = verdicts.withColumn("batch", bucket)
             if len(missing) < batches:
                 out = out.where(F.col("batch").isin(missing))
+            # drop orphan files of killed attempts first: a batch that is
+            # EMPTY in this recompute produces no dir in the dynamic
+            # overwrite, so leftovers would otherwise survive finalize
+            store.clear_uncommitted_batches(task.task_key, run_id, missing)
             store.write_batches(task.task_key, run_id, out)
             for b in missing:
                 store.finalize_batch(task.task_key, run_id, b, verdicts.schema)

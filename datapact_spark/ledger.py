@@ -147,13 +147,34 @@ class CheckpointStore:
     def write_batch(self, task_key: str, run_id: int, batch: int, verdicts: DataFrame) -> None:
         verdicts.write.mode("overwrite").parquet(self._batch_dir(task_key, run_id, batch))
 
+    def clear_uncommitted_batches(
+        self, task_key: str, run_id: int, batches: list[int]
+    ) -> None:
+        """Remove leftover data files of UNCOMMITTED batch dirs (no
+        _SUCCESS marker) before a ``write_batches`` recompute. Dynamic
+        partition overwrite only replaces directories present in the new
+        data — a batch that is empty in the current computation but has
+        orphan parquet files from a killed prior attempt would otherwise
+        keep its stale rows once ``finalize_batch`` marks it done. This
+        restores the per-batch ``mode('overwrite')`` idempotency contract
+        without giving up the one-scan write. Committed batches (marker
+        present) are never touched."""
+        import shutil
+
+        for b in batches:
+            d = self._batch_dir(task_key, run_id, b)
+            if os.path.isdir(d) and not os.path.exists(os.path.join(d, "_SUCCESS")):
+                shutil.rmtree(d, ignore_errors=True)
+
     def write_batches(self, task_key: str, run_id: int, verdicts: DataFrame) -> None:
         """Single-pass commit of MANY batches: ``verdicts`` carries a
         ``batch`` column; one Spark job writes every bucket directory via
         dynamic partition overwrite (only the bucket dirs present in the
         data are replaced — committed batches from a previous attempt are
         untouched). This is the one-scan replacement for looping
-        ``write_batch`` per bucket."""
+        ``write_batch`` per bucket. Callers recomputing a batch set must
+        first ``clear_uncommitted_batches`` so a now-empty batch cannot
+        serve stale rows from a killed attempt."""
         (
             verdicts.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

@@ -18,7 +18,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 def cap_bucket_size(
@@ -28,9 +27,15 @@ def cap_bucket_size(
     ``max_bucket_size`` members). Without a cap, one adversarial bucket —
     every empty document, a templated boilerplate page, a constant
     column — funnels n rows into a single key and the within-bucket
-    self-join goes O(n²): fatal at 100 TB. The count is a window over
-    the bucket key, so it reuses the exact shuffle the self-join needs
-    anyway.
+    self-join goes O(n²): fatal at 100 TB.
+
+    Implementation: ``groupBy(bucket).count()`` (map-side partial
+    aggregation → the shuffle carries one partial row per distinct
+    bucket per task, not the exploded fact rows), filter to the
+    oversized keys (a handful by construction), broadcast anti-join
+    them back. The exploded rows are never shuffled for the cap — the
+    prior window-count variant shuffled the full exploded fact an extra
+    time because window and join Exchanges don't dedupe.
 
     Recall trade-off (documented): members of an over-full bucket lose
     THIS bucket's collisions but still meet in their other bands/tables
@@ -38,12 +43,13 @@ def cap_bucket_size(
     ``exact_duplicates`` before LSH."""
     if not max_bucket_size:
         return df
-    w = Window.partitionBy(*[F.col(c) for c in bucket_cols])
-    return (
-        df.withColumn("__bucket_n", F.count(F.lit(1)).over(w))
-        .where(F.col("__bucket_n") <= max_bucket_size)
+    oversized = (
+        df.groupBy(*[F.col(c) for c in bucket_cols])
+        .agg(F.count(F.lit(1)).alias("__bucket_n"))
+        .where(F.col("__bucket_n") > max_bucket_size)
         .drop("__bucket_n")
     )
+    return df.join(F.broadcast(oversized), bucket_cols, "left_anti")
 
 # 2^31-1: keeps (h mod M) * a < 2^62, inside 64-bit long arithmetic
 _MERSENNE = (1 << 31) - 1

@@ -36,8 +36,16 @@ def validity_range_join(
     extra_cond: Column | None = None,
     how: str = "inner",
 ) -> DataFrame:
-    """Broadcast theta join: fact.ts ∈ [valid_from, valid_to)."""
-    cond = (F.col(fact_ts) >= F.col(valid_from)) & (F.col(fact_ts) < F.col(valid_to))
+    """Broadcast theta join: fact.ts ∈ [valid_from, valid_to).
+
+    A NULL ``valid_to`` is OPEN-ENDED validity (the reference's
+    ``price_end_time IS NULL OR usage_ts < price_end_time`` shape,
+    client.py:1830-1838) — it matches every fact at/after
+    ``valid_from``, instead of silently dropping the dim row through a
+    NULL theta predicate."""
+    cond = (F.col(fact_ts) >= F.col(valid_from)) & (
+        F.col(valid_to).isNull() | (F.col(fact_ts) < F.col(valid_to))
+    )
     if extra_cond is not None:
         cond = cond & extra_cond
     return facts.join(F.broadcast(dims), cond, how)
@@ -50,13 +58,29 @@ def bucketed_range_join(
     valid_from: str,
     valid_to: str,
     bucket_seconds: int = 86400,
+    max_span_buckets: int = 100_000,
 ) -> DataFrame:
     """Shuffle-based range join via time-bucket co-location.
 
     Equivalent results to ``validity_range_join`` (inner, half-open
-    window); use when ``dims`` is too large to broadcast. One shuffle of
-    each side on the bucket key; the dim side grows by its per-window
-    bucket span only.
+    window, NULL ``valid_to`` = open-ended); use when ``dims`` is too
+    large to broadcast. One shuffle of each side on the bucket key; the
+    dim side grows by its per-window bucket span only.
+
+    Guard rails (both per ADVICE r2):
+
+    * NULL ``valid_to`` rows can't be exploded into buckets — they're
+      split off and broadcast-theta-joined on ``fact_ts >= valid_from``
+      (open-ended dims are the *current* validity rows: dimension-sized
+      by construction, so the broadcast is safe even when the full dim
+      table isn't). When NO dim row is open-ended, AQE's empty-relation
+      propagation collapses that branch at runtime — the fact side is
+      not rescanned for an empty broadcast.
+    * a far-future sentinel ``valid_to`` (9999-12-31) would explode to
+      millions of bucket rows per dim row; any window spanning more than
+      ``max_span_buckets`` buckets raises at runtime instead of silently
+      going quadratic — widen ``bucket_seconds`` or store the sentinel
+      as NULL.
     """
     # exact integer bucket arithmetic in microseconds (SQL `div`; double
     # division misrounds near boundaries). Epochs assumed non-negative
@@ -67,19 +91,34 @@ def bucketed_range_join(
     f = facts.withColumn(
         "__bucket", F.expr(f"unix_micros(cast({fact_ts} as timestamp)) div {w_us}L")
     )
+    bounded = dims.where(F.col(valid_to).isNotNull())
+    open_ended = dims.where(F.col(valid_to).isNull())
+    from_b = F.expr(f"unix_micros(cast({valid_from} as timestamp)) div {w_us}L")
     # every bucket index the window [from, to) touches; -1µs so a window
     # ending exactly on a bucket boundary does not reach into the next
     # bucket (half-open semantics)
-    d = dims.withColumn(
-        "__bucket",
-        F.explode(
-            F.sequence(
-                F.expr(f"unix_micros(cast({valid_from} as timestamp)) div {w_us}L"),
-                F.expr(f"(unix_micros(cast({valid_to} as timestamp)) - 1) div {w_us}L"),
+    to_b = F.expr(f"(unix_micros(cast({valid_to} as timestamp)) - 1) div {w_us}L")
+    checked_to = F.when(
+        to_b - from_b > F.lit(max_span_buckets),
+        F.raise_error(
+            F.lit(
+                "bucketed_range_join: a validity window spans more than "
+                f"max_span_buckets={max_span_buckets} buckets of "
+                f"{bucket_seconds}s — widen bucket_seconds, raise "
+                "max_span_buckets, or store open-ended validity as NULL "
+                "valid_to instead of a far-future sentinel"
             )
-        ),
+        ).cast("long"),
+    ).otherwise(to_b)
+    d = bounded.withColumn("__bucket", F.explode(F.sequence(from_b, checked_to)))
+    joined = (
+        f.join(d, on="__bucket", how="inner")
+        .where(
+            (F.col(fact_ts) >= F.col(valid_from)) & (F.col(fact_ts) < F.col(valid_to))
+        )
+        .drop("__bucket")
     )
-    joined = f.join(d, on="__bucket", how="inner").where(
-        (F.col(fact_ts) >= F.col(valid_from)) & (F.col(fact_ts) < F.col(valid_to))
+    open_joined = facts.join(
+        F.broadcast(open_ended), F.col(fact_ts) >= F.col(valid_from), "inner"
     )
-    return joined.drop("__bucket")
+    return joined.unionByName(open_joined)

@@ -144,6 +144,7 @@ def grouped_row_hash_metrics_fingerprint(
     hash_columns: list[str] | None = None,
     algo: str = "md5",
     persist: bool = False,
+    scope_join: str = "broadcast",
 ) -> DataFrame:
     """Fingerprint-first grouped hash compare — the minimal-shuffle path.
 
@@ -173,12 +174,18 @@ def grouped_row_hash_metrics_fingerprint(
 
     At 10^12 rows with 0.1% dirty groups this shuffles ~0.1% of what the
     all-groups join does, and the heavy work (scan + sha256) happens
-    exactly once per side. REQUIREMENT: primary keys must be unique per
-    side within a group — with duplicate PKs the join fans out and can
-    find mismatched cross-pairs inside a fingerprint-equal group (equal
-    multisets ⇒ fingerprints match but e.g. {(k,h1),(k,h2)} joins
-    h1×h2). Validate uniqueness (A6) or use the join path when PKs may
-    repeat. Output schema matches ``grouped_row_hash_metrics``:
+    exactly once per side. Duplicate-PK semantics: the fingerprint is a
+    commutative sum over (pk, row_hash), so a fingerprint-equal group
+    has EQUAL MULTISETS of (pk, hash) — no corruption is ever missed
+    (unequal multisets fingerprint-unequal, collision ~2^-64) — but the
+    JOIN path would fan out dup PKs into cross-pairs ({(k,h1),(k,h2)}
+    joins h1×h2) and count phantom mismatches where this reports 0.
+    Join-bit-parity therefore requires per-group-unique PKs; the config
+    layer enforces that (``row_hash_mode='fingerprint'`` requires a PK
+    uniqueness check, and the compiler reroutes dup-PK groups to the
+    exact join), while ``row_hash_mode='fingerprint_multiset'`` opts
+    into multiset semantics with no uniqueness cost. Output schema
+    matches ``grouped_row_hash_metrics``:
     (group_cols…, total_compared_rows, mismatch_count).
     """
     from pyspark import StorageLevel
@@ -227,8 +234,17 @@ def grouped_row_hash_metrics_fingerprint(
         F.lit(0).cast("long").alias("mismatch_count"),
     )
     failing_keys = cmp.where(~equal).select(*[F.col(g) for g in group_cols])
-    s_f = s.join(F.broadcast(failing_keys), on=group_cols, how="left_semi")
-    t_f = t.join(F.broadcast(failing_keys), on=group_cols, how="left_semi")
+    # scope_join='broadcast' (default): hint the failing-key list to the
+    # driver — DPP-optimal and right for the designed regime (mostly-
+    # clean data ⇒ a tiny key list). 'auto': no hint; AQE converts the
+    # semi-join to broadcast at runtime when the materialized key list
+    # is actually small, and keeps a shuffled join when corruption is
+    # widespread — the safe mode when the clean-data assumption may not
+    # hold (an unbounded driver broadcast would otherwise OOM).
+    if scope_join == "broadcast":
+        failing_keys = F.broadcast(failing_keys)
+    s_f = s.join(failing_keys, on=group_cols, how="left_semi")
+    t_f = t.join(failing_keys, on=group_cols, how="left_semi")
     joined = s_f.join(t_f.select("__k1", "__k2", F.col("__h").alias("__th")),
                       on=["__k1", "__k2"], how="inner")
     detailed = joined.groupBy(*[F.col(g) for g in group_cols]).agg(

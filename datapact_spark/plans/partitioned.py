@@ -64,7 +64,7 @@ def compile_partition_verdicts(
     fp_in_profile = (
         task.pk_row_hash_check
         and task.primary_keys
-        and task.row_hash_mode == "fingerprint"
+        and task.row_hash_mode in ("fingerprint", "fingerprint_multiset")
         and salt_buckets == 0
     )
 
@@ -184,15 +184,37 @@ def compile_partition_verdicts(
                 F.coalesce(F.col("source_rowfp"), F.lit(-1).cast("decimal(38,0)"))
                 == F.coalesce(F.col("target_rowfp"), F.lit(-2).cast("decimal(38,0)"))
             )
+            # dup-PK exactness gate: a fingerprint is only trustworthy
+            # when PKs are unique in the group (equal multisets with dup
+            # PKs fingerprint-match but pair differently). Config
+            # validation guarantees a uniqueness check on a PK subset is
+            # configured, so the profile already carries the per-group
+            # distinct counts — groups with any dup PK take the exact
+            # join path below (same semantics as row_hash_mode='join').
+            # Sentinel-coalesced plain comparisons again, for DPP.
+            # 'fingerprint_multiset' skips the gate by contract (multiset
+            # equality, no uniqueness requirement).
+            if (
+                task.row_hash_mode == "fingerprint"
+                and task.uniqueness_columns
+                and set(task.uniqueness_columns) <= set(task.primary_keys)
+            ):
+                fp_equal = fp_equal & (
+                    F.coalesce(F.col("source_distinct_uniqs"), F.lit(-1))
+                    == F.coalesce(F.col("source_count"), F.lit(-2))
+                ) & (
+                    F.coalesce(F.col("target_distinct_uniqs"), F.lit(-1))
+                    == F.coalesce(F.col("target_count"), F.lit(-2))
+                )
             failing_keys = joined.where(~fp_equal).select(
                 *[F.col(g) for g in group_cols]
             )
-            src_f = source.join(
-                F.broadcast(failing_keys), on=group_cols, how="left_semi"
-            )
-            tgt_f = target.join(
-                F.broadcast(failing_keys), on=group_cols, how="left_semi"
-            )
+            # broadcast (default) vs AQE-decided join for the scoping —
+            # see config.fingerprint_scope_join / rowhash.scope_join
+            if task.fingerprint_scope_join == "broadcast":
+                failing_keys = F.broadcast(failing_keys)
+            src_f = source.join(failing_keys, on=group_cols, how="left_semi")
+            tgt_f = target.join(failing_keys, on=group_cols, how="left_semi")
             hm = H.grouped_row_hash_metrics(
                 src_f, tgt_f, task.primary_keys, group_cols,
                 task.hash_columns, task.hash_algo,
@@ -211,11 +233,16 @@ def compile_partition_verdicts(
             ]
             pass_conds.append(("row_hash_passed", ratio <= tol))
         else:
-            if task.row_hash_mode == "fingerprint":
-                # salted-profile combo: standalone fingerprint operator
+            if task.row_hash_mode in ("fingerprint", "fingerprint_multiset"):
+                # salted-profile combo: standalone fingerprint operator.
+                # No per-group dup-PK reroute here (the operator doesn't
+                # see the salted distinct counts) — but in 'fingerprint'
+                # mode config guarantees a uniqueness check, so a dup-PK
+                # group still FAILS its verdict loudly via that check.
                 hm = H.grouped_row_hash_metrics_fingerprint(
                     source, target, task.primary_keys, group_cols,
                     task.hash_columns, task.hash_algo,
+                    scope_join=task.fingerprint_scope_join,
                 )
             else:
                 hm = H.grouped_row_hash_metrics(

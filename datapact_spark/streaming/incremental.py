@@ -131,17 +131,33 @@ def stateful_sessionize(
                 ts_us.extend(
                     int(v) // 1000 for v in pdf[ts_col].astype("int64").tolist()
                 )
-            ts_us.sort()
+            # Interval merge: each event is a [t, t, 1] interval; the
+            # stored state is a [start, last, n] interval that is
+            # internally gap-valid by construction. Sorting by start and
+            # merging consecutive intervals within the gap handles every
+            # cross-micro-batch late-arrival case the old forward-only
+            # loop got wrong: an in-watermark event BEFORE the stored
+            # session start lowers session_start (s = min), and an event
+            # older than start - gap forms its own earlier session.
+            # Known limitation (inherent to one-tuple state): a session
+            # closed early in this merge cannot be reopened by a yet-
+            # later-arriving event; only the newest session stays open.
+            items: list[tuple[int, int, int]] = [(t, t, 1) for t in ts_us]
             if state.exists:
-                s, last, n = state.get
-            else:
-                s, last, n = ts_us[0], ts_us[0], 0
-            for t in ts_us:
-                if t - last > gap_us:
-                    closed.append((user, s, last, n))
-                    s, n = t, 0
-                last = max(last, t)
-                n += 1
+                items.append(tuple(state.get))
+            items.sort()
+            merged: list[tuple[int, int, int]] = []
+            cs, cl, cn = items[0]
+            for s2, l2, n2 in items[1:]:
+                if s2 - cl > gap_us:
+                    merged.append((cs, cl, cn))
+                    cs, cl, cn = s2, l2, n2
+                else:
+                    cl = max(cl, l2)
+                    cn += n2
+            merged.append((cs, cl, cn))
+            closed.extend((user, a, b, c) for a, b, c in merged[:-1])
+            s, last, n = merged[-1]
             state.update((s, last, n))
             # close when the watermark passes last_event + gap: no
             # in-order event can extend this session anymore

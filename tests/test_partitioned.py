@@ -204,8 +204,17 @@ def test_fingerprint_mode_matches_join_mode(engine, spark):
     from datapact_spark.plans.partitioned import compile_partition_verdicts
 
     def verdicts(mode):
+        # fingerprint mode requires the PK-uniqueness guard; configure it
+        # on BOTH modes so the verdict columns stay comparable
         df = compile_partition_verdicts(
-            spark, _task(task_key=f"fp_{mode}", row_hash_mode=mode), engine.resolver
+            spark,
+            _task(
+                task_key=f"fp_{mode}",
+                row_hash_mode=mode,
+                uniqueness_columns=["repo", "path"],
+                uniqueness_tolerance=0.0,
+            ),
+            engine.resolver,
         )
         key = lambda r: (r["repo"], r["lang"])
         return {key(r): (r["total_compared_rows"], r["mismatch_count"],
@@ -279,6 +288,109 @@ def test_fingerprint_detail_scan_uses_dynamic_partition_pruning(spark, tmp_path)
     assert dirty and all(k[0] == "repo_3" for k in dirty)
 
 
+def test_fingerprint_mode_requires_pk_uniqueness_config():
+    """row_hash_mode='fingerprint' without a PK uniqueness check must be
+    rejected at config time (the dup-PK guard); fingerprint_multiset
+    opts into multiset semantics and needs none."""
+    with pytest.raises(ValueError, match="uniqueness"):
+        _task(row_hash_mode="fingerprint")
+    # uniqueness on a non-PK column doesn't imply PK uniqueness → reject
+    with pytest.raises(ValueError, match="uniqueness"):
+        _task(
+            row_hash_mode="fingerprint",
+            uniqueness_columns=["lang"],
+            uniqueness_tolerance=0.0,
+        )
+    ok = _task(
+        row_hash_mode="fingerprint",
+        uniqueness_columns=["repo", "path"],
+        uniqueness_tolerance=0.0,
+    )
+    assert ok.row_hash_mode == "fingerprint"
+    assert _task(row_hash_mode="fingerprint_multiset").row_hash_mode == (
+        "fingerprint_multiset"
+    )
+
+
+def test_fingerprint_mode_dup_pks_fail_loudly_and_match_join(engine, spark):
+    """Duplicate-PK input: guarded fingerprint mode must route dup-PK
+    groups to the exact join (bit-identical metrics to join mode, fan-out
+    included) AND fail them loudly via the uniqueness check — never
+    silently trust a multiset-equal fingerprint."""
+    from datapact_spark.plans.partitioned import compile_partition_verdicts
+
+    base = synthesize_code_table(spark, 5000, n_repos=5, seed=11)
+    # same PK (repo,path), two DIFFERENT contents, present identically on
+    # both sides: multisets equal ⇒ fingerprints match, but the exact
+    # join fans out h1×h2 and counts phantom mismatches — the documented
+    # divergence the guard must catch
+    dups = base.where("repo = 'repo_0'").limit(50).withColumn(
+        "content", F.concat(F.col("content"), F.lit(" ALT"))
+    )
+    dup_src = base.unionByName(dups)
+    resolver = TableResolver(spark)
+    resolver.register("dup_src", dup_src)
+    resolver.register("dup_tgt", dup_src)
+
+    def verdicts(mode, **extra):
+        df = compile_partition_verdicts(
+            spark,
+            _task(
+                task_key=f"dup_{mode}", source="dup_src", target="dup_tgt",
+                row_hash_mode=mode, **extra,
+            ),
+            resolver,
+        )
+        return {
+            (r["repo"], r["lang"]): (
+                r["total_compared_rows"], r["mismatch_count"],
+                r["overall_validation_passed"],
+            )
+            for r in df.collect()
+        }
+
+    uniq = dict(uniqueness_columns=["repo", "path"], uniqueness_tolerance=0.0)
+    j = verdicts("join", **uniq)
+    fp = verdicts("fingerprint", **uniq)
+    assert fp == j, "guarded fingerprint mode must match join mode on dup PKs"
+    dirty = {k: v for k, v in j.items() if k[0] == "repo_0"}
+    assert any(v[1] > 0 for v in dirty.values()), "fan-out mismatches expected"
+    assert all(not v[2] for v in dirty.values()), "dup groups must fail loudly"
+    # multiset mode: documented semantics — multiset-equal groups report
+    # 0 mismatches (contents ARE identical), and total = source rows
+    ms = verdicts("fingerprint_multiset")
+    assert all(v[1] == 0 for v in ms.values())
+
+
+def test_clear_uncommitted_batches_drops_stale_rows(spark, tmp_path):
+    """A killed attempt leaves orphan parquet in an unmarked batch dir;
+    if the recompute produces NO rows for that batch, dynamic partition
+    overwrite would leave the orphans in place and finalize would serve
+    them as verdicts. clear_uncommitted_batches must purge them first
+    (the idempotent-rerun contract), while committed batches survive."""
+    from datapact_spark.ledger import CheckpointStore
+
+    store = CheckpointStore(spark, str(tmp_path / "ck"))
+    schema = "repo string, ok boolean, batch int"
+    attempt1 = spark.createDataFrame(
+        [("r0", True, 0), ("r1", False, 1)], schema
+    )
+    store.write_batches("t", 1, attempt1)
+    store.finalize_batch("t", 1, 0, "repo string, ok boolean")
+    # batch 1 was written but NOT finalized (kill before marker)
+    assert not store.batch_done("t", 1, 1)
+    # recompute: batch 1 is now EMPTY (e.g. the group moved buckets after
+    # a config change, or the prior write was partial garbage)
+    attempt2 = spark.createDataFrame([("r0", True, 0)], schema).where("batch = 1")
+    store.clear_uncommitted_batches("t", 1, [1])
+    store.write_batches("t", 1, attempt2)
+    store.finalize_batch("t", 1, 1, "repo string, ok boolean")
+    got = store.read_verdicts("t", 1).collect()
+    assert [(r["repo"], r["ok"]) for r in got] == [("r0", True)], (
+        "stale attempt-1 rows for batch 1 must not survive"
+    )
+
+
 def test_salted_profile_with_fingerprint_mode(engine, spark):
     """salt_buckets + row_hash_mode=fingerprint routes through the
     standalone fingerprint operator and still matches the join path."""
@@ -286,7 +398,13 @@ def test_salted_profile_with_fingerprint_mode(engine, spark):
 
     def run(mode, salt):
         df = compile_partition_verdicts(
-            spark, _task(task_key=f"sf_{mode}_{salt}", row_hash_mode=mode),
+            spark,
+            _task(
+                task_key=f"sf_{mode}_{salt}",
+                row_hash_mode=mode,
+                uniqueness_columns=["repo", "path"],
+                uniqueness_tolerance=0.0,
+            ),
             engine.resolver, salt_buckets=salt,
         )
         return {

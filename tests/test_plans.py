@@ -190,3 +190,23 @@ def test_uniqueness_approx_no_key_shuffle(spark, sf_dir):
     payload = json.loads(row["result_payload"])
     uniq = payload["uniqueness_validation_o_custkey"]
     assert uniq["status"] == "PASS"
+
+
+def test_lsh_bucket_cap_avoids_window_shuffle(spark):
+    """The degenerate-bucket cap must NOT window-count over the exploded
+    band rows (an extra full shuffle before the self-join's own): it
+    aggregates bucket sizes (map-side partials) and broadcast-anti-joins
+    the handful of oversized keys back. Plan: zero Window operators, and
+    a BroadcastExchange feeding the anti-join."""
+    from datapact_spark.operators.dedup import minhash_lsh_candidates, minhash_signatures
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i % 7}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs)
+    cands = minhash_lsh_candidates(sigs, max_bucket_size=100)
+    plan = _explain(cands)
+    assert "Window" not in plan, "cap must not add a window shuffle"
+    assert "BroadcastExchange" in plan, "oversized-key cap must broadcast"
+    assert "LeftAnti" in plan

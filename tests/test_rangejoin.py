@@ -66,6 +66,54 @@ def test_boundary_semantics(spark):
         assert _collect(df) == [(1, 10)]
 
 
+def test_null_valid_to_is_open_ended(spark):
+    """NULL valid_to = open-ended validity (the reference's
+    'price_end_time IS NULL OR ...' shape): matches every fact at/after
+    valid_from — identically in both strategies — instead of silently
+    dropping the dim row through a NULL predicate."""
+    facts = spark.createDataFrame(
+        [(1, "2024-01-01 12:00:00"), (2, "2024-01-05 12:00:00"),
+         (3, "2024-01-10 12:00:00")],
+        "event_id int, ts_s string",
+    ).select("event_id", F.to_timestamp("ts_s").alias("ts"))
+    dims = spark.createDataFrame(
+        [(10, "2024-01-02 00:00:00", None),
+         (20, "2024-01-01 00:00:00", "2024-01-06 00:00:00")],
+        "rate_id int, f string, t string",
+    ).select(
+        "rate_id",
+        F.to_timestamp("f").alias("valid_from"),
+        F.to_timestamp("t").alias("valid_to"),
+    )
+    expected = [(1, 20), (2, 10), (2, 20), (3, 10)]
+    for df in (
+        validity_range_join(facts, dims, "ts", "valid_from", "valid_to"),
+        bucketed_range_join(facts, dims, "ts", "valid_from", "valid_to", 86400),
+        bucketed_range_join(facts, dims, "ts", "valid_from", "valid_to", 50000),
+    ):
+        assert _collect(df) == expected
+
+
+def test_far_future_sentinel_raises_in_bucketed(spark):
+    """A 9999-12-31 sentinel valid_to would explode to ~3M daily buckets
+    per dim row — the span guard must raise instead of going quadratic
+    (store open-ended validity as NULL valid_to instead)."""
+    facts = spark.createDataFrame(
+        [(1, "2024-01-01 12:00:00")], "event_id int, ts_s string"
+    ).select("event_id", F.to_timestamp("ts_s").alias("ts"))
+    dims = spark.createDataFrame(
+        [(10, "2024-01-01 00:00:00", "9999-12-31 00:00:00")],
+        "rate_id int, f string, t string",
+    ).select(
+        "rate_id",
+        F.to_timestamp("f").alias("valid_from"),
+        F.to_timestamp("t").alias("valid_to"),
+    )
+    df = bucketed_range_join(facts, dims, "ts", "valid_from", "valid_to", 86400)
+    with pytest.raises(Exception, match="max_span_buckets"):
+        df.collect()
+
+
 def test_broadcast_plan_for_small_dim(spark, facts_dims):
     ev, rates = facts_dims
     df = validity_range_join(ev, rates, "ts", "valid_from", "valid_to")

@@ -112,6 +112,59 @@ def test_windowed_profile_with_watermark(spark, tmp_path):
     assert got["00:01"]["min_v"] == 3.0
 
 
+def test_stateful_sessionize_cross_batch_late_events(spark, tmp_path):
+    """In-watermark out-of-order events arriving in a LATER micro-batch
+    than the session they belong to must (a) lower session_start when
+    they precede the stored start within the gap, and (b) open a
+    separate earlier session when they precede start - gap — matching
+    the batch operator (the old forward-only merge kept the stale
+    start)."""
+    from datapact_spark.operators.sessions import session_stats
+    from datapact_spark.streaming.incremental import stateful_sessionize
+
+    src_dir = str(tmp_path / "late_in")
+    f1 = [(1, "2026-01-01 01:00:00"), (1, "2026-01-01 01:10:00")]
+    # batch 2 arrives later but carries EARLIER timestamps (late data):
+    # 00:50 extends the open session backward; 00:00 is its own session
+    f2 = [(1, "2026-01-01 00:50:00"), (1, "2026-01-01 00:00:00")]
+    f3 = [(1, "2026-01-02 12:00:00")]  # sentinel: advances the watermark
+    for i, rows in enumerate((f1, f2, f3)):
+        spark.createDataFrame(rows, "user_id long, ts_s string").withColumn(
+            "ts", F.to_timestamp("ts_s")
+        ).drop("ts_s").coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = spark.readStream.schema("user_id long, ts timestamp").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src_dir)
+    # 2h watermark delay: the batch-2 late events stay inside it
+    sessions = stateful_sessionize(stream, gap_minutes=30, watermark="2 hours")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("late_sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_start"].isoformat(),
+         r["session_end"].isoformat(), r["n_events"])
+        for r in spark.sql("SELECT * FROM late_sess_out").collect()
+    }
+    ev = spark.createDataFrame(f1 + f2, "user_id long, ts_s string").withColumn(
+        "ts", F.to_timestamp("ts_s")
+    ).drop("ts_s")
+    expected = {
+        (r["user_id"], r["session_start"].isoformat(),
+         r["session_end"].isoformat(), r["n_events"])
+        for r in session_stats(ev, gap_minutes=30).select(
+            "user_id", "session_start", "session_end", "n_events"
+        ).collect()
+    }
+    assert got == expected and len(expected) == 2
+
+
 def test_stateful_sessionize_matches_batch(spark, tmp_path):
     """applyInPandasWithState sessionization must emit exactly the
     sessions the batch operator computes, once the watermark passes
