@@ -366,20 +366,54 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries, k=5)
 
 
+def _grams_col() -> F.Column:
+    """Distinct word-3-gram STRINGS from a `toks` array column — the
+    engine-portable gram representation DuckDB mirrors exactly."""
+    return F.expr(
+        "array_distinct(transform(sequence(0, size(toks)-3),"
+        " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"
+    )
+
+
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs, Jaccard-verified (no SQL oracle —
-    rows-only check). Duplicates injected by perturbing every 11th doc's
-    tail so near- (not exact-) dups exist."""
-    from datapact_spark.operators.dedup import minhash_dedup
+    """MinHash+LSH near-dup pairs, STRICT oracle: the DuckDB side
+    computes exact all-pairs word-3-gram Jaccard ground truth (gram-
+    share prefiltered), so the query is green only if the seeded LSH
+    pipeline finds EXACTLY the pairs with Jaccard ≥ 0.5 — recall and
+    precision both checked. Candidates come from the real operator
+    (minhash_signatures → banded LSH buckets); the verify stage here
+    uses gram STRINGS (not hashed shingles) so the Jaccard doubles are
+    bitwise portable. bands=16 (r=2) puts the per-pair miss probability
+    at ~1e-11 for the truth set's minimum similarity (0.889 at sf0.01);
+    production-recall parameterization is asserted in tests.
+    Dups injected by perturbing every 11th doc's tail."""
+    from datapact_spark.operators.dedup import minhash_lsh_candidates, minhash_signatures
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     perturbed = docs.where(F.col("doc_id") % 11 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
     )
-    return minhash_dedup(
-        docs.unionByName(perturbed), threshold=0.5, num_hashes=32, bands=8
-    ).select("id_a", "id_b")
+    alld = docs.unionByName(perturbed)
+    sigs = minhash_signatures(alld, num_hashes=32)
+    cands = minhash_lsh_candidates(sigs, bands=16, rows_per_band=2)
+    grams = alld.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks")
+    ).where(F.size("toks") >= 3).select("doc_id", _grams_col().alias("g"))
+    joined = (
+        cands.join(
+            grams.select(F.col("doc_id").alias("id_a"), F.col("g").alias("g_a")), "id_a"
+        ).join(
+            grams.select(F.col("doc_id").alias("id_b"), F.col("g").alias("g_b")), "id_b"
+        )
+    )
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    union = F.size(F.array_union("g_a", "g_b"))
+    return joined.select(
+        "id_a",
+        "id_b",
+        (inter / F.nullif(union.cast("double"), F.lit(0.0))).alias("jaccard"),
+    ).where(F.col("jaccard") >= 0.5)
 
 
 def q_run_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -621,10 +655,24 @@ def q_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SIMHASH_PORTABLE_BITS = 60  # 15 md5 hex chars → fits a signed 64-bit int
+
+
+def _portable_token_hash(c: F.Column) -> F.Column:
+    """60-bit token hash both engines can compute bit-identically:
+    integer value of the first 15 hex chars of md5(token)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only): perturbed copies of every
-    13th doc must collide with their originals at small Hamming
-    distance."""
+    """SimHash near-dup pairs, STRICT oracle: the simhash is built over
+    an engine-portable md5-prefix token hash (60 bits), so DuckDB
+    recomputes every document's simhash bit-for-bit and brute-forces
+    all-pairs Hamming ≤ 6 as ground truth. The Spark side uses the real
+    pigeonhole-segmented operator — 7 segments guarantee 100% recall at
+    Hamming ≤ 6 and the post-filter is exact, so found == truth is a
+    THEOREM here, not a tuning accident. Perturbed copies of every 13th
+    doc provide known collisions."""
     from datapact_spark.operators.dedup import simhash, simhash_near_dups
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -632,29 +680,62 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" qq")).alias("text"),
     )
-    sims = simhash(docs.unionByName(perturbed))
-    return simhash_near_dups(sims, max_hamming=6).select("id_a", "id_b", "hamming")
+    sims = simhash(
+        docs.unionByName(perturbed),
+        bits=SIMHASH_PORTABLE_BITS,
+        token_hash=_portable_token_hash,
+    )
+    return simhash_near_dups(
+        sims, max_hamming=6, bits=SIMHASH_PORTABLE_BITS
+    ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (rows-only; recall vs brute force
-    asserted in tests)."""
+    """LSH-bucketed approximate top-k, STRICT oracle: DuckDB computes
+    the EXACT brute-force cosine top-k as ground truth, so the query is
+    green only when the hyperplane-LSH candidates contain every true
+    top-5 neighbor and the exact re-rank reproduces the full (neighbor,
+    cosine, rank) rows bitwise. bits=3 / tables=24 is the full-recall
+    parameterization for this corpus (verified exact vs brute force);
+    the recall/cost trade-off at production params is asserted in
+    tests."""
     from datapact_spark.operators.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.where("vec_id < 5")
-    return lsh_topk(emb, queries_df, k=5, bits=4, tables=16)
+    return lsh_topk(emb, queries_df, k=5, bits=3, tables=24)
 
 
 def q_drift_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PSI drift score (rows-only: ln() bit-parity across engines is not
-    guaranteed; exactness vs numpy is covered in tests)."""
-    from datapact_spark.config import DriftCheck
-    from datapact_spark.operators.drift import drift_metrics
+    """PSI drift score Σ, value-checked: `drift_psi_terms` proves every
+    per-bin term bitwise; the final sum is made engine-portable by
+    computing it as the LAST ROW of a bin-ordered running sum — a fixed
+    left-fold over the ordered terms, the same IEEE op sequence DuckDB's
+    ordered list_reduce executes. (An unordered SUM() would be
+    summation-order-dependent — the reason this was rows-only in r2.)"""
+    from pyspark.sql.window import Window
+
+    from datapact_spark.operators.drift import _binned, _bounds, psi_ks_terms
 
     li = _t(spark, sf_dir, "lineitem")
-    check = DriftCheck(column="l_extendedprice", metric="psi", bins=32)
-    return drift_metrics(li, li.where("l_discount > 0.02"), check)
+    tgt = li.where("l_discount > 0.02")
+    bounds = _bounds(li, "l_extendedprice")
+    hs = _binned(li, "l_extendedprice", 16, bounds)
+    ht = _binned(tgt, "l_extendedprice", 16, bounds)
+    terms = psi_ks_terms(hs, ht)
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        terms.select(
+            "bin",
+            F.sum("psi_term").over(w).alias("psi"),
+            F.max("bin").over(wall).alias("__last"),
+        )
+        .where(F.col("bin") == F.col("__last"))
+        .select(F.col("psi").alias("drift_psi_l_extendedprice"))
+    )
 
 
 def q_drift_psi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -696,9 +777,13 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate detection (rows-only): exact
-    duplicate vectors injected (vec_id+100000) must pair with their
-    originals at cosine 1.0 via the LSH self-join."""
+    """Embedding-cosine near-duplicate detection, STRICT oracle: DuckDB
+    brute-forces all-pairs cosine ≥ 0.99 as ground truth (at sf0.01
+    that's exactly the injected duplicate pairs). Injected dups are
+    EXACT vector copies, so their sign signatures collide in every LSH
+    table — recall on the truth set is structural, not tuned — and the
+    verify stage is exact cosine, so found == truth. The cosine doubles
+    are bitwise portable (same IEEE op sequence both engines)."""
     from datapact_spark.operators.similarity import embedding_near_dups
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -707,7 +792,7 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return embedding_near_dups(
         emb.unionByName(dups), threshold=0.99, bits=12, tables=4
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b", "cosine_sim")
 
 
 def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -904,6 +989,28 @@ def q_payload_check_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return check_status_counts(_issues_ledger(spark, sf_dir))
 
 
+def q_genie_current_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genie current-status table (S6, client.py:451-478): one row per
+    task from its most recent run — the run-2 rows of the two-run
+    superseding ledger, with flattened table FQNs and business metadata.
+    Timestamps go out as ISO strings (driver canonicalizer contract)."""
+    from datapact_spark.aggregate import genie_current_status
+
+    return genie_current_status(_issues_ledger(spark, sf_dir)).select(
+        "task_key",
+        "status",
+        "run_id",
+        "job_name",
+        F.col("validation_begin_ts").cast("string").alias("validation_begin_ts"),
+        "source_table_fqn",
+        "target_table_fqn",
+        "business_domain",
+        "business_owner",
+        "business_priority",
+        "estimated_impact_usd",
+    )
+
+
 def q_genie_issues(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Genie open-issues table (client.py:512-534): FAILED checks from
     the LATEST run of each task only — run-1 failures superseded by run 2
@@ -1047,6 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_breakdown": q_priority_breakdown,
         "payload_check_rollup": q_payload_check_rollup,
         "genie_issues": q_genie_issues,
+        "genie_current_status": q_genie_current_status,
         "range_join_validity": q_range_join_validity,
         "failure_rate_daily": q_failure_rate_daily,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1086,6 +1194,47 @@ def oracle_sql() -> dict[str, str]:
         conds = " AND ".join(f"h_{lang} >= h_{o}" for o in others[lang])
         case_parts.append(f"WHEN h_{lang} > 0 AND {conds} THEN '{lang}'")
     lang_case = "CASE " + " ".join(case_parts) + " ELSE 'und' END"
+
+    # Portable simhash rebuilt in SQL: 60-bit md5-prefix token hash →
+    # per-bit ±1 balances → sign bits (mirrors operators/dedup.simhash
+    # with the query's _portable_token_hash), then brute-force all-pairs
+    # Hamming ≤ 6 — the exact ground truth the pigeonhole-bucketed Spark
+    # operator is guaranteed (and checked) to reproduce.
+    n_bits = 60
+    balance_exprs = ",\n                     ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(n_bits)
+    )
+    sim_expr = "\n                   + ".join(
+        f"(CASE WHEN b{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(n_bits)
+    )
+    simhash_pairs_sql = f"""
+            WITH alld AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text || ' qq' AS text
+              FROM documents WHERE doc_id % 13 = 0),
+            toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+              FROM alld),
+            hashed AS (
+              SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+              FROM toks),
+            bal AS (
+              SELECT doc_id,
+                     {balance_exprs}
+              FROM hashed GROUP BY doc_id),
+            sims AS (
+              SELECT doc_id,
+                     {sim_expr} AS sh
+              FROM bal)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+            FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sh, b.sh)) <= 6
+    """
 
     return {
         "count_validation": """
@@ -1595,5 +1744,119 @@ def oracle_sql() -> dict[str, str]:
             SELECT sha256(string_agg(h, '||' ORDER BY h)) AS reference_fingerprint,
                    COUNT(*) AS fingerprint_count
             FROM hashed
+        """,
+        "minhash_dedup": """
+            -- exact all-pairs ground truth: every pair with word-3-gram
+            -- Jaccard >= 0.5 (gram-share prefilter: jaccard > 0 needs a
+            -- shared gram). The Spark side must find EXACTLY these pairs
+            -- through minhash -> LSH bands -> exact verify.
+            WITH alld AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text || ' zzz' AS text
+              FROM documents WHERE doc_id % 11 = 0),
+            grams AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS g
+              FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                    FROM alld)
+              WHERE len(toks) >= 3),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM (SELECT doc_id, unnest(g) AS gram FROM grams) a
+              JOIN (SELECT doc_id, unnest(g) AS gram FROM grams) b
+                ON a.gram = b.gram AND a.doc_id < b.doc_id),
+            scored AS (
+              SELECT id_a, id_b,
+                     len(list_intersect(ga.g, gb.g))
+                       / NULLIF(CAST(len(list_distinct(list_concat(ga.g, gb.g))) AS DOUBLE), 0) AS jaccard
+              FROM cand
+              JOIN grams ga ON ga.doc_id = cand.id_a
+              JOIN grams gb ON gb.doc_id = cand.id_b)
+            SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
+        """,
+        "simhash_pairs": simhash_pairs_sql,
+        "lsh_topk": """
+            -- exact brute-force top-5 ground truth: the LSH path must
+            -- reproduce it row-for-row (full-recall parameterization)
+            WITH q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                       FROM embeddings WHERE vec_id < 5),
+            c AS (SELECT vec_id AS neighbor_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+                  FROM embeddings),
+            scored AS (
+              SELECT query_id, neighbor_id,
+                     list_dot_product(qv, cv) / NULLIF(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)), 0) AS cosine_sim
+              FROM c, q WHERE neighbor_id <> query_id),
+            ranked AS (
+              SELECT query_id, neighbor_id, cosine_sim,
+                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+              FROM scored)
+            SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "embedding_near_dups": """
+            -- exact all-pairs cosine >= 0.99 ground truth (injected
+            -- exact-duplicate vectors); LSH self-join must find exactly
+            -- these pairs
+            WITH allv AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000 AS vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings WHERE vec_id % 17 = 0),
+            pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     list_dot_product(a.v, b.v)
+                       / NULLIF(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0) AS cosine_sim
+              FROM allv a JOIN allv b ON a.vec_id < b.vec_id)
+            SELECT id_a, id_b, cosine_sim FROM pairs WHERE cosine_sim >= 0.99
+        """,
+        "drift_psi_value": """
+            -- same term pipeline as drift_psi_terms; the final PSI is an
+            -- ORDERED left fold (list_reduce over bin-sorted terms) — the
+            -- identical IEEE op sequence as Spark's running-sum last row
+            WITH b AS (SELECT MIN(CAST(l_extendedprice AS DOUBLE)) AS lo, MAX(CAST(l_extendedprice AS DOUBLE)) AS hi FROM lineitem),
+            binned_s AS (
+              SELECT CAST(LEAST(GREATEST(FLOOR((CAST(l_extendedprice AS DOUBLE) - lo) / NULLIF((hi - lo) / 16.0, 0)), 0), 15) AS INT) AS bin
+              FROM lineitem, b WHERE l_extendedprice IS NOT NULL),
+            binned_t AS (
+              SELECT CAST(LEAST(GREATEST(FLOOR((CAST(l_extendedprice AS DOUBLE) - lo) / NULLIF((hi - lo) / 16.0, 0)), 0), 15) AS INT) AS bin
+              FROM lineitem, b WHERE l_extendedprice IS NOT NULL AND l_discount > 0.02),
+            hp AS (SELECT bin, COUNT(*) AS p_cnt FROM binned_s GROUP BY bin),
+            hq AS (SELECT bin, COUNT(*) AS q_cnt FROM binned_t GROUP BY bin),
+            merged AS (
+              SELECT COALESCE(hp.bin, hq.bin) AS bin,
+                     COALESCE(p_cnt, 0) AS p_cnt, COALESCE(q_cnt, 0) AS q_cnt
+              FROM hp FULL OUTER JOIN hq ON hp.bin = hq.bin),
+            tot AS (SELECT SUM(p_cnt) AS p_tot, SUM(q_cnt) AS q_tot FROM merged),
+            ratios AS (
+              SELECT bin,
+                     COALESCE(p_cnt / NULLIF(CAST(p_tot AS DOUBLE), 0), 0.0) AS p,
+                     COALESCE(q_cnt / NULLIF(CAST(q_tot AS DOUBLE), 0), 0.0) AS q
+              FROM merged, tot),
+            terms AS (
+              SELECT bin, (p + 1e-6 - (q + 1e-6)) * ln((p + 1e-6) / (q + 1e-6)) AS psi_term
+              FROM ratios)
+            SELECT list_reduce(list(psi_term ORDER BY bin), (a, x) -> a + x) AS drift_psi_l_extendedprice
+            FROM terms
+        """,
+        "genie_current_status": """
+            -- latest run per task = run 2 by construction (its
+            -- validation_begin_ts is +40 days); status from run 2's
+            -- failure predicates
+            SELECT 'task_' || CAST(o_orderkey AS VARCHAR) AS task_key,
+                   CASE WHEN (o_totalprice <= 1000) OR (o_orderkey % 3 = 0)
+                        THEN 'FAILURE' ELSE 'SUCCESS' END AS status,
+                   CAST(2 AS BIGINT) AS run_id,
+                   'sim' AS job_name,
+                   CAST(CAST(o_orderdate AS TIMESTAMP) + INTERVAL 40 DAY AS VARCHAR) AS validation_begin_ts,
+                   'src' AS source_table_fqn,
+                   'tgt' AS target_table_fqn,
+                   'ops' AS business_domain,
+                   'alice' AS business_owner,
+                   'HIGH' AS business_priority,
+                   100.0 AS estimated_impact_usd
+            FROM orders WHERE o_orderkey % 100 = 0
         """,
     }

@@ -249,20 +249,31 @@ def minhash_dedup(
 
 
 def simhash(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    token_hash=None,
 ) -> DataFrame:
     """64-bit SimHash per document: per-token xxhash64, sum the ±1
     contribution of each bit over tokens, sign → bit. All JVM Column
-    arithmetic via transform/aggregate over the token array."""
+    arithmetic via transform/aggregate over the token array.
+
+    ``token_hash``: optional Column→Column hash for tokens (default
+    xxhash64). Pass an engine-portable hash (e.g. the md5-prefix fold
+    used by the oracle-checked driver query) to make the whole simhash
+    reproducible outside Spark; pass ``bits`` ≤ the hash's bit width."""
     # Explode tokens to (id, token_hash) rows, then one grouped aggregate
     # with `bits` codegen'd SUM(±1) expressions — per-bit balances without
     # any higher-order lambda (HOFs are interpreted and re-evaluate
     # captured expressions per element; this shape is whole-stage codegen
     # with map-side partial aggregation, same as the minhash signatures).
+    if token_hash is None:
+        token_hash = F.xxhash64
     tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     exploded = df.select(
         F.col(id_col).alias("id"), F.explode(tokens).alias("tok")
-    ).select("id", F.xxhash64("tok").alias("h"))
+    ).select("id", token_hash(F.col("tok")).alias("h"))
     balance_exprs = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

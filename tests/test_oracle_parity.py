@@ -72,16 +72,11 @@ def test_query_matches_oracle(spark, ddb, name):
 
 
 def test_all_queries_have_oracle_or_are_rows_only():
+    # r3: every query is oracle-backed — the LSH family got exact
+    # ground-truth oracles (all-pairs Jaccard / Hamming over a portable
+    # simhash / brute-force cosine) and the PSI Σ an ordered-fold oracle
     rows_only = set(QUERIES) - set(ORACLES)
-    # rows-only allowed for non-SQL-expressible ops; keep the list tight
-    assert rows_only <= {
-        "minhash_dedup",      # LSH banding not SQL-expressible
-        "simhash_pairs",      # bit-level fold not SQL-expressible
-        "lsh_topk",           # random-hyperplane LSH; recall asserted below
-        "drift_psi_value",    # ln() bit-parity not guaranteed cross-engine
-        "multimodal_features",  # mapInPandas UDF path
-        "embedding_near_dups",  # LSH self-join; recall asserted below
-    }, f"unexpected rows-only: {rows_only}"
+    assert rows_only == set(), f"unexpected rows-only: {rows_only}"
 
 
 def test_entry_smoke(spark):
