@@ -776,6 +776,29 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_real_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode path, oracle-checked: header-valid BMP/WAV payloads
+    (synthesize_real_media_table's closed-form content) are parsed by
+    the pure-numpy codecs inside the mapInPandas batch loop, and the
+    recovered pixel/sample sums are rolled up per kind. DuckDB derives
+    the same sums from the generation formula WITHOUT parsing any
+    container — so a green row proves the decoders recover every pixel
+    and sample bit-exactly."""
+    from datapact_spark.operators.codecs import media_feature_codec
+    from datapact_spark.operators.multimodal import (
+        extract_features,
+        synthesize_real_media_table,
+    )
+
+    media = synthesize_real_media_table(spark, n=80)
+    feats = extract_features(media, feature_dim=4, codec=media_feature_codec(4))
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.element_at("feature", 1).cast("long")).alias("content_sum"),
+        F.sum(F.element_at("feature", 2).cast("long")).alias("units_sum"),
+    )
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection, STRICT oracle: DuckDB
     brute-forces all-pairs cosine ≥ 0.99 as ground truth (at sf0.01
@@ -1145,6 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "drift_psi_value": q_drift_psi_value,
         "multimodal_features": q_multimodal_features,
+        "multimodal_real_codec": q_multimodal_real_codec,
         "embedding_near_dups": q_embedding_near_dups,
         "sessionization": q_sessionization,
         "semi_join_scope": q_semi_join_scope,
@@ -1840,6 +1864,40 @@ def oracle_sql() -> dict[str, str]:
               FROM ratios)
             SELECT list_reduce(list(psi_term ORDER BY bin), (a, x) -> a + x) AS drift_psi_l_extendedprice
             FROM terms
+        """,
+        "multimodal_real_codec": """
+            -- independent derivation: the Spark side encodes real BMP/WAV
+            -- containers, decodes them with the pure-numpy codecs, and
+            -- sums the recovered content; the oracle computes the same
+            -- sums straight from the generation formula (no parsing)
+            WITH ids AS (SELECT range AS id FROM range(80)),
+            img AS (SELECT id, (id % 5 + 2) AS w, (id % 4 + 2) AS h
+                    FROM ids WHERE id % 2 = 0),
+            img_sum AS (
+              SELECT img.id,
+                     SUM((img.id * 31 + y.y * 7 + x.x * 3 + c.c) % 256) AS content,
+                     MAX(img.w * img.h) AS units
+              FROM img,
+                   LATERAL (SELECT unnest(generate_series(0, img.h - 1)) AS y) y,
+                   LATERAL (SELECT unnest(generate_series(0, img.w - 1)) AS x) x,
+                   (SELECT unnest([0, 1, 2]) AS c) c
+              GROUP BY img.id),
+            aud AS (SELECT id, (id % 50 + 10) AS ns FROM ids WHERE id % 2 = 1),
+            aud_sum AS (
+              SELECT aud.id,
+                     SUM(((aud.id * 131 + i.i * 17) % 65536) - 32768) AS content,
+                     MAX(aud.ns) AS units
+              FROM aud,
+                   LATERAL (SELECT unnest(generate_series(0, aud.ns - 1)) AS i) i
+              GROUP BY aud.id)
+            SELECT 'image' AS kind, COUNT(*) AS n,
+                   CAST(SUM(content) AS BIGINT) AS content_sum,
+                   CAST(SUM(units) AS BIGINT) AS units_sum
+            FROM img_sum
+            UNION ALL
+            SELECT 'audio', COUNT(*),
+                   CAST(SUM(content) AS BIGINT), CAST(SUM(units) AS BIGINT)
+            FROM aud_sum
         """,
         "genie_current_status": """
             -- latest run per task = run 2 by construction (its

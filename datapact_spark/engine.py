@@ -117,6 +117,7 @@ class DataPactEngine:
             )
             t0 = time.monotonic()
             try:
+                self._log_colocation(task)
                 compiled = compile_task(
                     self.spark, task, self.resolver, baseline_store=self.baselines
                 )
@@ -180,6 +181,32 @@ class DataPactEngine:
                 },
             )
         return result
+
+    def _log_colocation(self, task: ValidationTask) -> bool | None:
+        """Close the bucketing loop (sources/bucketed.py): when a task
+        PK-joins two catalog tables, check their bucket specs up front
+        and record whether the join will ride the buckets (zero
+        Exchange) or shuffle both sides. Returns the tri-state result
+        (None = not determinable) so callers/tests can assert it."""
+        if not (task.pk_row_hash_check and task.primary_keys):
+            return None
+        coloc = self.resolver.colocation(
+            task.source_ref, task.target_ref, task.primary_keys
+        )
+        if coloc is True:
+            log.info(
+                "task %s: source/target co-bucketed on %s — PK join plans "
+                "exchange-free",
+                task.task_key, task.primary_keys,
+            )
+        elif coloc is False:
+            log.warning(
+                "task %s: catalog tables are NOT co-bucketed on %s — the PK "
+                "join will shuffle both sides; pre-bucket them with "
+                "sources.bucketed.write_bucketed for an exchange-free plan",
+                task.task_key, task.primary_keys,
+            )
+        return coloc
 
     def _augment_with_partition_verdicts(
         self, task: ValidationTask, run_id: int, row: Row
@@ -259,6 +286,7 @@ class DataPactEngine:
 
         store = CheckpointStore(self.spark, self.ledger.path)
         group_cols = task.partition_by or []
+        self._log_colocation(task)
         verdicts = compile_partition_verdicts(
             self.spark, task, self.resolver, salt_buckets=salt_buckets
         )

@@ -1,0 +1,123 @@
+"""Pure-numpy media codecs: real decoders for one container per
+modality that need no external library — 24-bit uncompressed BMP
+(image) and PCM16 WAV (audio).
+
+These make ``extract_features(..., codec=...)`` a REAL decode path
+in-sandbox (multimodal.py's ``decode_stub=False`` seam): the payloads
+are genuine header-valid containers, the decoders parse the actual
+binary layout (BITMAPFILEHEADER/BITMAPINFOHEADER incl. bottom-up rows,
+BGR order and 4-byte row padding; RIFF/WAVE fmt+data chunk walking),
+and the encoders exist so tests and queries can synthesize valid
+payloads deterministically. Video stays stubbed (no pure-numpy
+container is practical); the frame-sample plan in multimodal.py is the
+skeleton a real ffmpeg codec would hang off.
+
+Everything here runs INSIDE the Arrow batch loop of ``mapInPandas`` —
+per-payload numpy, no Spark APIs — which is exactly the vectorized
+plug-in contract the north star allows for codec work.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+# --------------------------------------------------------------- BMP
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 24-bit uncompressed BMP bytes."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    row_size = (w * 3 + 3) // 4 * 4
+    img_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    pad = b"\x00" * (row_size - w * 3)
+    rows = [px[y, :, ::-1].tobytes() + pad for y in range(h - 1, -1, -1)]
+    return header + info + b"".join(rows)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP bytes → (h, w, 3) uint8 RGB."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing BM magic)")
+    (data_offset,) = struct.unpack_from("<I", payload, 10)
+    _hdr_size, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"only 24-bit uncompressed BMP (got bpp={bpp}, comp={comp})")
+    rows = abs(h)
+    row_size = (w * 3 + 3) // 4 * 4
+    arr = np.frombuffer(payload, np.uint8, count=row_size * rows, offset=data_offset)
+    arr = arr.reshape(rows, row_size)[:, : w * 3].reshape(rows, w, 3)
+    if h > 0:  # positive height = bottom-up storage
+        arr = arr[::-1]
+    return arr[:, :, ::-1].copy()  # BGR → RGB
+
+
+# --------------------------------------------------------------- WAV
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """1-D int16 samples → mono PCM16 RIFF/WAVE bytes."""
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    chunks = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """Mono PCM16 RIFF/WAVE bytes → (sample_rate, int16 samples).
+    Walks the chunk list (real WAV files may carry LIST/fact chunks)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, _ch, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if audio_fmt != 1 or bits != 16:
+                raise NotImplementedError("only PCM16 WAV")
+        elif cid == b"data":
+            data = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return rate, data
+
+
+# ------------------------------------------------------- feature codec
+def media_feature_codec(feature_dim: int = 4):
+    """bytes → float32 feature vector, dispatching on the container's
+    magic bytes (BM → BMP, RIFF → WAV). Features are integer-exact in
+    float32 at test sizes so rollups are oracle-checkable:
+
+      BMP: [pixel_sum, n_pixels, width, height]
+      WAV: [sample_sum, n_samples, sample_rate, 1]
+
+    padded/truncated to ``feature_dim``. Plug into
+    ``multimodal.extract_features(media, codec=media_feature_codec())``.
+    """
+
+    def codec(payload: bytes) -> np.ndarray:
+        if payload[:2] == b"BM":
+            px = decode_bmp(payload)
+            h, w, _ = px.shape
+            feats = [float(px.sum(dtype=np.int64)), float(h * w), float(w), float(h)]
+        elif payload[:4] == b"RIFF":
+            rate, samples = decode_wav(payload)
+            feats = [
+                float(samples.sum(dtype=np.int64)),
+                float(samples.size),
+                float(rate),
+                1.0,
+            ]
+        else:
+            raise ValueError("unknown container (expected BMP or WAV)")
+        feats = (feats + [0.0] * feature_dim)[:feature_dim]
+        return np.asarray(feats, dtype=np.float32)
+
+    return codec

@@ -5,12 +5,15 @@ metadata; decode / feature-extract / resize / frame-sample run as
 Arrow-batched pandas functions over ``mapInPandas`` so each executor
 processes whole record batches.
 
-The actual codec work (PIL/librosa/ffmpeg) is NOT available in this
-container, so the decode step is stubbed: ``decode_stub=True`` derives
-deterministic fake features from the bytes (so the distributed plumbing
-— schema, batching, partitioning — is fully real and testable), while
-``decode_stub=False`` raises ``NotImplementedError`` at the exact point
-a codec would plug in.
+Codec libraries (PIL/librosa/ffmpeg) are NOT available in this
+container. The decode step is therefore pluggable: ``decode_stub=True``
+derives deterministic fake features from the bytes (plumbing testable
+without any codec), ``decode_stub=False`` without a codec raises at the
+exact plug-in point, and ``codec=`` injects a real decoder —
+``operators/codecs.py`` ships pure-numpy BMP (24-bit) and WAV (PCM16)
+decoders, so image and audio have a REAL in-sandbox decode path
+(``synthesize_real_media_table`` below builds genuine container bytes
+for it). Video stays stubbed pending ffmpeg.
 """
 
 from __future__ import annotations
@@ -46,6 +49,43 @@ def synthesize_media_table(spark, n: int = 64, seed: int = 42) -> DataFrame:
         (F.pmod(F.col("id") * 97, F.lit(60000))).cast("int").alias("duration_ms"),
     )
     return df
+
+
+def synthesize_real_media_table(spark, n: int = 64) -> DataFrame:
+    """Header-valid REAL container payloads (24-bit BMP for even ids,
+    PCM16 WAV for odd ids), built Arrow-batched from a deterministic
+    closed-form content formula an independent engine can replicate:
+
+      BMP  (id even): w = id%5+2, h = id%4+2,
+                      pixel[y,x,c] = (id*31 + y*7 + x*3 + c) % 256
+      WAV  (id odd):  n_samples = id%50+10, rate 8000,
+                      sample[i] = ((id*131 + i*17) % 65536) - 32768
+
+    Decoding these through the real codecs and summing the recovered
+    content against the formula proves the parsers reproduce every
+    pixel/sample — the oracle-checkable 'real decode' path."""
+    from datapact_spark.operators.codecs import encode_bmp, encode_wav
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                if mid % 2 == 0:
+                    w, h = mid % 5 + 2, mid % 4 + 2
+                    y, x, c = np.mgrid[0:h, 0:w, 0:3]
+                    px = ((mid * 31 + y * 7 + x * 3 + c) % 256).astype(np.uint8)
+                    payload, kind, mime = encode_bmp(px), "image", "image/bmp"
+                else:
+                    i = np.arange(mid % 50 + 10, dtype=np.int64)
+                    samples = ((mid * 131 + i * 17) % 65536 - 32768).astype(np.int16)
+                    payload, kind, mime = encode_wav(samples), "audio", "audio/wav"
+                out.append((mid, kind, payload, mime))
+            yield pd.DataFrame(out, columns=["media_id", "kind", "payload", "mime"])
+
+    return spark.range(n).mapInPandas(
+        build, schema="media_id long, kind string, payload binary, mime string"
+    )
 
 
 def extract_features(

@@ -67,6 +67,39 @@ class TableResolver:
     def _read_path(self, path: str) -> DataFrame:
         return self.spark.read.parquet(path)
 
+    def catalog_name(self, ref: str) -> str | None:
+        """The session-catalog table name behind ``ref``, or None when
+        the ref resolves to a registered DataFrame / filesystem path
+        (those carry no bucketing metadata)."""
+        if ref in self._registry or ref in self._paths:
+            return None
+        if self.base_dir and os.path.exists(
+            os.path.join(self.base_dir, f"{ref}.parquet")
+        ):
+            return None
+        if os.path.exists(ref):
+            return None
+        return ref
+
+    def colocation(self, ref_a: str, ref_b: str, join_cols: list[str]) -> bool | None:
+        """Tri-state co-location check for a planned equi-join:
+        True  — both refs are catalog tables bucketed by exactly
+                ``join_cols`` with equal bucket counts (the PK join
+                plans with zero Exchange on either side);
+        False — both are catalog tables but NOT co-bucketed (the join
+                will shuffle both sides; consider
+                ``sources.bucketed.write_bucketed``);
+        None  — not determinable (registered DataFrames / bare paths)."""
+        from datapact_spark.sources.bucketed import is_colocated
+
+        a, b = self.catalog_name(ref_a), self.catalog_name(ref_b)
+        if a is None or b is None:
+            return None
+        try:
+            return is_colocated(self.spark, a, b, join_cols)
+        except Exception:
+            return None
+
 
 def load_sf_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load the driver test-data tables present in ``sf_dir``."""

@@ -81,3 +81,55 @@ def test_is_colocated(spark, bucketed_tables):
         assert not is_colocated(spark, a, "plain_t", ["repo", "path"])
     finally:
         spark.sql("DROP TABLE IF EXISTS plain_t")
+
+
+def test_engine_colocation_check_and_exchange_free_plan(
+    spark, bucketed_tables, no_broadcast, tmp_path, caplog
+):
+    """Engine-level loop closure: the resolver detects co-bucketed
+    catalog tables for a PK row-hash task, the engine records it, and
+    the COMPILED task plan joins without any hash-partitioned exchange
+    (the join rides the buckets). A non-matching bucket spec is flagged
+    as a shuffle warning instead."""
+    import logging
+
+    from datapact_spark.config import ValidationTask
+    from datapact_spark.engine import DataPactEngine
+    from datapact_spark.plans.compiler import compile_task
+    from datapact_spark.sources.loader import TableResolver
+
+    a, b = bucketed_tables
+    resolver = TableResolver(spark)
+    engine = DataPactEngine(spark, resolver, results_path=str(tmp_path / "res"))
+    task = ValidationTask(
+        task_key="buck", source=a, target=b,
+        primary_keys=["repo", "path"], pk_row_hash_check=True,
+        pk_hash_tolerance=0.0, hash_columns=["content"], hash_algo="sha256",
+    )
+    with caplog.at_level(logging.INFO, logger="datapact_spark"):
+        assert engine._log_colocation(task) is True
+    assert any("exchange-free" in r.message for r in caplog.records)
+    compiled = compile_task(spark, task, resolver)
+    plan = _explain(compiled.metrics_df)
+    assert "Exchange hashpartitioning" not in plan, (
+        f"PK join over co-bucketed catalog tables shuffled:\n{plan[:2000]}"
+    )
+    # join on a bucket-spec MISMATCH (bucketed by (repo, path), joining
+    # on repo alone) → detected as not co-located, warned
+    caplog.clear()
+    task2 = ValidationTask(
+        task_key="buck2", source=a, target=b,
+        primary_keys=["repo"], pk_row_hash_check=True, pk_hash_tolerance=0.0,
+        hash_columns=["content"], hash_algo="sha256",
+    )
+    with caplog.at_level(logging.INFO, logger="datapact_spark"):
+        assert engine._log_colocation(task2) is False
+    assert any("NOT co-bucketed" in r.message for r in caplog.records)
+    # registered DataFrames carry no bucket metadata → tri-state None
+    resolver.register("plain_df", spark.table(a))
+    task3 = ValidationTask(
+        task_key="buck3", source="plain_df", target=b,
+        primary_keys=["repo", "path"], pk_row_hash_check=True,
+        pk_hash_tolerance=0.0, hash_columns=["content"], hash_algo="sha256",
+    )
+    assert engine._log_colocation(task3) is None

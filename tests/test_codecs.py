@@ -1,0 +1,98 @@
+"""Pure-numpy BMP/WAV codecs: byte-exact round trips, real-container
+layout details (row padding, bottom-up rows, chunk walking), and the
+end-to-end mapInPandas decode path with decode_stub=False semantics."""
+
+import numpy as np
+import pytest
+
+from datapact_spark.operators.codecs import (
+    decode_bmp,
+    decode_wav,
+    encode_bmp,
+    encode_wav,
+    media_feature_codec,
+)
+
+
+@pytest.mark.parametrize("w,h", [(2, 2), (3, 5), (4, 3), (5, 2), (6, 4)])
+def test_bmp_round_trip_exact(w, h):
+    # widths 2/3/5/6 exercise every 4-byte row padding remainder
+    rng = np.random.RandomState(w * 10 + h)
+    px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+
+
+def test_bmp_rejects_non_bmp():
+    with pytest.raises(ValueError, match="BM"):
+        decode_bmp(b"RIFF" + b"\x00" * 60)
+
+
+def test_wav_round_trip_exact():
+    samples = np.array([0, 1, -1, 32767, -32768, 12345], dtype=np.int16)
+    rate, out = decode_wav(encode_wav(samples, sample_rate=44100))
+    assert rate == 44100 and np.array_equal(out, samples)
+
+
+def test_wav_chunk_walking_skips_extra_chunks():
+    # real WAV files interleave LIST/fact chunks before data — the
+    # decoder must walk, not assume fixed offsets (incl. odd-size pad)
+    samples = np.array([5, -7, 9], dtype=np.int16)
+    payload = bytearray(encode_wav(samples, sample_rate=8000))
+    # splice a 3-byte (odd → padded) junk chunk between fmt and data
+    data_at = bytes(payload).index(b"data")
+    junk = b"JUNK" + (3).to_bytes(4, "little") + b"abc" + b"\x00"
+    spliced = bytes(payload[:data_at]) + junk + bytes(payload[data_at:])
+    spliced = b"RIFF" + (len(spliced) - 8).to_bytes(4, "little") + spliced[8:]
+    rate, out = decode_wav(spliced)
+    assert rate == 8000 and np.array_equal(out, samples)
+
+
+def test_feature_codec_dispatches_on_magic():
+    codec = media_feature_codec(4)
+    px = np.full((2, 3, 3), 7, dtype=np.uint8)
+    f_img = codec(encode_bmp(px))
+    assert f_img.tolist() == [7.0 * 18, 6.0, 3.0, 2.0]
+    f_wav = codec(encode_wav(np.array([10, -4], dtype=np.int16), 8000))
+    assert f_wav.tolist() == [6.0, 2.0, 8000.0, 1.0]
+    with pytest.raises(ValueError, match="container"):
+        codec(b"\x00\x01\x02\x03garbage")
+
+
+def test_extract_features_real_codec_end_to_end(spark):
+    """decode_stub=False with an injected REAL codec must decode every
+    synthesized container and recover the formula content exactly."""
+    from datapact_spark.operators.multimodal import (
+        extract_features,
+        synthesize_real_media_table,
+    )
+
+    media = synthesize_real_media_table(spark, n=20)
+    feats = extract_features(
+        media, feature_dim=4, decode_stub=False, codec=media_feature_codec(4)
+    ).collect()
+    assert len(feats) == 20
+    by_id = {r["media_id"]: r for r in feats}
+    for mid, r in by_id.items():
+        if mid % 2 == 0:
+            w, h = mid % 5 + 2, mid % 4 + 2
+            y, x, c = np.mgrid[0:h, 0:w, 0:3]
+            expected = int(((mid * 31 + y * 7 + x * 3 + c) % 256).sum())
+            assert r["kind"] == "image"
+            assert int(r["feature"][0]) == expected
+            assert int(r["feature"][1]) == w * h
+        else:
+            i = np.arange(mid % 50 + 10, dtype=np.int64)
+            expected = int((((mid * 131 + i * 17) % 65536) - 32768).sum())
+            assert r["kind"] == "audio"
+            assert int(r["feature"][0]) == expected
+
+
+def test_decode_stub_false_without_codec_still_raises(spark):
+    from datapact_spark.operators.multimodal import (
+        extract_features,
+        synthesize_media_table,
+    )
+
+    media = synthesize_media_table(spark, n=4)
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        extract_features(media, decode_stub=False).collect()
