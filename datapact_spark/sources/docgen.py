@@ -1,0 +1,50 @@
+"""Synthetic document corpus generator for dedup/similarity scale
+benchmarks — deterministic, fully JVM-side (no Python in the data path),
+any row count.
+
+Shape mirrors the driver's ``documents`` table (doc_id, text): text is
+``n_tokens`` pseudo-words drawn from a ``vocab_size`` vocabulary by
+seeded xxhash64, so the same (n, seed) always produces the same corpus.
+A ``dup_every``-th document gets a tail-perturbed near-copy appended
+(doc_id + n), giving a known near-duplicate population to recover.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def synthesize_documents(
+    spark: SparkSession,
+    n: int,
+    vocab_size: int = 20_000,
+    min_tokens: int = 30,
+    max_tokens: int = 120,
+    dup_every: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_id, text) with ``n + n/dup_every`` rows; near-dups are tail
+    perturbations (' zzz') of every ``dup_every``-th base doc."""
+    n_tokens = (
+        F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(max_tokens - min_tokens + 1))
+        + F.lit(min_tokens)
+    )
+    # one xxhash64 per token inside the transform lambda — O(tokens)/row
+    tokens = F.transform(
+        F.sequence(F.lit(0), n_tokens - 1),
+        lambda i: F.concat(
+            F.lit("w"),
+            F.pmod(F.xxhash64(F.col("id"), i, F.lit(seed + 1)), F.lit(vocab_size)).cast(
+                "string"
+            ),
+        ),
+    )
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.array_join(tokens, " ").alias("text")
+    )
+    dups = base.where(F.col("doc_id") % dup_every == 0).select(
+        (F.col("doc_id") + n).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    return base.unionByName(dups)

@@ -51,10 +51,13 @@ from datapact_spark.sources.loader import TableResolver
 
 cores = int(sys.argv[1]); runs = int(sys.argv[2]); data_dir = sys.argv[3]
 warmup = int(sys.argv[4]); mode = sys.argv[5]; eventlog_dir = sys.argv[6]
+partitioned = len(sys.argv) > 7 and sys.argv[7] == "1"
 tgt_name = {"fingerprint": "code_tgt_localized", "fingerprint_clean": "code_src"}.get(
     mode, "code_tgt"
 )
 mode = "fingerprint" if mode == "fingerprint_clean" else mode
+if partitioned:  # Iceberg-at-scale layout: repo-partitioned storage
+    tgt_name += "_byrepo"
 os.makedirs(eventlog_dir, exist_ok=True)
 local_dir = "/dev/shm/datapact_bench_local" if os.path.isdir("/dev/shm") else None
 conf = {
@@ -83,7 +86,8 @@ spark = get_spark(
 )
 spark.sparkContext.setLogLevel("ERROR")
 resolver = TableResolver(spark)
-resolver.register("code_src", os.path.join(data_dir, "code_src"))
+src_name = "code_src_byrepo" if partitioned else "code_src"
+resolver.register("code_src", os.path.join(data_dir, src_name))
 resolver.register("code_tgt", os.path.join(data_dir, tgt_name))
 task = ValidationTask(
     task_key="scaling",
@@ -106,6 +110,19 @@ out_dir = os.path.join(data_dir, f"verdicts_out_{cores}")
 times = []
 WARMUP = warmup  # JIT + codegen warmup runs, excluded from the median
 app_id = spark.sparkContext.applicationId
+# DPP evidence: on repo-partitioned storage the fingerprint detail
+# re-scan must carry a dynamicpruning partition filter
+plan = compile_partition_verdicts(spark, task, resolver)
+plan_text = plan._sc._jvm.PythonSQLUtils.explainString(
+    plan._jdf.queryExecution(), "formatted"
+)
+dpp_in_plan = "dynamicpruning" in plan_text.lower()
+if partitioned:
+    excerpt = "\n".join(
+        ln for ln in plan_text.splitlines() if "dynamicpruning" in ln.lower()
+    )
+    with open(os.path.join(data_dir, f"dpp_plan_excerpt_{mode}_{cores}.txt"), "w") as fh:
+        fh.write(excerpt + "\n")
 for i in range(runs + WARMUP):
     spark.catalog.clearCache()  # fingerprint mode persists compact frames
     t0 = time.monotonic()
@@ -118,7 +135,8 @@ for i in range(runs + WARMUP):
         times.append(dt)
 n = spark.read.parquet(out_dir).count()
 print(json.dumps({"cores": cores, "times": times, "groups": n,
-                  "app_id": app_id, "total_runs": runs + WARMUP}))
+                  "app_id": app_id, "total_runs": runs + WARMUP,
+                  "dpp_in_plan": dpp_in_plan}))
 spark.stop()
 """
 
@@ -154,12 +172,20 @@ def main() -> None:
         help="fingerprint_clean = steady-state: target IS the source "
         "(every group passes by fingerprint; 2 scans total, no join)",
     )
+    ap.add_argument(
+        "--partitioned", action="store_true",
+        help="read repo-partitioned input (the Iceberg-at-scale layout) so "
+        "the fingerprint detail re-scan demonstrates dynamic partition "
+        "pruning; writes a dpp_plan_excerpt_*.txt beside the data",
+    )
     args = ap.parse_args()
 
     data_dir = os.path.join(tempfile.gettempdir(), f"datapact_scaling_{args.files}_{args.tokens[0]}_{args.tokens[1]}")
     need_loc = args.mode == "fingerprint" and not os.path.exists(
         os.path.join(data_dir, "code_tgt_localized", "_SUCCESS")
     )  # fingerprint_clean reads code_src for both sides — nothing extra
+    if args.partitioned and args.mode != "fingerprint":
+        ap.error("--partitioned is a fingerprint-mode scenario (DPP on the detail re-scan)")
     if not os.path.exists(os.path.join(data_dir, "code_tgt", "_SUCCESS")) or need_loc:
         # materialize input once so every level reads identical files
         sys.path.insert(0, REPO)
@@ -194,8 +220,38 @@ def main() -> None:
             ).write.mode("overwrite").parquet(os.path.join(data_dir, "code_tgt_localized"))
         spark.stop()
 
+    if args.partitioned and not all(
+        os.path.exists(os.path.join(data_dir, f"{n}_byrepo", "_SUCCESS"))
+        for n in ("code_src", "code_tgt_localized")
+    ):
+        # repo-partitioned copies (one dir per repo — the Iceberg layout);
+        # repartition on the partition column first so each dir gets one
+        # coherent file instead of 32 shards
+        sys.path.insert(0, REPO)
+        from datapact_spark.session import get_spark as _gs
+
+        spark = _gs(
+            app_name="scaling-partition", master="local[32]", shuffle_partitions=64,
+            extra_conf={"spark.ui.enabled": "false",
+                        "spark.driver.memory": os.environ.get("DATAPACT_DRIVER_MEM", "24g")},
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        for name in ("code_src", "code_tgt_localized"):
+            out = os.path.join(data_dir, f"{name}_byrepo")
+            if not os.path.exists(os.path.join(out, "_SUCCESS")):
+                (
+                    spark.read.parquet(os.path.join(data_dir, name))
+                    .repartition("repo")
+                    .write.mode("overwrite")
+                    .partitionBy("repo")
+                    .parquet(out)
+                )
+        spark.stop()
+
     worker_py = WORKER % {"repo": REPO}
-    eventlog_dir = os.path.join(data_dir, f"eventlogs_{args.mode}")
+    eventlog_dir = os.path.join(
+        data_dir, f"eventlogs_{args.mode}{'_part' if args.partitioned else ''}"
+    )
 
     def calibrate() -> float:
         """Single-core Python burn — measures current host speed so
@@ -213,10 +269,13 @@ def main() -> None:
         # core budget — otherwise the small level borrows idle host
         # cores and the ratio understates true scaling
         cmd = [sys.executable, "-c", worker_py, str(cores), str(runs), data_dir,
-               str(warmup), args.mode, eventlog_dir]
+               str(warmup), args.mode, eventlog_dir,
+               "1" if args.partitioned else "0"]
         if os.path.exists("/usr/bin/taskset"):
             cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
         out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+        if out.returncode != 0:
+            raise RuntimeError(f"worker failed:\n{out.stderr[-3000:]}")
         r = json.loads(out.stdout.strip().splitlines()[-1])
         r["shuffle_bytes_total"] = shuffle_bytes_from_eventlog(eventlog_dir, r["app_id"])
         r["shuffle_bytes_per_run"] = r["shuffle_bytes_total"] / max(r["total_runs"], 1)
@@ -240,6 +299,7 @@ def main() -> None:
             r = run_level(cores, 2, 1)
             results[cores]["times"].extend(r["times"])
             results[cores]["groups"] = r["groups"]
+            results[cores]["dpp"] = r.get("dpp_in_plan")
             results[cores]["shuffle_bytes"].append(r["shuffle_bytes_per_run"])
             pair[cores] = min(r["times"])
         speed_after = calibrate()
@@ -265,6 +325,8 @@ def main() -> None:
         json.dumps(
             {
                 "mode": args.mode,
+                "partitioned_input": args.partitioned,
+                "dpp_in_plan": results[hi].get("dpp"),
                 "files": args.files,
                 "groups": results[hi]["groups"],
                 f"median_sec_local[{lo}]": round(t_lo, 2),

@@ -362,6 +362,35 @@ def test_fingerprint_mode_dup_pks_fail_loudly_and_match_join(engine, spark):
     assert all(v[1] == 0 for v in ms.values())
 
 
+def test_fingerprint_scope_join_auto_under_mass_corruption(engine, spark):
+    """fingerprint_scope_join='auto' (no broadcast hint — AQE sizes the
+    dirty-key join at runtime) must produce identical verdicts to the
+    default broadcast scoping even when EVERY group is dirty — the
+    regime the unhinted mode exists for (an unbounded driver broadcast
+    could OOM there)."""
+    from datapact_spark.plans.partitioned import compile_partition_verdicts
+
+    def verdicts(scope):
+        df = compile_partition_verdicts(
+            spark,
+            _task(
+                task_key=f"scope_{scope}",
+                row_hash_mode="fingerprint",
+                fingerprint_scope_join=scope,
+                uniqueness_columns=["repo", "path"],
+                uniqueness_tolerance=0.0,
+            ),
+            engine.resolver,
+        )
+        return {
+            (r["repo"], r["lang"]): (r["total_compared_rows"], r["mismatch_count"],
+                                     r["overall_validation_passed"])
+            for r in df.collect()
+        }
+
+    assert verdicts("auto") == verdicts("broadcast")
+
+
 def test_clear_uncommitted_batches_drops_stale_rows(spark, tmp_path):
     """A killed attempt leaves orphan parquet in an unmarked batch dir;
     if the recompute produces NO rows for that batch, dynamic partition
