@@ -754,6 +754,49 @@ def q_drift_psi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_ks_terms(hs, ht)
 
 
+QUANTILE_DRIFT_PROBS = [0.1, 0.25, 0.5, 0.75, 0.9]
+# knot probabilities (i - 0.5)/500 for i in TDIGEST_KNOTS: at these
+# exact cumulative positions the t-digest interpolation passes through
+# a centroid mean, so the estimate equals the i-th order statistic
+TDIGEST_KNOTS = [50, 125, 250, 375, 450]
+
+
+def q_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-function drift (north-star quantile-sketch family):
+    per-probability quantile gaps between orders and a drifted slice,
+    with the 1-Wasserstein running sum as the last row. Exact
+    ``percentile`` is bitwise-identical to DuckDB quantile_cont, the
+    |a-b|*dp terms are single IEEE ops, and the running sum is the
+    fixed-order fold proved portable by `drift_psi_value`."""
+    from datapact_spark.operators.quantiles import exact_quantile_drift_terms
+
+    orders = _t(spark, sf_dir, "orders")
+    return exact_quantile_drift_terms(
+        orders,
+        orders.where("o_orderpriority like '1%'"),
+        "o_totalprice",
+        QUANTILE_DRIFT_PROBS,
+    )
+
+
+def q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL t-digest pipeline (mapInPandas partial digests →
+    applyInPandas merge → quantile eval), made strict-oracle-checkable
+    by running it in its exactness regime: delta/2 ≥ n keeps every
+    distinct value a singleton centroid (adjacent points are ≥ 2.5
+    scale-units apart at delta=4000, n=500), and probing at the knot
+    probabilities (i-0.5)/n makes the interpolation return the i-th
+    order statistic EXACTLY — which DuckDB reproduces with row_number.
+    Production-accuracy params (delta=200) are covered by rank-error
+    bounds in tests/test_quantiles.py."""
+    from datapact_spark.operators.quantiles import tdigest_quantiles, tdigest_sketch
+
+    docs = _t(spark, sf_dir, "documents")
+    dig = tdigest_sketch(docs, "doc_id", delta=4000.0)
+    probs = [(i - 0.5) / 500.0 for i in TDIGEST_KNOTS]
+    return tdigest_quantiles(dig, probs)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing, oracle-checked: binary payload →
     Arrow-batched feature extraction via mapInPandas. The deterministic
@@ -1183,6 +1226,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "failure_rate_daily": q_failure_rate_daily,
         "ngram_jaccard": q_ngram_jaccard,
         "drift_psi_terms": q_drift_psi_terms,
+        "quantile_drift": q_quantile_drift,
+        "tdigest_quantiles": q_tdigest_quantiles,
     }
 
 
@@ -1916,5 +1961,39 @@ def oracle_sql() -> dict[str, str]:
                    'HIGH' AS business_priority,
                    100.0 AS estimated_impact_usd
             FROM orders WHERE o_orderkey % 100 = 0
+        """,
+        "quantile_drift": f"""
+            -- exact quantile_cont == Spark exact percentile (bitwise);
+            -- |a-b|*dp single IEEE ops; running sum = ordered fold
+            WITH probs(pos, prob) AS (
+              VALUES {", ".join(f"({i + 1}, {p!r})" for i, p in enumerate(QUANTILE_DRIFT_PROBS))}
+            ),
+            s AS (SELECT quantile_cont(CAST(o_totalprice AS DOUBLE),
+                         [{", ".join(repr(p) for p in QUANTILE_DRIFT_PROBS)}]) AS qs
+                  FROM orders),
+            t AS (SELECT quantile_cont(CAST(o_totalprice AS DOUBLE),
+                         [{", ".join(repr(p) for p in QUANTILE_DRIFT_PROBS)}]) AS qt
+                  FROM orders WHERE o_orderpriority LIKE '1%'),
+            terms AS (
+              SELECT p.prob, s.qs[p.pos] AS q_source, t.qt[p.pos] AS q_target,
+                     abs(s.qs[p.pos] - t.qt[p.pos]) * {1.0 / len(QUANTILE_DRIFT_PROBS)!r} AS w1_term
+              FROM probs p, s, t)
+            SELECT CAST(prob AS DOUBLE) AS prob, q_source, q_target, w1_term,
+                   SUM(w1_term) OVER (ORDER BY prob ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS w1_running
+            FROM terms ORDER BY prob
+        """,
+        "tdigest_quantiles": f"""
+            -- at the digest's exactness regime each estimate IS the
+            -- i-th order statistic (see q_tdigest_quantiles docstring)
+            WITH ranked AS (
+              SELECT CAST(doc_id AS DOUBLE) AS v,
+                     row_number() OVER (ORDER BY doc_id) AS rn
+              FROM documents),
+            probs(prob, rn) AS (
+              VALUES {", ".join(f"({(i - 0.5) / 500.0!r}, {i})" for i in TDIGEST_KNOTS)}
+            )
+            SELECT CAST(p.prob AS DOUBLE) AS prob, r.v AS quantile
+            FROM probs p JOIN ranked r USING (rn)
+            ORDER BY prob
         """,
     }

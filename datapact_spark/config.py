@@ -183,6 +183,12 @@ class DriftCheck(BaseModel):
     metric: str = "psi"  # psi | ks
     threshold: float = 0.2
     bins: int = 64
+    # sketch family: "histogram" = fixed-grid counts (drift.py);
+    # "tdigest" = mergeable quantile digest (quantiles.py) — PSI/KS on
+    # equal-mass bins cut at the baseline's quantiles (north-star:
+    # "t-digest/KLL sketches ... with PSI/KS thresholds")
+    sketch: str = "histogram"
+    delta: float = 200.0  # t-digest compression (~delta/2 centroids)
     # "target": two-sample source-vs-target drift (the table-pair model);
     # "snapshot": compare the source against a stored baseline histogram
     # (bootstrap on first run), the north-star lifecycle
@@ -200,6 +206,13 @@ class DriftCheck(BaseModel):
     def _validate_baseline(cls, v: str) -> str:
         if v not in {"target", "snapshot"}:
             raise ValueError("baseline must be 'target' or 'snapshot'")
+        return v
+
+    @field_validator("sketch")
+    @classmethod
+    def _validate_sketch(cls, v: str) -> str:
+        if v not in {"histogram", "tdigest"}:
+            raise ValueError("sketch must be 'histogram' or 'tdigest'")
         return v
 
 

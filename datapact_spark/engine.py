@@ -128,11 +128,14 @@ class DataPactEngine:
                     self.ledger.write_violations(run_id, task.task_key, kind, vdf)
                 for dcheck, src_df in compiled.bootstrap_drift:
                     from datapact_spark.operators.drift import histogram_snapshot
+                    from datapact_spark.operators.quantiles import tdigest_sketch
 
                     self.baselines.write(
                         task.task_key,
                         dcheck.column,
-                        histogram_snapshot(src_df, dcheck.column, dcheck.bins),
+                        tdigest_sketch(src_df, dcheck.column, dcheck.delta)
+                        if dcheck.sketch == "tdigest"
+                        else histogram_snapshot(src_df, dcheck.column, dcheck.bins),
                     )
                 if task.partition_by:
                     # north-star mode: per-partition verdicts computed,

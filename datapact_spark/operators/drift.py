@@ -199,9 +199,21 @@ def grouped_drift_metrics(
         F.coalesce(F.col("p_cnt"), F.lit(0)).alias("p_cnt"),
         F.coalesce(F.col("q_cnt"), F.lit(0)).alias("q_cnt"),
     )
-    # per-group totals as an unbounded window (same shuffle as the CDF
-    # window below) — a groupBy+join would recompute merged's whole
-    # upstream, doubling both input scans
+    out = grouped_psi_ks_from_counts(merged, list(group_cols))
+    metric = F.col("psi") if check.metric == "psi" else F.col("ks")
+    return out.select(
+        *group_cols, metric.alias(f"drift_{check.metric}_{check.column}")
+    )
+
+
+def grouped_psi_ks_from_counts(
+    merged: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """(group..., psi, ks) from per-(group, bin) counts/masses
+    ``(group..., bin, p_cnt, q_cnt)`` — the shared tail of the grouped
+    histogram AND grouped t-digest drift paths.  All shuffles are on
+    the group key; per-group totals ride the same window shuffle as
+    the CDF (a groupBy+join would recompute the upstream scans)."""
     wt = Window.partitionBy(*group_cols).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
@@ -237,13 +249,9 @@ def grouped_drift_metrics(
             F.sum("q").over(w).alias("q_cdf"),
         )
     )
-    out = ratios.groupBy(*group_cols).agg(
+    return ratios.groupBy(*group_cols).agg(
         F.sum((F.col("ps") - F.col("qs")) * F.log(F.col("ps") / F.col("qs"))).alias("psi"),
         F.max(F.abs(F.col("p_cdf") - F.col("q_cdf"))).alias("ks"),
-    )
-    metric = F.col("psi") if check.metric == "psi" else F.col("ks")
-    return out.select(
-        *group_cols, metric.alias(f"drift_{check.metric}_{check.column}")
     )
 
 

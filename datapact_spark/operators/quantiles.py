@@ -1,0 +1,452 @@
+"""Quantile sketches for distribution drift: a mergeable t-digest plus
+exact/approx percentile helpers.
+
+North-star requirement (BASELINE.json): "distribution drift via
+t-digest/KLL sketches compared against baseline snapshots with PSI/KS
+thresholds ... vectorized pandas/Arrow UDFs only for sketch merge and
+sha256 hashing".  The histogram path (operators/drift.py) covers
+fixed-grid sketches; this module adds the quantile-sketch path:
+
+* **t-digest** (Dunning & Ertl's merging variant): centroids are formed
+  by grouping sorted values on the scale function
+  ``k(q) = delta/(2*pi) * asin(2q - 1)`` — more resolution at the tails,
+  bounded size (~delta/2 + 2 centroids).  Everything is vectorized
+  numpy inside Arrow-batched UDFs (the sanctioned use): ``mapInPandas``
+  builds per-batch partial digests, ``applyInPandas`` merges them — the
+  same two-level map-side-partial / reduce shape as a Spark aggregate,
+  so 10^12 rows stream through without any per-row Python.
+* **PSI / KS on equal-mass bins**: the baseline digest's quantiles cut
+  ``bins`` equal-mass bins; both digests' CDFs are evaluated on those
+  edges, and the resulting per-bin masses feed the exact same
+  ``psi_ks_terms`` arithmetic as the histogram path.  (Equal-mass PSI
+  is the standard production formulation — deciles of the baseline.)
+* **Snapshot lifecycle**: a digest is a 1-row DataFrame (or 1 row per
+  group) of array columns; it round-trips through the BaselineStore
+  parquet layout unchanged and merges with a later digest by
+  re-running the centroid merge on the union of rows.
+
+Reference parity: the reference has no sketch engine (drift is a
+roadmap item in its README); this is a north-star addition.  The exact
+``percentile``-based drift terms (``exact_quantile_drift_terms``) are
+the oracle-checkable variant: one quantile per probability, identical
+interpolation in Spark and DuckDB (quantile_cont).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterable, Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+_DIGEST_FIELDS = [
+    StructField("means", ArrayType(DoubleType()), False),
+    StructField("weights", ArrayType(DoubleType()), False),
+    StructField("total", DoubleType(), False),
+    StructField("vmin", DoubleType(), False),
+    StructField("vmax", DoubleType(), False),
+]
+
+
+def digest_schema(group_fields: Sequence[StructField] = ()) -> StructType:
+    return StructType(list(group_fields) + _DIGEST_FIELDS)
+
+
+# ---------------------------------------------------------------------------
+# numpy core (pure functions — unit-testable without Spark)
+# ---------------------------------------------------------------------------
+
+
+def _merge_centroids(
+    means: np.ndarray, weights: np.ndarray, delta: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """One merging pass: sort by mean, group on the t-digest scale
+    function, emit (means, weights) of the merged centroids.
+
+    Fully vectorized: the group id of each input centroid is
+    ``floor(k(q_mid))`` where ``q_mid`` is its mid-point cumulative
+    mass — the asin scale function shrinks groups toward q=0 and q=1,
+    which is what gives t-digest its tail accuracy.
+    """
+    if means.size == 0:
+        return means, weights
+    order = np.argsort(means, kind="stable")
+    m = means[order]
+    w = weights[order]
+    total = float(w.sum())
+    cum = np.cumsum(w)
+    q_mid = (cum - w / 2.0) / total
+    # k in [-delta/4, delta/4]; offset so floor() yields stable group ids
+    k = delta / (2.0 * math.pi) * np.arcsin(np.clip(2.0 * q_mid - 1.0, -1.0, 1.0))
+    gid = np.floor(k + 0.5 * delta).astype(np.int64)
+    # boundaries where gid changes
+    starts = np.flatnonzero(np.r_[True, gid[1:] != gid[:-1]])
+    gw = np.add.reduceat(w, starts)
+    gm = np.add.reduceat(m * w, starts) / gw
+    return gm, gw
+
+
+def _digest_quantile(
+    probs: np.ndarray,
+    means: np.ndarray,
+    weights: np.ndarray,
+    total: float,
+    vmin: float,
+    vmax: float,
+) -> np.ndarray:
+    """Quantile estimates by linear interpolation between centroid
+    means at their half-weight cumulative positions, pinned to the
+    exact min/max at the tails (the standard t-digest convention)."""
+    cum = np.cumsum(weights)
+    pos = (cum - weights / 2.0) / total
+    xs = np.r_[0.0, pos, 1.0]
+    ys = np.r_[vmin, means, vmax]
+    return np.interp(probs, xs, ys)
+
+
+def _digest_cdf(
+    xs: np.ndarray,
+    means: np.ndarray,
+    weights: np.ndarray,
+    total: float,
+    vmin: float,
+    vmax: float,
+) -> np.ndarray:
+    cum = np.cumsum(weights)
+    pos = (cum - weights / 2.0) / total
+    kx = np.r_[vmin, means, vmax]
+    ky = np.r_[0.0, pos, 1.0]
+    # np.interp requires increasing x; duplicate knots are fine
+    return np.interp(xs, kx, ky, left=0.0, right=1.0)
+
+
+# ---------------------------------------------------------------------------
+# Spark operators
+# ---------------------------------------------------------------------------
+
+
+def tdigest_sketch(
+    df: DataFrame,
+    column: str,
+    delta: float = 200.0,
+    group_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Mergeable t-digest of ``column``: one row (or one per group) of
+    (means, weights, total, vmin, vmax).
+
+    Two-level plan, exactly the shape of a Spark partial aggregate:
+
+    1. ``mapInPandas`` — each Arrow batch is sorted and compressed to
+       <= delta/2 + 2 centroids (vectorized scale-function grouping);
+       emits centroid rows tagged with the group key.
+    2. ``applyInPandas`` per group (or a single synthetic group) — the
+       union of partial centroids is re-merged into the final digest.
+
+    At 10^12 rows the map stage emits ~delta/2 rows per (batch x
+    group-in-batch); only those partials shuffle, never raw values.
+    """
+    gcols = list(group_cols or [])
+    src = df.select(
+        *gcols, F.col(column).cast("double").alias("__v")
+    ).where(F.col("__v").isNotNull())
+    part_schema = digest_schema([src.schema[c] for c in gcols])
+
+    def partials(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out: list[dict] = []
+            groups = pdf.groupby(gcols, sort=False) if gcols else [((), pdf)]
+            for key, g in groups:
+                v = g["__v"].to_numpy(dtype=np.float64)
+                m, w = _merge_centroids(v, np.ones_like(v), delta)
+                row = dict(zip(gcols, key if isinstance(key, tuple) else (key,)))
+                row.update(
+                    means=m.tolist(),
+                    weights=w.tolist(),
+                    total=float(w.sum()),
+                    vmin=float(v.min()),
+                    vmax=float(v.max()),
+                )
+                out.append(row)
+            yield pd.DataFrame(out, columns=[f.name for f in part_schema.fields])
+
+    partial = src.mapInPandas(partials, schema=part_schema)
+    return _remerge(partial, delta, gcols)
+
+
+def _remerge(partial: DataFrame, delta: float, gcols: list[str]) -> DataFrame:
+    """Merge partial digest rows (same schema as the output) per group."""
+    out_schema = digest_schema([partial.schema[c] for c in gcols])
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        means = np.concatenate([np.asarray(x, dtype=np.float64) for x in pdf["means"]])
+        weights = np.concatenate(
+            [np.asarray(x, dtype=np.float64) for x in pdf["weights"]]
+        )
+        m, w = _merge_centroids(means, weights, delta)
+        row = {c: pdf[c].iloc[0] for c in gcols}
+        row.update(
+            means=m.tolist(),
+            weights=w.tolist(),
+            total=float(w.sum()),
+            vmin=float(pdf["vmin"].min()),
+            vmax=float(pdf["vmax"].max()),
+        )
+        return pd.DataFrame([row])
+
+    if gcols:
+        return partial.groupBy(*gcols).applyInPandas(merge, schema=out_schema)
+    return (
+        partial.withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandas(lambda pdf: merge(pdf.drop(columns="__g")), schema=out_schema)
+    )
+
+
+def merge_tdigests(a: DataFrame, b: DataFrame, delta: float = 200.0,
+                   group_cols: Sequence[str] | None = None) -> DataFrame:
+    """Merge two digests (e.g. a stored baseline with a new day's
+    sketch): union of centroid rows -> one more merging pass."""
+    gcols = list(group_cols or [])
+    cols = gcols + ["means", "weights", "total", "vmin", "vmax"]
+    return _remerge(a.select(*cols).unionByName(b.select(*cols)), delta, gcols)
+
+
+def tdigest_quantiles(
+    digest: DataFrame,
+    probs: Sequence[float],
+    group_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """(group..., prob, quantile) rows — quantile estimates from a
+    digest.  The digest side is tiny (1 row per group); this is a
+    vectorized eval, not a data-scale operation."""
+    gcols = list(group_cols or [])
+    p = np.asarray(list(probs), dtype=np.float64)
+    schema = StructType(
+        [digest.schema[c] for c in gcols]
+        + [StructField("prob", DoubleType(), False),
+           StructField("quantile", DoubleType(), False)]
+    )
+
+    def evaluate(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                qs = _digest_quantile(
+                    p,
+                    np.asarray(r["means"], dtype=np.float64),
+                    np.asarray(r["weights"], dtype=np.float64),
+                    float(r["total"]), float(r["vmin"]), float(r["vmax"]),
+                )
+                for prob, quant in zip(p, qs):
+                    row = {c: r[c] for c in gcols}
+                    row.update(prob=float(prob), quantile=float(quant))
+                    out.append(row)
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    return digest.mapInPandas(evaluate, schema=schema)
+
+
+def tdigest_bin_masses(
+    digest_p: DataFrame, digest_q: DataFrame, bins: int = 10
+) -> DataFrame:
+    """(bin, p_cnt, q_cnt) — both digests' mass on ``bins`` equal-mass
+    bins cut at the BASELINE digest's quantiles (production PSI
+    formulation: deciles of the baseline).  Feed to
+    ``drift.psi_ks_terms`` for the same PSI/KS arithmetic as the
+    histogram path."""
+    p1 = digest_p.select(
+        F.col("means").alias("p_means"), F.col("weights").alias("p_weights"),
+        F.col("total").alias("p_total"),
+        F.col("vmin").alias("p_vmin"), F.col("vmax").alias("p_vmax"),
+    )
+    q1 = digest_q.select(
+        F.col("means").alias("q_means"), F.col("weights").alias("q_weights"),
+        F.col("total").alias("q_total"),
+        F.col("vmin").alias("q_vmin"), F.col("vmax").alias("q_vmax"),
+    )
+    both = p1.crossJoin(F.broadcast(q1))
+    schema = StructType([
+        StructField("bin", LongType(), False),
+        StructField("p_cnt", DoubleType(), False),
+        StructField("q_cnt", DoubleType(), False),
+    ])
+
+    def masses(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                pm = np.asarray(r["p_means"], dtype=np.float64)
+                pw = np.asarray(r["p_weights"], dtype=np.float64)
+                qm = np.asarray(r["q_means"], dtype=np.float64)
+                qw = np.asarray(r["q_weights"], dtype=np.float64)
+                edges = _digest_quantile(
+                    np.linspace(0.0, 1.0, bins + 1), pm, pw,
+                    float(r["p_total"]), float(r["p_vmin"]), float(r["p_vmax"]),
+                )
+                # open tails so values outside the baseline range count
+                edges[0], edges[-1] = -np.inf, np.inf
+                p_cdf = _digest_cdf(edges, pm, pw, float(r["p_total"]),
+                                    float(r["p_vmin"]), float(r["p_vmax"]))
+                q_cdf = _digest_cdf(edges, qm, qw, float(r["q_total"]),
+                                    float(r["q_vmin"]), float(r["q_vmax"]))
+                p_mass = np.diff(p_cdf) * float(r["p_total"])
+                q_mass = np.diff(q_cdf) * float(r["q_total"])
+                for i in range(bins):
+                    out.append({"bin": i, "p_cnt": float(p_mass[i]),
+                                "q_cnt": float(q_mass[i])})
+            yield pd.DataFrame(out, columns=["bin", "p_cnt", "q_cnt"])
+
+    return both.mapInPandas(masses, schema=schema)
+
+
+def tdigest_drift(
+    digest_p: DataFrame, digest_q: DataFrame, bins: int = 10
+) -> DataFrame:
+    """1-row (psi, ks) between two digests on baseline equal-mass bins
+    — same downstream arithmetic as the histogram drift path."""
+    from datapact_spark.operators.drift import psi_ks_terms
+
+    masses = tdigest_bin_masses(digest_p, digest_q, bins)
+    terms = psi_ks_terms(
+        masses.select("bin", F.col("p_cnt").alias("cnt")),
+        masses.select("bin", F.col("q_cnt").alias("cnt")),
+    )
+    return terms.agg(
+        F.sum("psi_term").alias("psi"),
+        F.max(F.abs(F.col("p_cdf") - F.col("q_cdf"))).alias("ks"),
+    )
+
+
+def grouped_tdigest_drift(
+    source: DataFrame,
+    target: DataFrame,
+    column: str,
+    group_cols: Sequence[str],
+    delta: float = 200.0,
+    bins: int = 10,
+) -> DataFrame:
+    """Per-group (psi, ks) from per-group t-digests — the quantile-
+    sketch variant of ``drift.grouped_drift_metrics`` for partitioned
+    verdicts.  One digest per (group, side) is built with the two-level
+    partial/merge plan; the digest join and the mass evaluation touch
+    only #groups rows.  Groups present in the source but absent from
+    the target get all-target-mass-zero bins (max drift), matching the
+    histogram path's treatment of missing groups."""
+    gcols = list(group_cols)
+    dig_p = tdigest_sketch(source, column, delta, gcols)
+    dig_q = tdigest_sketch(target, column, delta, gcols)
+    p1 = dig_p.select(
+        *gcols,
+        F.col("means").alias("p_means"), F.col("weights").alias("p_weights"),
+        F.col("total").alias("p_total"),
+        F.col("vmin").alias("p_vmin"), F.col("vmax").alias("p_vmax"),
+    )
+    q1 = dig_q.select(
+        *gcols,
+        F.col("means").alias("q_means"), F.col("weights").alias("q_weights"),
+        F.col("total").alias("q_total"),
+        F.col("vmin").alias("q_vmin"), F.col("vmax").alias("q_vmax"),
+    )
+    both = p1.join(q1, on=gcols, how="left")
+    schema = StructType(
+        [p1.schema[c] for c in gcols]
+        + [StructField("bin", LongType(), False),
+           StructField("p_cnt", DoubleType(), False),
+           StructField("q_cnt", DoubleType(), False)]
+    )
+
+    def masses(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                pm = np.asarray(r["p_means"], dtype=np.float64)
+                pw = np.asarray(r["p_weights"], dtype=np.float64)
+                edges = _digest_quantile(
+                    np.linspace(0.0, 1.0, bins + 1), pm, pw,
+                    float(r["p_total"]), float(r["p_vmin"]), float(r["p_vmax"]),
+                )
+                edges[0], edges[-1] = -np.inf, np.inf
+                p_cdf = _digest_cdf(edges, pm, pw, float(r["p_total"]),
+                                    float(r["p_vmin"]), float(r["p_vmax"]))
+                p_mass = np.diff(p_cdf) * float(r["p_total"])
+                if r["q_means"] is None or (
+                    isinstance(r["q_means"], float) and pd.isna(r["q_means"])
+                ):
+                    q_mass = np.zeros(bins)
+                else:
+                    qm = np.asarray(r["q_means"], dtype=np.float64)
+                    qw = np.asarray(r["q_weights"], dtype=np.float64)
+                    q_cdf = _digest_cdf(edges, qm, qw, float(r["q_total"]),
+                                        float(r["q_vmin"]), float(r["q_vmax"]))
+                    q_mass = np.diff(q_cdf) * float(r["q_total"])
+                for i in range(bins):
+                    row = {c: r[c] for c in gcols}
+                    row.update(bin=i, p_cnt=float(p_mass[i]),
+                               q_cnt=float(q_mass[i]))
+                    out.append(row)
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    from datapact_spark.operators.drift import grouped_psi_ks_from_counts
+
+    return grouped_psi_ks_from_counts(both.mapInPandas(masses, schema=schema), gcols)
+
+
+# ---------------------------------------------------------------------------
+# exact-percentile drift terms (oracle-checkable)
+# ---------------------------------------------------------------------------
+
+
+def exact_quantile_drift_terms(
+    source: DataFrame, target: DataFrame, column: str, probs: Sequence[float]
+) -> DataFrame:
+    """(prob, q_source, q_target, w1_term, w1_running) — per-probability
+    quantile-function gap terms between two relations, using Spark's
+    exact ``percentile`` (bitwise-identical to DuckDB quantile_cont).
+
+    ``w1_term = |q_source - q_target| * dp`` is the rectangle rule for
+    the 1-Wasserstein distance W1 = integral |F_s^-1(u) - F_t^-1(u)| du;
+    ``w1_running`` is its fixed-order (by prob) running sum, so the last
+    row carries the W1 estimate — every value a deterministic IEEE
+    sequence, hence strict-oracle comparable."""
+    parr = [float(p) for p in probs]
+    dp = F.lit(1.0 / len(parr))
+    plist = ",".join(repr(p) for p in parr)
+    qs = source.agg(
+        F.expr(f"percentile(CAST({column} AS DOUBLE), array({plist}))").alias("qs")
+    )
+    qt = target.agg(
+        F.expr(f"percentile(CAST({column} AS DOUBLE), array({plist}))").alias("qt")
+    )
+    probs_df = F.posexplode(F.array(*[F.lit(p) for p in parr]))
+    joined = (
+        qs.crossJoin(qt)
+        .select(probs_df.alias("pos", "prob"), "qs", "qt")
+        .select(
+            "prob",
+            F.element_at(F.col("qs"), F.col("pos") + 1).alias("q_source"),
+            F.element_at(F.col("qt"), F.col("pos") + 1).alias("q_target"),
+        )
+        .select(
+            "prob", "q_source", "q_target",
+            (F.abs(F.col("q_source") - F.col("q_target")) * dp).alias("w1_term"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("prob").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        "prob", "q_source", "q_target", "w1_term",
+        F.sum("w1_term").over(w).alias("w1_running"),
+    )

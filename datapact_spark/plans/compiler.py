@@ -411,11 +411,21 @@ def compile_task(
     bootstrap_drift: list = []
     for dcheck in task.drift_checks or []:
         from datapact_spark.operators.drift import drift_metrics, drift_vs_snapshot
+        from datapact_spark.operators.quantiles import tdigest_drift, tdigest_sketch
 
+        metric_name = f"drift_{dcheck.metric}_{dcheck.column}"
         if dcheck.baseline == "snapshot" and baseline_store is not None:
             if baseline_store.exists(task.task_key, dcheck.column):
                 snap = baseline_store.read(task.task_key, dcheck.column)
-                metric_dfs.append(drift_vs_snapshot(source, snap, dcheck))
+                if dcheck.sketch == "tdigest":
+                    now = tdigest_sketch(source, dcheck.column, dcheck.delta)
+                    metric_dfs.append(
+                        tdigest_drift(snap, now, bins=dcheck.bins).select(
+                            F.col(dcheck.metric).alias(metric_name)
+                        )
+                    )
+                else:
+                    metric_dfs.append(drift_vs_snapshot(source, snap, dcheck))
             else:
                 # bootstrap run: no baseline yet — vacuous 0 drift now,
                 # engine persists the snapshot after the run
@@ -425,6 +435,14 @@ def compile_task(
                     )
                 )
                 bootstrap_drift.append((dcheck, source))
+        elif dcheck.sketch == "tdigest":
+            dig_s = tdigest_sketch(source, dcheck.column, dcheck.delta)
+            dig_t = tdigest_sketch(target, dcheck.column, dcheck.delta)
+            metric_dfs.append(
+                tdigest_drift(dig_s, dig_t, bins=dcheck.bins).select(
+                    F.col(dcheck.metric).alias(metric_name)
+                )
+            )
         else:
             metric_dfs.append(drift_metrics(source, target, dcheck))
         val = F.col(f"drift_{dcheck.metric}_{dcheck.column}")

@@ -273,7 +273,21 @@ def compile_partition_verdicts(
     for dcheck in task.drift_checks or []:
         from datapact_spark.operators.drift import grouped_drift_metrics
 
-        dm = grouped_drift_metrics(source, target, dcheck, group_cols)
+        if dcheck.sketch == "tdigest":
+            from datapact_spark.operators.quantiles import grouped_tdigest_drift
+
+            gd = grouped_tdigest_drift(
+                source, target, dcheck.column, group_cols,
+                delta=dcheck.delta, bins=dcheck.bins,
+            )
+            dm = gd.select(
+                *group_cols,
+                (F.col("psi") if dcheck.metric == "psi" else F.col("ks")).alias(
+                    f"drift_{dcheck.metric}_{dcheck.column}"
+                ),
+            )
+        else:
+            dm = grouped_drift_metrics(source, target, dcheck, group_cols)
         step = step.join(dm, on=group_cols, how="left")
         val = F.col(f"drift_{dcheck.metric}_{dcheck.column}")
         ok = F.coalesce(val, F.lit(0.0)) <= dcheck.threshold

@@ -1,0 +1,384 @@
+"""t-digest quantile sketch: accuracy, mergeability, drift wiring.
+
+North-star: "distribution drift via t-digest/KLL sketches compared
+against baseline snapshots with PSI/KS thresholds" (BASELINE.json).
+"""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from datapact_spark.operators.quantiles import (
+    _digest_cdf,
+    _digest_quantile,
+    _merge_centroids,
+    exact_quantile_drift_terms,
+    merge_tdigests,
+    tdigest_drift,
+    tdigest_quantiles,
+    tdigest_sketch,
+)
+
+PROBS = [0.01, 0.05, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99]
+
+
+def _np_digest(values: np.ndarray, delta: float = 200.0):
+    m, w = _merge_centroids(values, np.ones_like(values), delta)
+    return m, w, float(w.sum()), float(values.min()), float(values.max())
+
+
+# ---------------------------------------------------------------------------
+# numpy core
+# ---------------------------------------------------------------------------
+
+
+def test_merge_centroids_bounded_size_and_mass():
+    rng = np.random.default_rng(7)
+    v = rng.lognormal(0.0, 2.0, 100_000)
+    m, w = _merge_centroids(v, np.ones_like(v), delta=200.0)
+    assert len(m) <= 200 / 2 + 2
+    assert w.sum() == pytest.approx(100_000)
+    assert np.all(np.diff(m) >= 0)  # centroids sorted
+
+
+def test_digest_quantile_accuracy_lognormal():
+    rng = np.random.default_rng(11)
+    v = rng.lognormal(0.0, 2.0, 200_000)
+    dig = _np_digest(v, delta=200.0)
+    exact = np.quantile(v, PROBS)
+    est = _digest_quantile(np.array(PROBS), *dig)
+    # rank error: the estimated quantile's true CDF position must be
+    # within ~1% of the requested probability (t-digest's guarantee is
+    # on rank, not value — value error is unbounded for heavy tails)
+    sorted_v = np.sort(v)
+    for p, e in zip(PROBS, est):
+        rank = np.searchsorted(sorted_v, e) / len(v)
+        assert abs(rank - p) < 0.01, (p, rank)
+    # mid quantiles also value-accurate
+    mid = [2, 3, 4, 5, 6]
+    assert np.allclose(est[mid], exact[mid], rtol=0.02)
+
+
+def test_digest_tails_are_exact():
+    rng = np.random.default_rng(3)
+    v = rng.normal(0, 1, 50_000)
+    dig = _np_digest(v)
+    est = _digest_quantile(np.array([0.0, 1.0]), *dig)
+    assert est[0] == v.min() and est[1] == v.max()
+
+
+def test_digest_cdf_inverts_quantile():
+    rng = np.random.default_rng(5)
+    v = rng.gamma(2.0, 3.0, 80_000)
+    dig = _np_digest(v)
+    qs = _digest_quantile(np.array(PROBS), *dig)
+    back = _digest_cdf(qs, *dig)
+    assert np.allclose(back, PROBS, atol=0.01)
+
+
+def test_merge_two_digests_matches_single_pass():
+    rng = np.random.default_rng(13)
+    a = rng.normal(0, 1, 60_000)
+    b = rng.normal(3, 2, 60_000)
+    ma, wa = _merge_centroids(a, np.ones_like(a), 200.0)
+    mb, wb = _merge_centroids(b, np.ones_like(b), 200.0)
+    mm, wm = _merge_centroids(np.r_[ma, mb], np.r_[wa, wb], 200.0)
+    both = np.r_[a, b]
+    dig_m = (mm, wm, float(wm.sum()), float(both.min()), float(both.max()))
+    est = _digest_quantile(np.array(PROBS), *dig_m)
+    exact = np.quantile(both, PROBS)
+    spread = both.max() - both.min()
+    assert np.all(np.abs(est - exact) < 0.02 * spread)
+
+
+# ---------------------------------------------------------------------------
+# Spark operators
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def skewed_df(spark):
+    # deterministic lognormal-ish column: exp of a uniform-driven normal
+    # approximation built from xxhash64 bits (no Python in the data path)
+    df = spark.range(100_000).select(
+        (F.col("id") % 4).cast("int").alias("grp"),
+        F.exp(
+            (F.pmod(F.xxhash64("id"), F.lit(100_000)) / F.lit(50_000.0) - 1.0) * 3.0
+        ).alias("v"),
+    )
+    return df.persist()
+
+
+def test_tdigest_sketch_spark_matches_numpy_accuracy(spark, skewed_df):
+    dig = tdigest_sketch(skewed_df, "v", delta=200.0)
+    rows = dig.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    v = np.array([x["v"] for x in skewed_df.select("v").collect()])
+    est = _digest_quantile(
+        np.array(PROBS),
+        np.array(r["means"]), np.array(r["weights"]),
+        r["total"], r["vmin"], r["vmax"],
+    )
+    sorted_v = np.sort(v)
+    for p, e in zip(PROBS, est):
+        rank = np.searchsorted(sorted_v, e) / len(v)
+        assert abs(rank - p) < 0.015, (p, rank)
+    assert r["total"] == pytest.approx(100_000)
+    assert len(r["means"]) <= 200 / 2 + 2
+
+
+def test_tdigest_quantiles_operator(spark, skewed_df):
+    dig = tdigest_sketch(skewed_df, "v", delta=200.0)
+    out = {
+        row["prob"]: row["quantile"]
+        for row in tdigest_quantiles(dig, PROBS).collect()
+    }
+    v = np.sort(np.array([x["v"] for x in skewed_df.select("v").collect()]))
+    for p in PROBS:
+        rank = np.searchsorted(v, out[p]) / len(v)
+        assert abs(rank - p) < 0.015
+
+
+def test_tdigest_grouped(spark, skewed_df):
+    dig = tdigest_sketch(skewed_df, "v", delta=100.0, group_cols=["grp"])
+    rows = {r["grp"]: r for r in dig.collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    for g, r in rows.items():
+        assert r["total"] == pytest.approx(25_000)
+        n_v = np.sort(
+            np.array(
+                [x["v"] for x in skewed_df.where(F.col("grp") == g).select("v").collect()]
+            )
+        )
+        est = _digest_quantile(
+            np.array([0.5]), np.array(r["means"]), np.array(r["weights"]),
+            r["total"], r["vmin"], r["vmax"],
+        )[0]
+        rank = np.searchsorted(n_v, est) / len(n_v)
+        assert abs(rank - 0.5) < 0.02
+
+
+def test_merge_tdigests_operator(spark, skewed_df):
+    a = tdigest_sketch(skewed_df.where("id % 2 = 0"), "v")
+    b = tdigest_sketch(skewed_df.where("id % 2 = 1"), "v")
+    merged = merge_tdigests(a, b).collect()[0]
+    assert merged["total"] == pytest.approx(100_000)
+    whole = tdigest_sketch(skewed_df, "v").collect()[0]
+    est_m = _digest_quantile(
+        np.array([0.5]), np.array(merged["means"]), np.array(merged["weights"]),
+        merged["total"], merged["vmin"], merged["vmax"],
+    )[0]
+    est_w = _digest_quantile(
+        np.array([0.5]), np.array(whole["means"]), np.array(whole["weights"]),
+        whole["total"], whole["vmin"], whole["vmax"],
+    )[0]
+    assert est_m == pytest.approx(est_w, rel=0.02)
+
+
+def test_tdigest_drift_zero_on_identical(spark, skewed_df):
+    dig = tdigest_sketch(skewed_df, "v")
+    row = tdigest_drift(dig, dig, bins=10).collect()[0]
+    assert row["ks"] == pytest.approx(0.0, abs=1e-12)
+    assert row["psi"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_tdigest_drift_detects_shift(spark, skewed_df):
+    dig_p = tdigest_sketch(skewed_df, "v")
+    shifted = skewed_df.select("grp", (F.col("v") * 2.0 + 1.0).alias("v"))
+    dig_q = tdigest_sketch(shifted, "v")
+    row = tdigest_drift(dig_p, dig_q, bins=10).collect()[0]
+    assert row["ks"] > 0.2
+    assert row["psi"] > 0.5
+    # and matches the exact two-sample KS within sketch tolerance
+    v = np.sort(np.array([x["v"] for x in skewed_df.select("v").collect()]))
+    v2 = np.sort(v * 2.0 + 1.0)
+    grid = np.unique(np.r_[v, v2])[::97]
+    ks_exact = np.max(
+        np.abs(
+            np.searchsorted(v, grid, side="right") / len(v)
+            - np.searchsorted(v2, grid, side="right") / len(v2)
+        )
+    )
+    assert row["ks"] == pytest.approx(ks_exact, abs=0.05)
+
+
+def test_drift_check_tdigest_two_sample_e2e(spark, skewed_df):
+    from datapact_spark.config import DriftCheck
+    from datapact_spark.operators.drift import drift_metrics
+    from datapact_spark.operators.quantiles import tdigest_drift, tdigest_sketch
+
+    check = DriftCheck(column="v", metric="ks", sketch="tdigest", bins=10)
+    dig_s = tdigest_sketch(skewed_df, "v", check.delta)
+    dig_t = tdigest_sketch(skewed_df.select("grp", (F.col("v") + 5.0).alias("v")), "v", check.delta)
+    ks = tdigest_drift(dig_s, dig_t, bins=check.bins).collect()[0]["ks"]
+    assert ks > check.threshold  # a +5 shift on this scale must trip 0.2
+    # histogram path still works alongside (API unchanged)
+    hist_check = DriftCheck(column="v", metric="ks", bins=32)
+    assert drift_metrics(
+        skewed_df, skewed_df, hist_check
+    ).collect()[0][0] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_engine_tdigest_snapshot_lifecycle(spark, tables, tmp_path):
+    """Bootstrap run persists the digest; a later drifted run compares
+    against it and fails the threshold (the north-star snapshot
+    lifecycle on the quantile-sketch path)."""
+    from datapact_spark.config import DataPactConfig, ValidationTask
+    from datapact_spark.engine import DataPactEngine
+    from datapact_spark.sources.loader import TableResolver
+
+    def cfg():
+        return DataPactConfig(
+            validations=[
+                ValidationTask(
+                    task_key="td_snap",
+                    source="orders",
+                    target="orders",
+                    primary_keys=["o_orderkey"],
+                    drift_checks=[
+                        {
+                            "column": "o_totalprice",
+                            "metric": "ks",
+                            "threshold": 0.05,
+                            "sketch": "tdigest",
+                            "bins": 10,
+                            "baseline": "snapshot",
+                        }
+                    ],
+                )
+            ]
+        )
+
+    results = str(tmp_path / "res")
+    resolver = TableResolver(spark)
+    resolver.register("orders", tables["orders"])
+    engine = DataPactEngine(spark, resolver, results_path=results)
+    r1 = engine.run(cfg(), job_name="boot")
+    assert r1.passed
+    # baseline digest persisted with the digest schema
+    snap = engine.baselines.read("td_snap", "o_totalprice")
+    assert {"means", "weights", "total", "vmin", "vmax"} <= set(snap.columns)
+    # second run on the same data: no drift
+    assert engine.run(cfg(), job_name="same").passed
+    # third run against a drifted source: fails the ks threshold
+    resolver.register(
+        "orders",
+        tables["orders"].withColumn("o_totalprice", F.col("o_totalprice") * 3.0),
+    )
+    r3 = engine.run(cfg(), job_name="drifted")
+    assert r3.failed_task_keys == ["td_snap"]
+
+
+def test_exact_quantile_drift_terms(spark, tables):
+    orders = tables["orders"]
+    probs = [0.1, 0.25, 0.5, 0.75, 0.9]
+    out = exact_quantile_drift_terms(
+        orders,
+        orders.where("o_orderpriority like '1%'"),
+        "o_totalprice",
+        probs,
+    ).collect()
+    assert [r["prob"] for r in out] == probs
+    # exact percentile parity with numpy's linear interpolation
+    v = np.array([r["o_totalprice"] for r in orders.select("o_totalprice").collect()], dtype=float)
+    for r in out:
+        assert r["q_source"] == pytest.approx(
+            float(np.quantile(v, r["prob"])), rel=1e-12
+        )
+    # running sum is the ordered prefix sum of the terms
+    run = 0.0
+    for r in out:
+        run += r["w1_term"]
+        assert r["w1_running"] == pytest.approx(run, rel=1e-12)
+        assert r["w1_term"] >= 0.0
+
+
+def test_grouped_tdigest_drift(spark, skewed_df):
+    from datapact_spark.operators.quantiles import grouped_tdigest_drift
+
+    # drift only group 2: scale its values; other groups identical
+    target = skewed_df.select(
+        "grp",
+        F.when(F.col("grp") == 2, F.col("v") * 4.0).otherwise(F.col("v")).alias("v"),
+    )
+    out = {
+        r["grp"]: (r["psi"], r["ks"])
+        for r in grouped_tdigest_drift(
+            skewed_df, target, "v", ["grp"], bins=10
+        ).collect()
+    }
+    assert set(out) == {0, 1, 2, 3}
+    for g in (0, 1, 3):
+        assert out[g][1] < 0.02, (g, out[g])
+    # v is log-uniform on [-3, 3], so x4 is a ln(4)/6 = 0.231 KS shift
+    assert out[2][1] == pytest.approx(math.log(4.0) / 6.0, abs=0.03)
+    assert out[2][0] > 0.2
+
+
+def test_grouped_tdigest_drift_missing_group_is_max_drift(spark, skewed_df):
+    from datapact_spark.operators.quantiles import grouped_tdigest_drift
+
+    target = skewed_df.where(F.col("grp") != 1)
+    out = {
+        r["grp"]: r["ks"]
+        for r in grouped_tdigest_drift(
+            skewed_df, target, "v", ["grp"], bins=10
+        ).collect()
+    }
+    assert out[1] > 0.9  # all target mass missing
+    assert out[0] < 0.02
+
+
+def test_partitioned_verdicts_tdigest_drift(spark, tables, tmp_path):
+    """Per-partition verdicts with sketch=tdigest: only the drifted
+    partition fails its drift check."""
+    from datapact_spark.config import ValidationTask
+    from datapact_spark.plans.partitioned import compile_partition_verdicts
+    from datapact_spark.sources.loader import TableResolver
+
+    orders = tables["orders"]
+    drifted = orders.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderpriority").startswith("1"), F.col("o_totalprice") * 10.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    resolver = TableResolver(spark)
+    resolver.register("src", orders)
+    resolver.register("tgt", drifted)
+    task = ValidationTask(
+        task_key="td_part",
+        source="src",
+        target="tgt",
+        primary_keys=["o_orderkey"],
+        count_tolerance=0.0,
+        partition_by=["o_orderpriority"],
+        drift_checks=[
+            {
+                "column": "o_totalprice",
+                "metric": "ks",
+                "threshold": 0.1,
+                "sketch": "tdigest",
+                "bins": 10,
+            }
+        ],
+    )
+    rows = compile_partition_verdicts(spark, task, resolver).collect()
+    by_grp = {r["o_orderpriority"]: r for r in rows}
+    assert len(by_grp) == 5
+    for grp, r in by_grp.items():
+        expect_fail = grp.startswith("1")
+        assert r["drift_o_totalprice_ks_passed"] != expect_fail, (
+            grp, r["drift_o_totalprice_ks_passed"]
+        )
+        assert r["overall_validation_passed"] != expect_fail
+
+
+def test_config_rejects_bad_sketch():
+    from datapact_spark.config import DriftCheck
+
+    with pytest.raises(ValueError):
+        DriftCheck(column="x", sketch="histgram")
