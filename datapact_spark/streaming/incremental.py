@@ -220,3 +220,106 @@ def windowed_profile(
                 F.col(f"sum_{c}"), F.col(f"min_{c}"), F.col(f"max_{c}"))],
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# continuous drift monitoring with mergeable quantile sketches
+# ---------------------------------------------------------------------------
+
+
+def drift_monitor_stream(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    column: str,
+    baselines,
+    task_key: str,
+    checkpoint_dir: str,
+    verdicts_path: str,
+    *,
+    delta: float = 200.0,
+    bins: int = 10,
+    metric: str = "psi",
+    threshold: float = 0.2,
+    update_baseline: bool = True,
+    trigger_available_now: bool = True,
+    on_batch: Callable[[int, float, bool], None] | None = None,
+):
+    """Continuous distribution-drift monitor (north-star: mergeable
+    sketches vs baseline snapshots, streaming edition).
+
+    Per micro-batch, ``foreachBatch``:
+
+    1. build the batch's t-digest (``tdigest_sketch`` — partial/merge
+       plan, only centroid rows leave the executors),
+    2. compare it against the stored baseline digest with PSI/KS on the
+       baseline's equal-mass bins (``tdigest_drift``),
+    3. append one verdict row ``(batch_id, n_rows, psi, ks, passed)``
+       to ``verdicts_path`` (parquet, partitioned by batch_id — the
+       write is idempotent per batch, so checkpoint replays after a
+       crash cannot duplicate verdicts),
+    4. optionally FOLD the batch's digest into the baseline
+       (``merge_tdigests``) so the baseline is a running sketch of
+       everything seen — the ``last_batch_id`` column stored with the
+       digest makes the merge replay-safe (a reprocessed batch id
+       <= last_batch_id is compared but not re-merged).
+
+    The first batch bootstraps the baseline (vacuous pass), exactly
+    like the batch engine's snapshot lifecycle.  Returns the
+    StreamingQuery.
+    """
+    from datapact_spark.operators.quantiles import (
+        merge_tdigests,
+        tdigest_drift,
+        tdigest_sketch,
+    )
+
+    bl_column = f"{column}__stream"
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        n_rows = batch_df.count()
+        if n_rows == 0:
+            return
+        dig_now = tdigest_sketch(batch_df, column, delta)
+        if baselines.exists(task_key, bl_column):
+            base = baselines.read(task_key, bl_column)
+            last_seen = base.select(F.max("last_batch_id")).collect()[0][0]
+            m = tdigest_drift(
+                base.drop("last_batch_id"), dig_now, bins=bins
+            ).collect()[0]
+            psi, ks = float(m["psi"] or 0.0), float(m["ks"] or 0.0)
+            passed = (psi if metric == "psi" else ks) <= threshold
+            if update_baseline and batch_id > last_seen:
+                merged = merge_tdigests(
+                    base.drop("last_batch_id"), dig_now, delta
+                ).withColumn("last_batch_id", F.lit(batch_id))
+                # materialize before overwriting the dir it was read from
+                rows = merged.collect()
+                baselines.write(
+                    task_key, bl_column,
+                    spark.createDataFrame(rows, merged.schema),
+                )
+        else:
+            psi, ks, passed = 0.0, 0.0, True  # bootstrap batch
+            baselines.write(
+                task_key, bl_column,
+                dig_now.withColumn("last_batch_id", F.lit(batch_id)),
+            )
+        verdict = spark.createDataFrame(
+            [(batch_id, n_rows, psi, ks, bool(passed))],
+            "batch_id long, n_rows long, psi double, ks double, passed boolean",
+        )
+        (
+            verdict.write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(verdicts_path)
+        )
+        if on_batch is not None:
+            on_batch(batch_id, psi if metric == "psi" else ks, bool(passed))
+
+    writer = stream_df.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -382,3 +382,62 @@ def test_config_rejects_bad_sketch():
 
     with pytest.raises(ValueError):
         DriftCheck(column="x", sketch="histgram")
+
+
+def test_drift_monitor_stream(spark, tmp_path):
+    """Continuous drift monitor: bootstrap, in-distribution pass,
+    drifted batch fails; baseline folds batches replay-safely."""
+    from datapact_spark.ledger import BaselineStore
+    from datapact_spark.streaming.incremental import drift_monitor_stream
+
+    src_dir = str(tmp_path / "src")
+    # three single-file batches: two in-distribution, one shifted
+    base = spark.range(20_000).select(
+        (F.pmod(F.xxhash64("id"), F.lit(1000)) / 10.0).alias("v")
+    )
+    base.coalesce(1).write.mode("append").parquet(src_dir)
+    spark.range(20_000, 40_000).select(
+        (F.pmod(F.xxhash64("id"), F.lit(1000)) / 10.0).alias("v")
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+    spark.range(40_000, 60_000).select(
+        (F.pmod(F.xxhash64("id"), F.lit(1000)) / 10.0 + 200.0).alias("v")
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    baselines = BaselineStore(spark, str(tmp_path / "res"))
+    verdicts_path = str(tmp_path / "verdicts")
+    seen = []
+    stream = (
+        spark.readStream.schema("v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = drift_monitor_stream(
+        spark, stream, "v", baselines, "mon", str(tmp_path / "ckpt"),
+        verdicts_path, metric="ks", threshold=0.1,
+        on_batch=lambda b, m, ok: seen.append((b, ok)),
+    )
+    q.awaitTermination(120)
+    verdicts = {
+        r["batch_id"]: r for r in spark.read.parquet(verdicts_path).collect()
+    }
+    assert len(verdicts) == 3
+    assert verdicts[0]["passed"] and verdicts[0]["ks"] == 0.0  # bootstrap
+    assert verdicts[1]["passed"] and verdicts[1]["ks"] < 0.05
+    assert not verdicts[2]["passed"] and verdicts[2]["ks"] > 0.5
+    # baseline folded batches 0 and 1, and NOT the failing-but-merged 2?
+    # (update_baseline merges every newer batch; last_batch_id == 2)
+    snap = baselines.read("mon", "v__stream").collect()[0]
+    assert snap["last_batch_id"] == 2
+    assert snap["total"] == pytest.approx(60_000)
+
+    # replay safety: restarting on the same checkpoint with no new data
+    # neither duplicates verdicts nor re-merges the baseline
+    q2 = drift_monitor_stream(
+        spark, stream, "v", baselines, "mon", str(tmp_path / "ckpt"),
+        verdicts_path, metric="ks", threshold=0.1,
+    )
+    q2.awaitTermination(60)
+    assert spark.read.parquet(verdicts_path).count() == 3
+    snap2 = baselines.read("mon", "v__stream").collect()[0]
+    assert snap2["last_batch_id"] == 2
+    assert snap2["total"] == pytest.approx(60_000)
