@@ -706,6 +706,20 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries_df, k=5, bits=3, tables=24)
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN (the second scale path besides LSH),
+    STRICT oracle: at nprobe == nlist every list is probed, so the
+    pipeline — deterministic seeded centroids, one Lloyd refinement,
+    GEMM list assignment, probed-list join, exact re-rank — must
+    reproduce the brute-force top-5 bitwise. Production-params recall
+    (nprobe << nlist) is asserted in tests/test_oracle_parity.py."""
+    from datapact_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where("vec_id < 5")
+    return ivf_topk(emb, queries_df, k=5, nlist=8, nprobe=8, iters=1)
+
+
 def q_drift_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI drift score Σ, value-checked: `drift_psi_terms` proves every
     per-bin term bitwise; the final sum is made engine-portable by
@@ -1209,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_fingerprint": q_dataset_fingerprint,
         "simhash_pairs": q_simhash_pairs,
         "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "drift_psi_value": q_drift_psi_value,
         "multimodal_features": q_multimodal_features,
         "multimodal_real_codec": q_multimodal_real_codec,
@@ -1849,6 +1864,24 @@ def oracle_sql() -> dict[str, str]:
         "lsh_topk": """
             -- exact brute-force top-5 ground truth: the LSH path must
             -- reproduce it row-for-row (full-recall parameterization)
+            WITH q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                       FROM embeddings WHERE vec_id < 5),
+            c AS (SELECT vec_id AS neighbor_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+                  FROM embeddings),
+            scored AS (
+              SELECT query_id, neighbor_id,
+                     list_dot_product(qv, cv) / NULLIF(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)), 0) AS cosine_sim
+              FROM c, q WHERE neighbor_id <> query_id),
+            ranked AS (
+              SELECT query_id, neighbor_id, cosine_sim,
+                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+              FROM scored)
+            SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 5
+        """,
+"ivf_topk": """
+            -- exact brute-force top-5 ground truth: IVF at nprobe == nlist
+            -- probes every list, so it must reproduce it row-for-row
             WITH q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
                        FROM embeddings WHERE vec_id < 5),
             c AS (SELECT vec_id AS neighbor_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv

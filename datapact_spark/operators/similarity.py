@@ -171,6 +171,147 @@ def lsh_topk(
     )
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    nlist: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 2,
+    sample_fraction: float | None = None,
+    seed: int = 42,
+) -> np.ndarray:
+    """Deterministic coarse-quantizer training for IVF: seed centroids
+    are the ``nlist`` corpus vectors with the smallest
+    ``xxhash64(id, seed)`` (a seeded uniform draw that is stable across
+    partitionings), refined by ``iters`` Lloyd iterations.
+
+    Each iteration is one distributed pass: assign via the batched-GEMM
+    UDF, per-list mean via ``applyInPandas`` (vectorized np.mean per
+    list — only (list, vec) rows shuffle).  At 10^12 rows pass
+    ``sample_fraction`` so training sees a seeded sample; the returned
+    matrix is (nlist, dim) on the driver — bounded by nlist, never by
+    the corpus.  Centroids are L2-normalized (cosine geometry)."""
+    from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+    train = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if sample_fraction is not None:
+        train = train.sample(fraction=sample_fraction, seed=seed)
+    seeds = (
+        train.orderBy(F.xxhash64("id", F.lit(seed)), F.col("id"))
+        .limit(nlist)
+        .select("v")
+        .collect()
+    )
+    cents = np.stack([np.asarray(r["v"], dtype=np.float64) for r in seeds])
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    mean_schema = StructType(
+        [StructField("list_id", LongType(), False),
+         StructField("centroid", ArrayType(DoubleType()), False)]
+    )
+
+    def list_mean(pdf: pd.DataFrame) -> pd.DataFrame:
+        arr = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        return pd.DataFrame(
+            [{"list_id": int(pdf["list_id"].iloc[0]),
+              "centroid": arr.mean(axis=0).tolist()}]
+        )
+
+    for _ in range(iters):
+        assign = make_ivf_assign_udf(cents, nprobe=1)
+        assigned = train.select(
+            F.element_at(assign(F.col("v")), 1).alias("list_id"), "v"
+        )
+        rows = assigned.groupBy("list_id").applyInPandas(
+            list_mean, schema=mean_schema
+        ).collect()
+        new = cents.copy()  # empty lists keep their previous centroid
+        for r in rows:
+            new[r["list_id"]] = np.asarray(r["centroid"], dtype=np.float64)
+        new /= np.maximum(np.linalg.norm(new, axis=1, keepdims=True), 1e-12)
+        cents = new
+    return cents
+
+
+def make_ivf_assign_udf(centroids: np.ndarray, nprobe: int = 1):
+    """Vectorized IVF list assignment: per Arrow batch, one GEMM
+    against the (nlist, dim) centroid matrix, emitting each vector's
+    ``nprobe`` nearest lists by cosine (sanctioned pandas-UDF use —
+    same contract as ``make_sign_buckets_udf``)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    mat = centroids.T  # (dim, nlist)
+    npb = min(nprobe, centroids.shape[0])
+
+    @pandas_udf(ArrayType(LongType()))
+    def assign(vecs: pd.Series) -> pd.Series:
+        arr = np.stack(vecs.to_numpy()).astype(np.float64)
+        arr /= np.maximum(np.linalg.norm(arr, axis=1, keepdims=True), 1e-12)
+        sims = arr @ mat  # (n, nlist)
+        # top-npb lists, best first, deterministic tie-break by list id
+        idx = np.argsort(-sims, axis=1, kind="stable")[:, :npb]
+        return pd.Series(list(idx.astype(np.int64)))
+
+    return assign
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 32,
+    nprobe: int = 4,
+    iters: int = 2,
+    sample_fraction: float | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the coarse-quantizer
+    scale path alongside ``lsh_topk``: the corpus is partitioned into
+    ``nlist`` Voronoi lists (one assignment pass), each query probes
+    its ``nprobe`` nearest lists, and only those lists' rows are
+    exactly re-ranked.  Per query the scan cost is ~nprobe/nlist of
+    the corpus; recall grows with nprobe (nprobe == nlist is exact).
+    Output schema matches ``brute_force_topk``."""
+    cents = train_ivf_centroids(
+        corpus, nlist, id_col, vec_col, iters, sample_fraction, seed
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.element_at(make_ivf_assign_udf(cents, 1)(F.col(vec_col)), 1).alias(
+            "list_id"
+        ),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(make_ivf_assign_udf(cents, nprobe)(F.col(vec_col))).alias(
+            "list_id"
+        ),
+    )
+    cands = (
+        c.join(F.broadcast(q), "list_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "q_vec", "neighbor_id", "c_vec")
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     threshold: float = 0.95,

@@ -141,3 +141,37 @@ def test_embedding_near_dups_finds_injected(spark):
     found = sum(1 for i in expected if (i, i + 100000) in pairs)
     # exact duplicates share every LSH bucket -> recall must be total
     assert found == len(expected), f"{found}/{len(expected)}"
+
+
+def test_ivf_topk_recall_at_production_params(spark):
+    """nprobe << nlist: each query scans ~nprobe/nlist of the corpus
+    and must still recover most true neighbors."""
+    from datapact_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    queries = emb.where("vec_id < 10")
+    # this corpus is near-isotropic random vectors (the hardest case for
+    # a coarse quantizer — no cluster structure), so a half-scan probe
+    # is needed for solid recall; clustered real embeddings do far
+    # better at much smaller nprobe/nlist
+    bf = brute_force_topk(emb, queries, k=5).collect()
+    ivf = ivf_topk(emb, queries, k=5, nlist=16, nprobe=8, iters=2).collect()
+    bf_sets, ivf_sets = {}, {}
+    for r in bf:
+        bf_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in ivf:
+        ivf_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(bf_sets[q] & ivf_sets.get(q, set())) / len(bf_sets[q]) for q in bf_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6, f"IVF mean recall {recalls}"
+
+
+def test_ivf_topk_deterministic(spark):
+    from datapact_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    queries = emb.where("vec_id < 3")
+    a = sorted(map(tuple, ivf_topk(emb, queries, k=5, nlist=8, nprobe=2).collect()))
+    b = sorted(map(tuple, ivf_topk(emb, queries, k=5, nlist=8, nprobe=2).collect()))
+    assert a == b
