@@ -210,3 +210,35 @@ def test_lsh_bucket_cap_avoids_window_shuffle(spark):
     assert "Window" not in plan, "cap must not add a window shuffle"
     assert "BroadcastExchange" in plan, "oversized-key cap must broadcast"
     assert "LeftAnti" in plan
+
+
+def test_tdigest_sketch_shuffles_only_centroid_partials(spark, lineitem_path):
+    """The t-digest two-level plan must shuffle the mapInPandas partial
+    digests, never raw rows: the (single) Exchange sits ABOVE the
+    partial MapInPandas, and the raw column is pruned to the sketched
+    one at the scan."""
+    from datapact_spark.operators.quantiles import tdigest_sketch
+
+    df = tdigest_sketch(spark.read.parquet(lineitem_path), "l_extendedprice")
+    plan = _explain(df)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1, tree
+    # scan reads only the sketched column
+    assert "ReadSchema: struct<l_extendedprice" in plan
+    # formatted trees print root-first, so the Exchange line sits ABOVE
+    # the partial-stage MapInPandas it consumes: raw rows are compressed
+    # to centroid partials BEFORE the only shuffle
+    assert tree.index("Exchange") < tree.index("MapInPandas"), tree
+
+
+def test_ivf_probe_join_broadcasts_queries(spark, sf_dir):
+    """The IVF candidate join must broadcast the (tiny) probed-query
+    side; the corpus side must NOT shuffle for the join."""
+    from datapact_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    df = ivf_topk(emb, emb.where("vec_id < 3"), k=5, nlist=8, nprobe=2, iters=0)
+    plan = _explain(df)
+    assert "BroadcastHashJoin" in plan
+    # the only non-broadcast exchange is the final per-query rank window
+    assert plan.count("Exchange hashpartitioning") <= 1
