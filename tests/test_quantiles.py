@@ -441,3 +441,18 @@ def test_drift_monitor_stream(spark, tmp_path):
     snap2 = baselines.read("mon", "v__stream").collect()[0]
     assert snap2["last_batch_id"] == 2
     assert snap2["total"] == pytest.approx(60_000)
+
+
+def test_grouped_tdigest_drift_tiny_groups_no_crash(spark):
+    """1-row groups produce degenerate digests (single centroid, all
+    quantile edges equal); identical sides must still read as zero
+    drift and nothing may crash."""
+    from datapact_spark.operators.quantiles import grouped_tdigest_drift
+
+    df = spark.createDataFrame(
+        [(0, 1.0), (1, 5.0), (1, 5.5), (2, 9.0)], "grp int, v double"
+    )
+    out = {r["grp"]: r for r in grouped_tdigest_drift(df, df, "v", ["grp"]).collect()}
+    assert set(out) == {0, 1, 2}
+    for g, r in out.items():
+        assert r["ks"] == pytest.approx(0.0, abs=1e-12), (g, r)
