@@ -456,3 +456,75 @@ def test_grouped_tdigest_drift_tiny_groups_no_crash(spark):
     assert set(out) == {0, 1, 2}
     for g, r in out.items():
         assert r["ks"] == pytest.approx(0.0, abs=1e-12), (g, r)
+
+
+# ---------------------------------------------------------------------------
+# property tests (numpy core, no Spark)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as hst
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    hst.lists(
+        hst.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=500,
+    ),
+    hst.sampled_from([20.0, 50.0, 200.0]),
+)
+def test_property_digest_mass_and_bounds(values, delta):
+    """For ANY input: total mass conserved exactly, centroid count
+    bounded by ~delta/2+2, centroid means inside [min, max], and
+    quantile estimates monotone within [min, max]."""
+    v = np.asarray(values, dtype=np.float64)
+    m, w = _merge_centroids(v, np.ones_like(v), delta)
+    assert w.sum() == pytest.approx(len(v), abs=1e-9)
+    assert len(m) <= delta / 2 + 2
+    assert m.min() >= v.min() - 1e-9 and m.max() <= v.max() + 1e-9
+    qs = _digest_quantile(
+        np.linspace(0, 1, 21), m, w, float(w.sum()), float(v.min()), float(v.max())
+    )
+    assert np.all(np.diff(qs) >= -1e-12)  # monotone quantile function
+    assert qs[0] == v.min() and qs[-1] == v.max()
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    hst.lists(
+        hst.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=300,
+    ),
+    hst.lists(
+        hst.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=300,
+    ),
+)
+def test_property_digest_merge_mass_conserved(a_vals, b_vals):
+    """Merging two digests conserves total mass and stays bounded."""
+    a = np.asarray(a_vals, dtype=np.float64)
+    b = np.asarray(b_vals, dtype=np.float64)
+    ma, wa = _merge_centroids(a, np.ones_like(a), 100.0)
+    mb, wb = _merge_centroids(b, np.ones_like(b), 100.0)
+    mm, wm = _merge_centroids(np.r_[ma, mb], np.r_[wa, wb], 100.0)
+    assert wm.sum() == pytest.approx(len(a) + len(b), abs=1e-6)
+    assert len(mm) <= 100 / 2 + 2
+    assert np.all(np.diff(mm) >= 0)
+
+
+@settings(max_examples=50, deadline=None)
+@given(hst.integers(min_value=1, max_value=2000), hst.integers(min_value=0, max_value=10**6))
+def test_property_digest_rank_error_uniform(n, shift):
+    """Rank error on arbitrary-size uniform grids stays within the
+    t-digest bound (~1/delta at the center, tighter at tails)."""
+    v = np.arange(n, dtype=np.float64) + shift
+    m, w = _merge_centroids(v, np.ones_like(v), 200.0)
+    dig = (m, w, float(w.sum()), float(v.min()), float(v.max()))
+    probs = np.array([0.01, 0.25, 0.5, 0.75, 0.99])
+    est = _digest_quantile(probs, *dig)
+    ranks = (np.searchsorted(np.sort(v), est) / n)
+    assert np.all(np.abs(ranks - probs) <= 0.02 + 1.0 / n)
