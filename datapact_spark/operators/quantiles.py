@@ -80,7 +80,10 @@ def _merge_centroids(
     """
     if means.size == 0:
         return means, weights
-    order = np.argsort(means, kind="stable")
+    # lexsort on (weight, mean): deterministic for any arrival
+    # permutation of the centroid multiset (plain stable sort would
+    # tie-break equal means by shuffle arrival order)
+    order = np.lexsort((weights, means))
     m = means[order]
     w = weights[order]
     total = float(w.sum())

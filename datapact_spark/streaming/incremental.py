@@ -282,7 +282,11 @@ def drift_monitor_stream(
         dig_now = tdigest_sketch(batch_df, column, delta)
         if baselines.exists(task_key, bl_column):
             base = baselines.read(task_key, bl_column)
+            # None if the stored baseline is empty (bootstrapped from a
+            # batch whose column was entirely null)
             last_seen = base.select(F.max("last_batch_id")).collect()[0][0]
+            if last_seen is None:
+                last_seen = -1
             m = tdigest_drift(
                 base.drop("last_batch_id"), dig_now, bins=bins
             ).collect()[0]
@@ -300,10 +304,16 @@ def drift_monitor_stream(
                 )
         else:
             psi, ks, passed = 0.0, 0.0, True  # bootstrap batch
-            baselines.write(
-                task_key, bl_column,
-                dig_now.withColumn("last_batch_id", F.lit(batch_id)),
-            )
+            # an all-null column yields an empty digest — writing it
+            # would create a vacuous baseline dir; only bootstrap once
+            # there is real mass to compare against
+            boot = dig_now.withColumn("last_batch_id", F.lit(batch_id))
+            boot_rows = boot.collect()  # 0 or 1 rows
+            if boot_rows:
+                baselines.write(
+                    task_key, bl_column,
+                    spark.createDataFrame(boot_rows, boot.schema),
+                )
         verdict = spark.createDataFrame(
             [(batch_id, n_rows, psi, ks, bool(passed))],
             "batch_id long, n_rows long, psi double, ks double, passed boolean",

@@ -528,3 +528,43 @@ def test_property_digest_rank_error_uniform(n, shift):
     est = _digest_quantile(probs, *dig)
     ranks = (np.searchsorted(np.sort(v), est) / n)
     assert np.all(np.abs(ranks - probs) <= 0.02 + 1.0 / n)
+
+
+def test_drift_monitor_stream_all_null_first_batch(spark, tmp_path):
+    """An all-null first batch must not bootstrap an empty baseline or
+    crash the following batch; the first batch WITH mass bootstraps."""
+    from datapact_spark.ledger import BaselineStore
+    from datapact_spark.streaming.incremental import drift_monitor_stream
+
+    src_dir = str(tmp_path / "src")
+    spark.range(100).select(F.lit(None).cast("double").alias("v")).coalesce(
+        1
+    ).write.mode("append").parquet(src_dir)
+    spark.range(5_000).select(
+        (F.pmod(F.xxhash64("id"), F.lit(100)) * 1.0).alias("v")
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+    spark.range(5_000, 10_000).select(
+        (F.pmod(F.xxhash64("id"), F.lit(100)) * 1.0).alias("v")
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    baselines = BaselineStore(spark, str(tmp_path / "res"))
+    verdicts_path = str(tmp_path / "verdicts")
+    stream = (
+        spark.readStream.schema("v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = drift_monitor_stream(
+        spark, stream, "v", baselines, "mon2", str(tmp_path / "ckpt"),
+        verdicts_path, metric="ks", threshold=0.1,
+    )
+    q.awaitTermination(120)
+    verdicts = {
+        r["batch_id"]: r for r in spark.read.parquet(verdicts_path).collect()
+    }
+    # batch 0 (all null) emitted a vacuous-pass verdict, no baseline;
+    # batch 1 bootstrapped; batch 2 compared clean
+    assert len(verdicts) == 3 and all(r["passed"] for r in verdicts.values())
+    snap = baselines.read("mon2", "v__stream").collect()[0]
+    assert snap["last_batch_id"] == 2
+    assert snap["total"] == pytest.approx(10_000)
