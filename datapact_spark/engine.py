@@ -83,15 +83,28 @@ class DataPactEngine:
     # ------------------------------------------------------------ plan
     def plan(self, config: DataPactConfig) -> dict[str, str]:
         """`datapact plan` parity (main.py:167-174): compile every task
-        and return its physical plan text without executing."""
-        plans: dict[str, str] = {}
-        for task in config.validations:
-            compiled = compile_task(self.spark, task, self.resolver)
-            plans[task.task_key] = compiled.metrics_df._jdf.queryExecution().explainString(
+        and return its physical plan text without executing.  Tasks with
+        ``partition_by`` additionally show the per-partition verdict
+        plan — the one that actually runs in partitioned mode."""
+
+        def fmt(df) -> str:
+            return df._jdf.queryExecution().explainString(
                 self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                     "formatted"
                 )
             )
+
+        plans: dict[str, str] = {}
+        for task in config.validations:
+            compiled = compile_task(self.spark, task, self.resolver)
+            text = fmt(compiled.metrics_df)
+            if task.partition_by:
+                from datapact_spark.plans.partitioned import compile_partition_verdicts
+
+                text += "\n\n== Per-partition verdict plan (partition_by=%s) ==\n" % (
+                    task.partition_by,
+                ) + fmt(compile_partition_verdicts(self.spark, task, self.resolver))
+            plans[task.task_key] = text
         return plans
 
     # ------------------------------------------------------------- run

@@ -406,6 +406,43 @@ def grouped_tdigest_drift(
     return grouped_psi_ks_from_counts(both.mapInPandas(masses, schema=schema), gcols)
 
 
+def approx_quantile_sketch(
+    df: DataFrame,
+    column: str,
+    probs: Sequence[float],
+    accuracy: int = 10_000,
+    group_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """KLL-family quantile summary via Spark's built-in
+    ``percentile_approx`` (a Greenwald-Khanna-style one-pass summary):
+    mergeable map-side partials, entirely JVM-side — the zero-Python
+    alternative to the t-digest when only quantile values are needed
+    (the t-digest additionally supports CDF eval, digest-to-digest
+    PSI/KS, and incremental merge of STORED sketches).
+
+    Returns one row per group: (group..., prob, quantile, cnt) rows.
+    Error bound: rank error <= 1/accuracy of the group size."""
+    gcols = list(group_cols or [])
+    parr = [float(p) for p in probs]
+    plist = ",".join(repr(p) for p in parr)
+    agg = df.groupBy(*gcols).agg(
+        F.expr(
+            f"percentile_approx(CAST({column} AS DOUBLE), array({plist}), {int(accuracy)})"
+        ).alias("__qs"),
+        F.count(F.col(column)).alias("cnt"),
+    )
+    pe = F.posexplode(F.array(*[F.lit(p) for p in parr]))
+    return (
+        agg.select(*gcols, "cnt", "__qs", pe.alias("pos", "prob"))
+        .select(
+            *gcols,
+            "prob",
+            F.element_at(F.col("__qs"), F.col("pos") + 1).alias("quantile"),
+            "cnt",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact-percentile drift terms (oracle-checkable)
 # ---------------------------------------------------------------------------

@@ -242,3 +242,29 @@ def test_ivf_probe_join_broadcasts_queries(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     # the only non-broadcast exchange is the final per-query rank window
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_plan_includes_partitioned_verdict_plan(spark, sf_dir):
+    """`datapact plan` on a partition_by task must also show the
+    per-partition verdict plan that partitioned mode actually runs."""
+    from datapact_spark.config import DataPactConfig, ValidationTask
+    from datapact_spark.engine import DataPactEngine
+    from datapact_spark.sources.loader import TableResolver
+
+    resolver = TableResolver(spark, base_dir=sf_dir)
+    engine = DataPactEngine(spark, resolver)
+    cfg = DataPactConfig(
+        validations=[
+            ValidationTask(
+                task_key="pp",
+                source="orders",
+                target="orders",
+                primary_keys=["o_orderkey"],
+                count_tolerance=0.0,
+                partition_by=["o_orderpriority"],
+            )
+        ]
+    )
+    text = engine.plan(cfg)["pp"]
+    assert "Per-partition verdict plan" in text
+    assert text.count("== Physical Plan ==") == 2

@@ -568,3 +568,21 @@ def test_drift_monitor_stream_all_null_first_batch(spark, tmp_path):
     snap = baselines.read("mon2", "v__stream").collect()[0]
     assert snap["last_batch_id"] == 2
     assert snap["total"] == pytest.approx(10_000)
+
+
+def test_approx_quantile_sketch_matches_exact_within_bound(spark, skewed_df):
+    from datapact_spark.operators.quantiles import approx_quantile_sketch
+
+    probs = [0.1, 0.5, 0.9]
+    rows = approx_quantile_sketch(skewed_df, "v", probs, accuracy=10_000).collect()
+    assert len(rows) == 3 and all(r["cnt"] == 100_000 for r in rows)
+    v = np.sort(np.array([x["v"] for x in skewed_df.select("v").collect()]))
+    for r in rows:
+        rank = np.searchsorted(v, r["quantile"]) / len(v)
+        assert abs(rank - r["prob"]) <= 1e-4 + 1e-3  # 1/accuracy + slack
+
+    grouped = approx_quantile_sketch(
+        skewed_df, "v", [0.5], accuracy=10_000, group_cols=["grp"]
+    ).collect()
+    assert {r["grp"] for r in grouped} == {0, 1, 2, 3}
+    assert all(r["cnt"] == 25_000 for r in grouped)
