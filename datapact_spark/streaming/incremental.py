@@ -15,6 +15,15 @@ this module adds two Spark-native modes:
   (count / nulls / aggs per event-time window): the single-pass profile
   shape, expressed as a streaming aggregation so late data within the
   watermark is folded into the right window.
+
+* ``drift_monitor_stream`` — per-micro-batch t-digest drift vs a
+  RUNNING baseline digest (replay-safe fold; north-star mergeable-
+  sketch lifecycle, continuous edition).
+
+* ``windowed_drift_profile`` / ``windowed_drift_scores`` — per-event-
+  time-window drift: windows are binned on the stored baseline's grid
+  as a plain watermarked aggregation, and scored per window with the
+  same PSI/KS arithmetic as batch grouped drift.
 """
 
 from __future__ import annotations
@@ -333,3 +342,82 @@ def drift_monitor_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def windowed_drift_profile(
+    stream_df: DataFrame,
+    ts_col: str,
+    column: str,
+    snapshot: DataFrame,
+    bins: int,
+    window_duration: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming side of per-window drift: bin each event on the STORED
+    baseline histogram's grid (its __lo/__hi — a static 1-row relation
+    broadcast into the stream) and count per (event-time window, bin).
+
+    This is a plain watermarked streaming aggregation — late events
+    inside the watermark fold into the right window.  Write the result
+    to a sink and score it with ``windowed_drift_scores``; binning on
+    the baseline grid is what makes the per-window histograms directly
+    comparable to the baseline sketch."""
+    bounds = snapshot.select("__lo", "__hi").limit(1)
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .select(F.col(ts_col).alias("__ts"), F.col(column).cast("double").alias("__v"))
+        .where(F.col("__v").isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "__ts",
+            F.coalesce(
+                F.least(
+                    F.greatest(
+                        F.floor((F.col("__v") - F.col("__lo")) / F.nullif(width, F.lit(0.0))),
+                        F.lit(0),
+                    ),
+                    F.lit(bins - 1),
+                ).cast("int"),
+                F.lit(0),
+            ).alias("bin"),
+        )
+        .groupBy(F.window(F.col("__ts"), window_duration).alias("window"), F.col("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "bin",
+            "cnt",
+        )
+    )
+
+
+def windowed_drift_scores(
+    windowed_hist: DataFrame, snapshot: DataFrame, bins: int
+) -> DataFrame:
+    """(window_start, window_end, psi, ks) — drift of each window's
+    histogram against the baseline sketch, via the exact same
+    ``grouped_psi_ks_from_counts`` arithmetic as batch grouped drift.
+    Runs as a batch query over the streaming sink (each window's bin
+    set is completed there once its watermark passes)."""
+    from datapact_spark.operators.drift import grouped_psi_ks_from_counts
+
+    group_cols = ["window_start", "window_end"]
+    windows = windowed_hist.select(*group_cols).distinct()
+    base = snapshot.select("bin", F.col("cnt").alias("p_cnt"))
+    merged = (
+        windows.crossJoin(F.broadcast(base))
+        .join(
+            windowed_hist.select(*group_cols, "bin", F.col("cnt").alias("q_cnt")),
+            on=[*group_cols, "bin"],
+            how="full_outer",
+        )
+        .select(
+            *group_cols,
+            "bin",
+            F.coalesce(F.col("p_cnt"), F.lit(0)).alias("p_cnt"),
+            F.coalesce(F.col("q_cnt"), F.lit(0)).alias("q_cnt"),
+        )
+    )
+    return grouped_psi_ks_from_counts(merged, group_cols)

@@ -221,3 +221,75 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == expected and len(expected) == 3
+
+
+def test_windowed_drift_profile_and_scores(spark, tmp_path):
+    """Per-event-time-window drift: windows matching the baseline score
+    ~0; a shifted window scores high — late in-watermark events fold
+    into the right window first."""
+    import datetime as dt
+
+    from datapact_spark.operators.drift import histogram_snapshot
+    from datapact_spark.streaming.incremental import (
+        windowed_drift_profile,
+        windowed_drift_scores,
+    )
+
+    bins = 16
+    base = spark.range(10_000).select(
+        (F.pmod(F.xxhash64("id"), F.lit(1000)) / 10.0).alias("v")
+    )
+    snapshot = histogram_snapshot(base, "v", bins=bins)
+    snap_path = str(tmp_path / "snap")
+    snapshot.write.parquet(snap_path)
+    snapshot = spark.read.parquet(snap_path)
+
+    # window 1: in-distribution; window 2: shifted by +80 (half the range)
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    src_dir = str(tmp_path / "src")
+    w1 = spark.range(5_000).select(
+        F.lit(t0).alias("ts"),
+        (F.pmod(F.xxhash64("id"), F.lit(1000)) / 10.0).alias("v"),
+    )
+    w2 = spark.range(5_000).select(
+        F.lit(t0 + dt.timedelta(hours=1)).alias("ts"),
+        (F.pmod(F.xxhash64("id"), F.lit(1000)) / 10.0 + 80.0).alias("v"),
+    )
+    w1.unionByName(w2).coalesce(1).write.mode("append").parquet(src_dir)
+    # append-mode file sinks only emit a window once the watermark
+    # passes its end — a later flush event in a SECOND micro-batch
+    # advances the watermark beyond both asserted windows
+    spark.createDataFrame(
+        [(t0 + dt.timedelta(hours=4), 1.0)], "ts timestamp, v double"
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    hist = windowed_drift_profile(
+        stream, "ts", "v", snapshot, bins=bins,
+        window_duration="1 hour", watermark="10 minutes",
+    )
+    sink = str(tmp_path / "sink")
+    q = (
+        hist.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", sink)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    scores = {
+        r["window_start"]: r
+        for r in windowed_drift_scores(
+            spark.read.parquet(sink), snapshot, bins=bins
+        ).collect()
+    }
+    clean = scores[t0]
+    drifted = scores[t0 + dt.timedelta(hours=1)]
+    assert clean["ks"] < 0.02 and clean["psi"] < 0.05
+    assert drifted["ks"] > 0.4 and drifted["psi"] > 1.0
