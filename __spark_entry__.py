@@ -769,6 +769,12 @@ def q_drift_psi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUANTILE_DRIFT_PROBS = [0.1, 0.25, 0.5, 0.75, 0.9]
+# midpoint cell widths of the (non-uniform) prob grid — the W1
+# quadrature weights; same Python literals feed the Spark plan and the
+# DuckDB oracle so the |a-b|*dp products are bitwise-identical
+from datapact_spark.operators.quantiles import midpoint_prob_weights as _mpw
+
+_QD_WEIGHTS = _mpw(QUANTILE_DRIFT_PROBS)
 # knot probabilities (i - 0.5)/500 for i in TDIGEST_KNOTS: at these
 # exact cumulative positions the t-digest interpolation passes through
 # a centroid mean, so the estimate equals the i-th order statistic
@@ -1997,9 +2003,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "quantile_drift": f"""
             -- exact quantile_cont == Spark exact percentile (bitwise);
-            -- |a-b|*dp single IEEE ops; running sum = ordered fold
-            WITH probs(pos, prob) AS (
-              VALUES {", ".join(f"({i + 1}, {p!r})" for i, p in enumerate(QUANTILE_DRIFT_PROBS))}
+            -- |a-b|*dp single IEEE ops (dp = midpoint cell width of the
+            -- non-uniform prob grid, same literals both sides);
+            -- running sum = ordered fold
+            WITH probs(pos, prob, dp) AS (
+              VALUES {", ".join(f"({i + 1}, {p!r}, CAST({w!r} AS DOUBLE))" for i, (p, w) in enumerate(zip(QUANTILE_DRIFT_PROBS, _QD_WEIGHTS)))}
             ),
             s AS (SELECT quantile_cont(CAST(o_totalprice AS DOUBLE),
                          [{", ".join(repr(p) for p in QUANTILE_DRIFT_PROBS)}]) AS qs
@@ -2009,7 +2017,7 @@ def oracle_sql() -> dict[str, str]:
                   FROM orders WHERE o_orderpriority LIKE '1%'),
             terms AS (
               SELECT p.prob, s.qs[p.pos] AS q_source, t.qt[p.pos] AS q_target,
-                     abs(s.qs[p.pos] - t.qt[p.pos]) * {1.0 / len(QUANTILE_DRIFT_PROBS)!r} AS w1_term
+                     abs(s.qs[p.pos] - t.qt[p.pos]) * p.dp AS w1_term
               FROM probs p, s, t)
             SELECT CAST(prob AS DOUBLE) AS prob, q_source, q_target, w1_term,
                    SUM(w1_term) OVER (ORDER BY prob ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS w1_running

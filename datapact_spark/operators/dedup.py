@@ -40,7 +40,12 @@ def cap_bucket_size(
     Recall trade-off (documented): members of an over-full bucket lose
     THIS bucket's collisions but still meet in their other bands/tables
     when genuinely similar; true mass-duplicates should be removed by
-    ``exact_duplicates`` before LSH."""
+    ``exact_duplicates`` before LSH.
+
+    The anti-join condition is null-safe (``eqNullSafe`` per bucket
+    column), so an oversized all-NULL bucket is dropped exactly like the
+    prior window-count variant did — callers may pass nullable bucket
+    keys."""
     if not max_bucket_size:
         return df
     oversized = (
@@ -49,7 +54,14 @@ def cap_bucket_size(
         .where(F.col("__bucket_n") > max_bucket_size)
         .drop("__bucket_n")
     )
-    return df.join(F.broadcast(oversized), bucket_cols, "left_anti")
+    renamed = oversized.select(
+        *[F.col(c).alias(f"__cap_{c}") for c in bucket_cols]
+    )
+    cond = None
+    for c in bucket_cols:
+        clause = F.col(c).eqNullSafe(F.col(f"__cap_{c}"))
+        cond = clause if cond is None else cond & clause
+    return df.join(F.broadcast(renamed), cond, "left_anti")
 
 # 2^31-1: keeps (h mod M) * a < 2^62, inside 64-bit long arithmetic
 _MERSENNE = (1 << 31) - 1

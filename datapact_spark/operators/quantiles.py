@@ -448,6 +448,23 @@ def approx_quantile_sketch(
 # ---------------------------------------------------------------------------
 
 
+def midpoint_prob_weights(probs: Sequence[float]) -> list[float]:
+    """Midpoint-rule cell widths for (sorted) quadrature points in
+    [0, 1]: cell i spans from the midpoint below prob_i to the midpoint
+    above it, with the end cells extended to 0 and 1.  The widths sum
+    to exactly 1 and make a non-uniform prob grid a valid W1 rule."""
+    parr = [float(p) for p in probs]
+    n = len(parr)
+    if n == 1:
+        return [1.0]
+    edges = (
+        [0.0]
+        + [(parr[i] + parr[i + 1]) / 2.0 for i in range(n - 1)]
+        + [1.0]
+    )
+    return [edges[i + 1] - edges[i] for i in range(n)]
+
+
 def exact_quantile_drift_terms(
     source: DataFrame, target: DataFrame, column: str, probs: Sequence[float]
 ) -> DataFrame:
@@ -455,13 +472,18 @@ def exact_quantile_drift_terms(
     quantile-function gap terms between two relations, using Spark's
     exact ``percentile`` (bitwise-identical to DuckDB quantile_cont).
 
-    ``w1_term = |q_source - q_target| * dp`` is the rectangle rule for
-    the 1-Wasserstein distance W1 = integral |F_s^-1(u) - F_t^-1(u)| du;
-    ``w1_running`` is its fixed-order (by prob) running sum, so the last
-    row carries the W1 estimate — every value a deterministic IEEE
-    sequence, hence strict-oracle comparable."""
+    ``w1_term = |q_source - q_target| * dp_i`` is the midpoint rule for
+    the 1-Wasserstein distance W1 = integral |F_s^-1(u) - F_t^-1(u)| du,
+    where ``dp_i`` is prob_i's actual cell width on [0, 1]
+    (``midpoint_prob_weights`` — valid for NON-uniform prob grids, the
+    default grid included); ``w1_running`` is its fixed-order (by prob)
+    running sum, so the last row carries the W1 estimate — every value a
+    deterministic IEEE sequence, hence strict-oracle comparable."""
     parr = [float(p) for p in probs]
-    dp = F.lit(1.0 / len(parr))
+    dps = midpoint_prob_weights(parr)
+    dp = F.element_at(
+        F.array(*[F.lit(w) for w in dps]), F.col("pos") + 1
+    )
     plist = ",".join(repr(p) for p in parr)
     qs = source.agg(
         F.expr(f"percentile(CAST({column} AS DOUBLE), array({plist}))").alias("qs")
@@ -474,6 +496,7 @@ def exact_quantile_drift_terms(
         qs.crossJoin(qt)
         .select(probs_df.alias("pos", "prob"), "qs", "qt")
         .select(
+            "pos",
             "prob",
             F.element_at(F.col("qs"), F.col("pos") + 1).alias("q_source"),
             F.element_at(F.col("qt"), F.col("pos") + 1).alias("q_target"),

@@ -112,6 +112,35 @@ def _meta_cols(task: ValidationTask, begin_ts: dt.datetime) -> list[Column]:
     ]
 
 
+_SKETCH_SNAPSHOT_COLS = {
+    # marker columns unique to each sketch family's stored snapshot
+    "histogram": {"bin", "cnt"},
+    "tdigest": {"means", "weights", "total"},
+    "kll": {"prob", "quantile", "cnt"},
+}
+
+
+def _check_snapshot_family(snap: DataFrame, dcheck) -> None:
+    """Fail fast with a clear message when a stored drift baseline was
+    written by a different sketch family than the check now configures
+    (e.g. a DriftCheck flipped between sketch='histogram' and 'tdigest'
+    across runs). Without this, the mismatched columns surface as an
+    opaque missing-column AnalysisException deep inside the drift plan."""
+    cols = set(snap.columns)
+    want = _SKETCH_SNAPSHOT_COLS[dcheck.sketch]
+    if want <= cols:
+        return
+    stored = next(
+        (fam for fam, mk in _SKETCH_SNAPSHOT_COLS.items() if mk <= cols), "unknown"
+    )
+    raise ValueError(
+        f"drift baseline snapshot for column '{dcheck.column}' was written by "
+        f"sketch family '{stored}' (columns {sorted(cols)}) but the check is "
+        f"configured with sketch='{dcheck.sketch}'. Delete the stored baseline "
+        f"to re-bootstrap, or restore the original sketch setting."
+    )
+
+
 def compile_task(
     spark: SparkSession,
     task: ValidationTask,
@@ -417,6 +446,7 @@ def compile_task(
         if dcheck.baseline == "snapshot" and baseline_store is not None:
             if baseline_store.exists(task.task_key, dcheck.column):
                 snap = baseline_store.read(task.task_key, dcheck.column)
+                _check_snapshot_family(snap, dcheck)
                 if dcheck.sketch == "tdigest":
                     now = tdigest_sketch(source, dcheck.column, dcheck.delta)
                     metric_dfs.append(

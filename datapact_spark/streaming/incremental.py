@@ -95,7 +95,9 @@ def validate_stream(
 SESSION_OUTPUT_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, n_events long"
 )
-_SESSION_STATE_SCHEMA = "start_us long, last_us long, n long"
+_SESSION_STATE_SCHEMA = (
+    "starts array<long>, lasts array<long>, ns array<long>"
+)
 
 
 def stateful_sessionize(
@@ -109,16 +111,22 @@ def stateful_sessionize(
     gap-based sessionization over an event stream.
 
     Per user, consecutive events within ``gap_minutes`` belong to one
-    session. A session row (user, start, end, n_events) is emitted when
-    the session CLOSES — either a later event arrives past the gap, or
-    the event-time timeout fires (watermark passed the session's close
-    horizon, so no in-order event can reopen it).
+    session. A session row (user, start, end, n_events) is emitted only
+    once the WATERMARK passes its close horizon (session_end + gap) —
+    until then the session stays in state as a candidate interval, so a
+    late in-watermark straggler can still extend it, bridge two
+    candidates into one, or open an earlier session of its own. This is
+    exactly the batch semantics: the emitted session set equals what
+    the batch operator computes over all in-watermark events, with no
+    fragmented duplicates (the old one-tuple-state variant emitted
+    reconstructed earlier sessions immediately and could not reopen
+    them).
 
-    This is the Arrow-batched stateful path the north star allows for
-    custom operators Spark's built-ins can't express: state is one tiny
-    (start, last, n) tuple per user, keys are hash-partitioned by the
-    streaming engine, and each micro-batch processes whole pandas
-    batches per key.
+    State is the per-user list of candidate intervals, stored as three
+    parallel arrays (starts, lasts, ns); it is bounded by the number of
+    still-open gap-separated sessions inside one watermark delay — in
+    practice a handful. Keys are hash-partitioned by the streaming
+    engine and each micro-batch processes whole Arrow batches per key.
     """
     import pandas as pd  # noqa: PLC0415 — worker-side import
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -127,52 +135,56 @@ def stateful_sessionize(
 
     def _fn(key, pdf_iter, state: GroupState):
         (user,) = key
-        closed: list[tuple[int, int, int, int]] = []  # (user, start, last, n)
-        if state.hasTimedOut:
-            if state.exists:
-                s, last, n = state.get
-                closed.append((user, s, last, n))
-                state.remove()
-        else:
-            ts_us: list[int] = []
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_us = wm_ms * 1000
+        items: list[tuple[int, int, int]] = []
+        if state.exists:
+            starts, lasts, ns = state.get
+            items.extend(zip(starts, lasts, ns))
+        if not state.hasTimedOut:
             for pdf in pdf_iter:
                 # pandas datetime64 → integer microseconds
-                ts_us.extend(
-                    int(v) // 1000 for v in pdf[ts_col].astype("int64").tolist()
+                items.extend(
+                    (int(v) // 1000, int(v) // 1000, 1)
+                    for v in pdf[ts_col].astype("int64").tolist()
                 )
-            # Interval merge: each event is a [t, t, 1] interval; the
-            # stored state is a [start, last, n] interval that is
-            # internally gap-valid by construction. Sorting by start and
-            # merging consecutive intervals within the gap handles every
-            # cross-micro-batch late-arrival case the old forward-only
-            # loop got wrong: an in-watermark event BEFORE the stored
-            # session start lowers session_start (s = min), and an event
-            # older than start - gap forms its own earlier session.
-            # Known limitation (inherent to one-tuple state): a session
-            # closed early in this merge cannot be reopened by a yet-
-            # later-arriving event; only the newest session stays open.
-            items: list[tuple[int, int, int]] = [(t, t, 1) for t in ts_us]
-            if state.exists:
-                items.append(tuple(state.get))
-            items.sort()
-            merged: list[tuple[int, int, int]] = []
-            cs, cl, cn = items[0]
-            for s2, l2, n2 in items[1:]:
-                if s2 - cl > gap_us:
-                    merged.append((cs, cl, cn))
-                    cs, cl, cn = s2, l2, n2
-                else:
-                    cl = max(cl, l2)
-                    cn += n2
-            merged.append((cs, cl, cn))
-            closed.extend((user, a, b, c) for a, b, c in merged[:-1])
-            s, last, n = merged[-1]
-            state.update((s, last, n))
-            # close when the watermark passes last_event + gap: no
-            # in-order event can extend this session anymore
-            state.setTimeoutTimestamp(last // 1000 + gap_minutes * 60 * 1000)
+        # Interval merge: each event is a [t, t, 1] interval; each state
+        # entry is a gap-valid [start, last, n] interval. Sorting by
+        # start and merging consecutive intervals within the gap handles
+        # every cross-micro-batch arrival order: a late event before a
+        # stored start lowers it, one between two candidates bridges
+        # them (their counts add), one older than every start - gap
+        # opens its own earlier candidate.
+        items.sort()
+        merged: list[tuple[int, int, int]] = []
+        for s2, l2, n2 in items:
+            if merged and s2 - merged[-1][1] <= gap_us:
+                cs, cl, cn = merged[-1]
+                merged[-1] = (cs, max(cl, l2), cn + n2)
+            else:
+                merged.append((s2, l2, n2))
+        # emit only the intervals the watermark has sealed: a future
+        # event has ts >= watermark, and extending [s, l] needs
+        # ts <= l + gap, so l + gap < watermark ⇒ untouchable forever
+        closed = [iv for iv in merged if iv[1] + gap_us < wm_us]
+        kept = [iv for iv in merged if iv[1] + gap_us >= wm_us]
+        if kept:
+            state.update((
+                [s for s, _, _ in kept],
+                [last for _, last, _ in kept],
+                [n for _, _, n in kept],
+            ))
+            # wake when the earliest candidate's close horizon is
+            # sealed (timeout timestamps must exceed the watermark)
+            horizon_ms = min(last for _, last, _ in kept) // 1000 + (
+                gap_minutes * 60 * 1000
+            )
+            state.setTimeoutTimestamp(max(horizon_ms, wm_ms + 1))
+        elif state.exists:
+            state.remove()
         out = pd.DataFrame(
-            closed, columns=["user_id", "start_us", "last_us", "n_events"]
+            [(user, a, b, c) for a, b, c in closed],
+            columns=["user_id", "start_us", "last_us", "n_events"],
         )
         out["session_start"] = pd.to_datetime(out["start_us"], unit="us")
         out["session_end"] = pd.to_datetime(out["last_us"], unit="us")
@@ -262,15 +274,24 @@ def drift_monitor_stream(
        plan, only centroid rows leave the executors),
     2. compare it against the stored baseline digest with PSI/KS on the
        baseline's equal-mass bins (``tdigest_drift``),
-    3. append one verdict row ``(batch_id, n_rows, psi, ks, passed)``
-       to ``verdicts_path`` (parquet, partitioned by batch_id — the
-       write is idempotent per batch, so checkpoint replays after a
-       crash cannot duplicate verdicts),
+    3. append one verdict row ``(batch_id, n_rows, psi, ks, passed,
+       replayed)`` to ``verdicts_path`` (parquet, partitioned by
+       batch_id — the write is idempotent per batch, so checkpoint
+       replays after a crash cannot duplicate verdicts),
     4. optionally FOLD the batch's digest into the baseline
        (``merge_tdigests``) so the baseline is a running sketch of
        everything seen — the ``last_batch_id`` column stored with the
        digest makes the merge replay-safe (a reprocessed batch id
-       <= last_batch_id is compared but not re-merged).
+       <= last_batch_id is never re-merged).
+
+    Replay semantics: a reprocessed batch whose verdict partition
+    already exists is left untouched (the original score stands — a
+    replayed batch is already IN the merged baseline, so re-scoring it
+    would self-compare and report artificially low drift). In the
+    narrow crash window where the baseline merge committed but the
+    verdict write didn't, the replay's verdict row is written with
+    ``replayed = true`` so readers know its psi/ks were measured
+    against a baseline that already contains the batch's own data.
 
     The first batch bootstraps the baseline (vacuous pass), exactly
     like the batch engine's snapshot lifecycle.  Returns the
@@ -284,10 +305,18 @@ def drift_monitor_stream(
 
     bl_column = f"{column}__stream"
 
+    def _verdict_exists(batch_id: int) -> bool:
+        d = os.path.join(verdicts_path, f"batch_id={batch_id}")
+        try:
+            return any(f.endswith(".parquet") for f in os.listdir(d))
+        except OSError:
+            return False
+
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         n_rows = batch_df.count()
         if n_rows == 0:
             return
+        replayed = False
         dig_now = tdigest_sketch(batch_df, column, delta)
         if baselines.exists(task_key, bl_column):
             base = baselines.read(task_key, bl_column)
@@ -296,6 +325,14 @@ def drift_monitor_stream(
             last_seen = base.select(F.max("last_batch_id")).collect()[0][0]
             if last_seen is None:
                 last_seen = -1
+            if batch_id <= last_seen:
+                # checkpoint replay of a batch already merged into the
+                # baseline: its original verdict (scored against a
+                # baseline that did NOT yet contain it) is the honest
+                # one — keep it untouched if it was committed
+                if _verdict_exists(batch_id):
+                    return
+                replayed = True  # crash between merge and verdict write
             m = tdigest_drift(
                 base.drop("last_batch_id"), dig_now, bins=bins
             ).collect()[0]
@@ -324,8 +361,9 @@ def drift_monitor_stream(
                     spark.createDataFrame(boot_rows, boot.schema),
                 )
         verdict = spark.createDataFrame(
-            [(batch_id, n_rows, psi, ks, bool(passed))],
-            "batch_id long, n_rows long, psi double, ks double, passed boolean",
+            [(batch_id, n_rows, psi, ks, bool(passed), replayed)],
+            "batch_id long, n_rows long, psi double, ks double,"
+            " passed boolean, replayed boolean",
         )
         (
             verdict.write.mode("overwrite")

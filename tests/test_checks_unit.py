@@ -366,6 +366,24 @@ class TestBucketCaps:
         assert cap_bucket_size(df, ["bucket"], None).count() == 100
         assert cap_bucket_size(df, ["bucket"], 10).count() == 0
 
+    def test_cap_drops_oversized_null_bucket(self, spark):
+        """NULL bucket keys must be capped like any other key (the
+        anti-join is null-safe); small buckets — NULL or not — survive."""
+        from datapact_spark.operators.dedup import cap_bucket_size
+
+        df = spark.range(100).selectExpr(
+            "id",
+            # ids 0-89: NULL bucket (oversized); 90-99: bucket 7 (small)
+            "CASE WHEN id < 90 THEN CAST(NULL AS BIGINT) ELSE 7 END AS bucket",
+        )
+        kept = cap_bucket_size(df, ["bucket"], 50).collect()
+        assert len(kept) == 10 and all(r["bucket"] == 7 for r in kept)
+        # small NULL bucket survives
+        df2 = spark.range(10).selectExpr(
+            "id", "CAST(NULL AS BIGINT) AS bucket"
+        )
+        assert cap_bucket_size(df2, ["bucket"], 50).count() == 10
+
 
 class TestCodecSeam:
     """extract_features codec injection: decode_stub=False has a tested

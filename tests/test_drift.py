@@ -198,3 +198,39 @@ def test_snapshot_baseline_lifecycle(spark, dists, tmp_path):
     resolver.register("cur", dfa)  # back to baseline distribution
     r3 = engine.run(cfg(), job_name="d3")
     assert r3.outcomes["snap"].status == "SUCCESS"
+
+
+def test_snapshot_sketch_family_mismatch_is_clear_error(spark, dists, tmp_path):
+    """Flipping a DriftCheck between sketch families across runs must
+    raise a clear 'sketch family' error against the stored baseline,
+    not an opaque missing-column AnalysisException."""
+    from datapact_spark.engine import DataPactEngine
+
+    a, b, dfa, dfb = dists
+    resolver = TableResolver(spark)
+    resolver.register("cur", dfa)
+    resolver.register("tgt_unused", dfa)
+    engine = DataPactEngine(spark, resolver, results_path=str(tmp_path / "r"))
+
+    def cfg(sketch):
+        return DataPactConfig(
+            validations=[
+                ValidationTask(
+                    task_key="snap", source="cur", target="tgt_unused",
+                    drift_checks=[{
+                        "column": "x", "metric": "psi", "threshold": 0.1,
+                        "baseline": "snapshot", "sketch": sketch,
+                    }],
+                )
+            ]
+        )
+
+    r1 = engine.run(cfg("histogram"), job_name="d1")  # bootstraps histogram
+    assert r1.outcomes["snap"].status == "SUCCESS"
+    r2 = engine.run(cfg("tdigest"), job_name="d2", raise_on_failure=False)
+    out = r2.outcomes["snap"]
+    assert out.status == "ERROR"
+    # the error names the stored family and the configured one — not an
+    # opaque missing-column AnalysisException
+    assert "sketch family 'histogram'" in out.error
+    assert "sketch='tdigest'" in out.error

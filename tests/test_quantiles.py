@@ -442,6 +442,50 @@ def test_drift_monitor_stream(spark, tmp_path):
     assert snap2["last_batch_id"] == 2
     assert snap2["total"] == pytest.approx(60_000)
 
+    # forced replay of the last batch (uncommit it in the checkpoint):
+    # its verdict partition already exists, so the original score must
+    # be kept — NOT re-scored against the baseline that now contains
+    # the batch's own data (self-comparison would lower ks)
+    import os as _os
+
+    def _uncommit(batch: int) -> None:
+        # drop the commit marker AND its local-FS checksum shadow (a
+        # stale .crc makes the replayed commit's rename fail)
+        for f in (str(batch), f".{batch}.crc"):
+            p = str(tmp_path / "ckpt" / "commits" / f)
+            if _os.path.exists(p):
+                _os.remove(p)
+
+    _uncommit(2)
+    q3 = drift_monitor_stream(
+        spark, stream, "v", baselines, "mon", str(tmp_path / "ckpt"),
+        verdicts_path, metric="ks", threshold=0.1,
+    )
+    q3.awaitTermination(60)
+    kept = {r["batch_id"]: r for r in spark.read.parquet(verdicts_path).collect()}
+    assert len(kept) == 3
+    assert kept[2]["ks"] == verdicts[2]["ks"] and not kept[2]["replayed"]
+
+    # crash window: merge committed but verdict missing — the replay
+    # must write a verdict but flag it as self-compared
+    _uncommit(2)
+    import shutil as _shutil
+    _shutil.rmtree(str(tmp_path / "verdicts" / "batch_id=2"))
+    q4 = drift_monitor_stream(
+        spark, stream, "v", baselines, "mon", str(tmp_path / "ckpt"),
+        verdicts_path, metric="ks", threshold=0.1,
+    )
+    q4.awaitTermination(60)
+    redo = {r["batch_id"]: r for r in spark.read.parquet(verdicts_path).collect()}
+    assert len(redo) == 3 and redo[2]["replayed"]
+    # self-comparison: batch 2 is inside the baseline now, so the
+    # replayed score is lower than the honest original
+    assert redo[2]["ks"] < verdicts[2]["ks"]
+    # and the baseline itself was not double-merged
+    snap3 = baselines.read("mon", "v__stream").collect()[0]
+    assert snap3["last_batch_id"] == 2
+    assert snap3["total"] == pytest.approx(60_000)
+
 
 def test_grouped_tdigest_drift_tiny_groups_no_crash(spark):
     """1-row groups produce degenerate digests (single centroid, all

@@ -165,6 +165,63 @@ def test_stateful_sessionize_cross_batch_late_events(spark, tmp_path):
     assert got == expected and len(expected) == 2
 
 
+def test_stateful_sessionize_straggler_reopens_closed_session(spark, tmp_path):
+    """A late in-watermark event arriving AFTER a newer event has
+    already split the sessions in-state must still fold into the
+    earlier session (the one-tuple-state variant emitted the earlier
+    session immediately and the straggler became a fragmented phantom
+    session). Batches: [01:00], [02:00] (splits: gap > 30 min),
+    [01:10] (straggler extending the 01:00 session), [sentinel]."""
+    from datapact_spark.operators.sessions import session_stats
+    from datapact_spark.streaming.incremental import stateful_sessionize
+
+    src_dir = str(tmp_path / "straggler_in")
+    batches = [
+        [(1, "2026-01-01 01:00:00")],
+        [(1, "2026-01-01 02:00:00")],
+        [(1, "2026-01-01 01:10:00")],  # in-watermark straggler
+        [(1, "2026-01-01 05:00:00")],  # sentinel: advances watermark
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, "user_id long, ts_s string").withColumn(
+            "ts", F.to_timestamp("ts_s")
+        ).drop("ts_s").coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = spark.readStream.schema("user_id long, ts timestamp").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src_dir)
+    # 1h delay: at the straggler's batch the watermark is 02:00 - 1h =
+    # 01:00, so 01:10 is in-watermark and the 01:00 session (close
+    # horizon 01:30) is still reopenable in-state
+    sessions = stateful_sessionize(stream, gap_minutes=30, watermark="1 hour")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("straggler_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "straggler_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_start"].isoformat(),
+         r["session_end"].isoformat(), r["n_events"])
+        for r in spark.sql("SELECT * FROM straggler_out").collect()
+    }
+    ev = spark.createDataFrame(
+        [r for b in batches[:3] for r in b], "user_id long, ts_s string"
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    expected = {
+        (r["user_id"], r["session_start"].isoformat(),
+         r["session_end"].isoformat(), r["n_events"])
+        for r in session_stats(ev, gap_minutes=30).select(
+            "user_id", "session_start", "session_end", "n_events"
+        ).collect()
+    }
+    # exactly the batch sessions: (01:00-01:10, 2 events) and (02:00, 1)
+    assert got == expected and len(expected) == 2
+
+
 def test_stateful_sessionize_matches_batch(spark, tmp_path):
     """applyInPandasWithState sessionization must emit exactly the
     sessions the batch operator computes, once the watermark passes
