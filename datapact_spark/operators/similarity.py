@@ -144,7 +144,7 @@ def lsh_topk(
             F.col(id_col).alias(id_alias),
             F.col(vec_col).alias(vec_alias),
             buckets_udf(F.col(vec_col)).alias("__buckets"),
-        ).select(id_alias, vec_alias, F.explode("__buckets").alias("bucket"))
+        ).select(id_alias, vec_alias, F.explode_outer("__buckets").alias("bucket"))
 
     c = cap_bucket_size(
         with_buckets(corpus, "neighbor_id", "c_vec"), ["bucket"], max_bucket_size
@@ -288,7 +288,7 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        F.explode(make_ivf_assign_udf(cents, nprobe)(F.col(vec_col))).alias(
+        F.explode_outer(make_ivf_assign_udf(cents, nprobe)(F.col(vec_col))).alias(
             "list_id"
         ),
     )
@@ -327,16 +327,33 @@ def embedding_near_dups(
     (id_a, id_b, cosine_sim) with sim ≥ threshold, id_a < id_b.
     Buckets above ``max_bucket_size`` are dropped so one degenerate
     bucket (e.g. all-zero vectors) can't go quadratic."""
-    from datapact_spark.operators.dedup import cap_bucket_size
-
     planes = _hyperplanes(dim, bits, tables, seed)
     buckets_udf = make_sign_buckets_udf(planes)
     b = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         buckets_udf(F.col(vec_col)).alias("__buckets"),
-    ).select("id", "v", F.explode("__buckets").alias("bucket"))
-    b = cap_bucket_size(b, ["bucket"], max_bucket_size)
+    ).select("id", "v", F.explode_outer("__buckets").alias("bucket"))
+    # One explicit Exchange on the join key, then a WINDOW-count cap on
+    # top of it. Unlike the groupBy+anti-join cap (right for the cheap
+    # JVM-side minhash/simhash buckets), an anti-join here would sit
+    # between the Exchange and the self-join sides and break their
+    # structural identity — each side (and the cap's count) re-runs the
+    # expensive GEMM signature UDF (the r3 bench regression, 3 UDF
+    # passes). With repartition("bucket") + Window.partitionBy("bucket")
+    # the window adds NO exchange (clustering already satisfied, only a
+    # sort), both join sides stay byte-identical, and AQE's
+    # ReusedExchange runs the UDF exactly once.
+    if max_bucket_size:
+        from pyspark.sql.window import Window
+
+        wb = Window.partitionBy("bucket")
+        b = (
+            b.repartition("bucket")
+            .withColumn("__bn", F.count(F.lit(1)).over(wb))
+            .where(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
     pairs = (
         b.alias("a")
         .join(b.alias("b"), (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))

@@ -231,6 +231,30 @@ def test_tdigest_sketch_shuffles_only_centroid_partials(spark, lineitem_path):
     assert tree.index("Exchange") < tree.index("MapInPandas"), tree
 
 
+def test_embedding_near_dups_single_udf_pass(spark, sf_dir):
+    """The self-join's two sides and the bucket cap must all read ONE
+    shuffle of the GEMM-signature UDF output: the final (AQE) plan has
+    exactly one materialized REPARTITION exchange, the other side is a
+    ReusedExchange, and the sign-buckets UDF is evaluated once per
+    input branch (no InferFiltersFromGenerate duplicate — the r3 bench
+    regression was 3 full UDF passes)."""
+    from datapact_spark.operators.similarity import embedding_near_dups
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    df = embedding_near_dups(emb, threshold=0.99, bits=12, tables=4)
+    df.collect()  # let AQE finalize stage reuse
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final, final
+    materialized = [
+        ln for ln in final.splitlines()
+        if "REPARTITION_BY_COL" in ln and "ReusedExchange" not in ln
+    ]
+    assert len(materialized) == 1, materialized
+    # single input branch (no union here) ⇒ exactly one UDF eval node
+    assert final.count("ArrowEvalPython") == 1, final
+
+
 def test_ivf_probe_join_broadcasts_queries(spark, sf_dir):
     """The IVF candidate join must broadcast the (tiny) probed-query
     side; the corpus side must NOT shuffle for the join."""
