@@ -59,16 +59,17 @@ def compile_partition_verdicts(
 
     # fingerprint row-hash mode folds the per-group (pk, row_hash)
     # fingerprint into the SAME profile scan — zero extra passes for
-    # clean groups (salted profiles keep the standalone operator: the
-    # fp sum is salt-mergeable but the plumbing isn't worth the combo)
+    # clean groups. The fp sum is a plain additive decimal, so it salts
+    # exactly like count/sum: the salted profile carries it as one more
+    # partial/merge pair — a skewed mega-repo table gets skew
+    # protection AND the 99%-shuffle-cut compare at once.
     fp_in_profile = (
         task.pk_row_hash_check
         and task.primary_keys
         and task.row_hash_mode in ("fingerprint", "fingerprint_multiset")
-        and salt_buckets == 0
     )
 
-    def _fp_exprs(side: str) -> list[F.Column]:
+    def _fp_sig() -> F.Column:
         from datapact_spark.functions.hashing import row_hash
 
         cols = task.hash_columns or [
@@ -76,16 +77,24 @@ def compile_partition_verdicts(
         ]
         rh = row_hash([F.col(c) for c in cols], task.hash_algo)
         pk_cols = [F.col(pk) for pk in task.primary_keys]
-        row_sig = F.xxhash64(
+        return F.xxhash64(
             F.xxhash64(*pk_cols),
             F.xxhash64(F.lit(0x9E3779B9), *pk_cols),
             F.xxhash64(rh),
-        )
-        return [F.sum(row_sig.cast("decimal(38,0)")).alias(f"{side}_rowfp")]
+        ).cast("decimal(38,0)")
+
+    def _fp_exprs(side: str) -> list[F.Column]:
+        return [F.sum(_fp_sig()).alias(f"{side}_rowfp")]
 
     if salt_buckets > 0:
-        s_prof = grouped_profile_salted(source, task, "source", group_cols, salt_buckets)
-        t_prof = grouped_profile_salted(target, task, "target", group_cols, salt_buckets)
+        s_prof = grouped_profile_salted(
+            source, task, "source", group_cols, salt_buckets,
+            fp_sig=_fp_sig() if fp_in_profile else None,
+        )
+        t_prof = grouped_profile_salted(
+            target, task, "target", group_cols, salt_buckets,
+            fp_sig=_fp_sig() if fp_in_profile else None,
+        )
     else:
         s_prof = P.grouped_profile_df(
             source, task, "source", group_cols,
@@ -233,22 +242,12 @@ def compile_partition_verdicts(
             ]
             pass_conds.append(("row_hash_passed", ratio <= tol))
         else:
-            if task.row_hash_mode in ("fingerprint", "fingerprint_multiset"):
-                # salted-profile combo: standalone fingerprint operator.
-                # No per-group dup-PK reroute here (the operator doesn't
-                # see the salted distinct counts) — but in 'fingerprint'
-                # mode config guarantees a uniqueness check, so a dup-PK
-                # group still FAILS its verdict loudly via that check.
-                hm = H.grouped_row_hash_metrics_fingerprint(
-                    source, target, task.primary_keys, group_cols,
-                    task.hash_columns, task.hash_algo,
-                    scope_join=task.fingerprint_scope_join,
-                )
-            else:
-                hm = H.grouped_row_hash_metrics(
-                    source, target, task.primary_keys, group_cols,
-                    task.hash_columns, task.hash_algo,
-                )
+            # row_hash_mode='join' (fingerprint modes always take the
+            # in-profile fold above, salted or not)
+            hm = H.grouped_row_hash_metrics(
+                source, target, task.primary_keys, group_cols,
+                task.hash_columns, task.hash_algo,
+            )
             step = step.join(hm, on=group_cols, how="left")
             ratio = E.hash_mismatch_ratio(
                 F.coalesce(F.col("mismatch_count"), F.lit(0)),
@@ -316,6 +315,7 @@ def grouped_profile_salted(
     side: str,
     group_cols: list[str],
     salt_buckets: int,
+    fp_sig: F.Column | None = None,
 ) -> DataFrame:
     """Two-level grouped profile for skewed verdict keys: partial
     aggregate on (keys, salt), then merge per key. Catalyst/AQE splits
@@ -327,11 +327,20 @@ def grouped_profile_salted(
     per key via the scale path (groupBy the full key set — key+columns
     — then count per key), which is itself salt-free but shuffles only
     the distinct combinations.
+
+    ``fp_sig`` (fingerprint row-hash mode): a per-row decimal signature
+    whose per-group SUM is the (pk, row_hash) fingerprint. Plain
+    integer addition is associative/commutative, so it rides the salt
+    split as one more partial/merge pair — emitted as ``{side}_rowfp``,
+    byte-identical to the unsalted fold.
     """
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in group_cols], F.monotonically_increasing_id()), F.lit(salt_buckets))
     # partial: additive measures only
     partial_exprs = [F.count(F.lit(1)).alias("__cnt")]
     merge_exprs = [F.sum("__cnt").alias(f"{side}_count")]
+    if fp_sig is not None:
+        partial_exprs.append(F.sum(fp_sig).alias("__fp"))
+        merge_exprs.append(F.sum("__fp").alias(f"{side}_rowfp"))
     nulls_tc = (
         task.null_validation_columns
         and task.null_validation_tolerance is not None

@@ -113,6 +113,27 @@ def test_salted_profile_matches_unsalted(engine, spark):
     assert p == s
 
 
+def test_salted_profile_matches_unsalted_fingerprint_mode(engine, spark):
+    """salt_buckets + row_hash_mode=fingerprint: the fp sum is additive
+    and must ride the salt split — full verdict rows (fingerprint-based
+    compare columns included) byte-identical to the unsalted fold."""
+    from datapact_spark.plans.partitioned import compile_partition_verdicts
+
+    def run(salt):
+        task = _task(
+            task_key=f"code_fp_salt{salt}",
+            row_hash_mode="fingerprint",
+            uniqueness_columns=["repo", "path"],
+            uniqueness_tolerance=0.0,
+        )
+        df = compile_partition_verdicts(
+            spark, task, engine.resolver, salt_buckets=salt
+        )
+        return {tuple(r) for r in df.collect()}
+
+    assert run(8) == run(0)
+
+
 def test_sha256_invariant_jvm_vs_python(spark, code_tables):
     """F.sha2 (JVM fast path) and the Arrow-batched hashlib UDF must
     agree — the per-row invariant of BASELINE.json."""
