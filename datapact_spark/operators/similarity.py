@@ -256,44 +256,49 @@ def make_ivf_assign_udf(centroids: np.ndarray, nprobe: int = 1):
     return assign
 
 
-def ivf_topk(
+def ivf_assignments(
     corpus: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One GEMM pass assigning every corpus row to its nearest Voronoi
+    list: (neighbor_id, c_vec, list_id). This is the expensive half of
+    an IVF index — persist it with ``ledger.IvfIndexStore`` to serve
+    repeated query batches without re-scanning the corpus."""
+    return corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.element_at(
+            make_ivf_assign_udf(centroids, 1)(F.col(vec_col)), 1
+        ).alias("list_id"),
+    )
+
+
+def ivf_probe_topk(
+    assigned: DataFrame,
+    centroids: np.ndarray,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    nlist: int = 32,
     nprobe: int = 4,
-    iters: int = 2,
-    sample_fraction: float | None = None,
-    seed: int = 42,
 ) -> DataFrame:
-    """IVF (inverted-file) approximate top-k — the coarse-quantizer
-    scale path alongside ``lsh_topk``: the corpus is partitioned into
-    ``nlist`` Voronoi lists (one assignment pass), each query probes
-    its ``nprobe`` nearest lists, and only those lists' rows are
-    exactly re-ranked.  Per query the scan cost is ~nprobe/nlist of
-    the corpus; recall grows with nprobe (nprobe == nlist is exact).
-    Output schema matches ``brute_force_topk``."""
-    cents = train_ivf_centroids(
-        corpus, nlist, id_col, vec_col, iters, sample_fraction, seed
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        F.element_at(make_ivf_assign_udf(cents, 1)(F.col(vec_col)), 1).alias(
-            "list_id"
-        ),
-    )
+    """Query side of IVF: each query probes its ``nprobe`` nearest
+    lists of a (possibly stored) assignment table; probed rows are
+    exactly re-ranked. When ``assigned`` is read from an
+    ``IvfIndexStore`` (parquet partitioned by list_id), the broadcast
+    join on the partition column lets dynamic partition pruning skip
+    every unprobed list's files."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        F.explode_outer(make_ivf_assign_udf(cents, nprobe)(F.col(vec_col))).alias(
-            "list_id"
-        ),
+        F.explode_outer(
+            make_ivf_assign_udf(centroids, nprobe)(F.col(vec_col))
+        ).alias("list_id"),
     )
     cands = (
-        c.join(F.broadcast(q), "list_id")
+        assigned.join(F.broadcast(q), "list_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "q_vec", "neighbor_id", "c_vec")
     )
@@ -310,6 +315,50 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 32,
+    nprobe: int = 4,
+    iters: int = 2,
+    sample_fraction: float | None = None,
+    seed: int = 42,
+    index_store=None,
+    index_name: str | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the coarse-quantizer
+    scale path alongside ``lsh_topk``: the corpus is partitioned into
+    ``nlist`` Voronoi lists (one assignment pass), each query probes
+    its ``nprobe`` nearest lists, and only those lists' rows are
+    exactly re-ranked.  Per query the scan cost is ~nprobe/nlist of
+    the corpus; recall grows with nprobe (nprobe == nlist is exact).
+    Output schema matches ``brute_force_topk``.
+
+    With ``index_store``/``index_name`` (an ``ledger.IvfIndexStore``),
+    training and corpus assignment run only when the named index does
+    not exist yet; later calls serve queries straight from the stored
+    (centroids, assignments) — no training pass, no corpus GEMM, and
+    partition pruning on the probed lists."""
+    if index_store is not None and index_name is not None:
+        if not index_store.exists(index_name):
+            cents = train_ivf_centroids(
+                corpus, nlist, id_col, vec_col, iters, sample_fraction, seed
+            )
+            index_store.write(
+                index_name, cents, ivf_assignments(corpus, cents, id_col, vec_col)
+            )
+        cents, assigned = index_store.read(index_name)
+    else:
+        cents = train_ivf_centroids(
+            corpus, nlist, id_col, vec_col, iters, sample_fraction, seed
+        )
+        assigned = ivf_assignments(corpus, cents, id_col, vec_col)
+    return ivf_probe_topk(assigned, cents, queries, k, id_col, vec_col, nprobe)
 
 
 def embedding_near_dups(

@@ -175,3 +175,59 @@ def test_ivf_topk_deterministic(spark):
     a = sorted(map(tuple, ivf_topk(emb, queries, k=5, nlist=8, nprobe=2).collect()))
     b = sorted(map(tuple, ivf_topk(emb, queries, k=5, nlist=8, nprobe=2).collect()))
     assert a == b
+
+
+def test_ivf_index_store_reuse(spark, tmp_path):
+    """First indexed call builds + persists (centroids, assignments);
+    the second serves from the store: bitwise-identical results to the
+    unindexed operator, NO training pass in the plan (no
+    applyInPandas/FlatMapGroupsInPandas — Lloyd never runs), and the
+    corpus side reads the stored partitioned parquet, not the source."""
+    from datapact_spark.ledger import IvfIndexStore
+    from datapact_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    queries = emb.where("vec_id < 3")
+    store = IvfIndexStore(spark, str(tmp_path / "res"))
+    kw = dict(k=5, nlist=8, nprobe=2, iters=1)
+
+    direct = sorted(map(tuple, ivf_topk(emb, queries, **kw).collect()))
+    first = ivf_topk(
+        emb, queries, index_store=store, index_name="emb", **kw
+    )
+    assert sorted(map(tuple, first.collect())) == direct
+    assert store.exists("emb")
+
+    second = ivf_topk(
+        emb, queries, index_store=store, index_name="emb", **kw
+    )
+    assert sorted(map(tuple, second.collect())) == direct
+    plan = second._jdf.queryExecution().executedPlan().toString()
+    # no Lloyd training stage and no corpus assignment GEMM: the only
+    # Python eval left is the tiny query-probe UDF
+    assert "FlatMapGroupsInPandas" not in plan
+    # the stored assignment table is scanned directly (a FileScan whose
+    # read columns ARE the index schema) instead of recomputing
+    # neighbor assignments from the source embeddings
+    assert "FileScan parquet [neighbor_id" in plan, plan
+
+
+def test_ivf_index_store_partition_pruning(spark, tmp_path):
+    """Reading the stored corpus filtered to a probed list must scan
+    only that list's partition (partition pruning on list_id)."""
+    from datapact_spark.ledger import IvfIndexStore
+    from datapact_spark.operators.similarity import (
+        ivf_assignments,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    store = IvfIndexStore(spark, str(tmp_path / "res"))
+    cents = train_ivf_centroids(emb, nlist=8, iters=0)
+    store.write("p", cents, ivf_assignments(emb, cents))
+    _, assigned = store.read("p")
+    plan = assigned.where("list_id = 3")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(list_id" in plan or (
+        "PartitionFilters: [(list_id" in plan
+    ), plan
