@@ -1,6 +1,6 @@
-"""Pure-numpy media codecs: real decoders for one container per
-modality that need no external library — 24-bit uncompressed BMP
-(image) and PCM16 WAV (audio).
+"""Pure-numpy media codecs: real decoders that need no external
+library — 24-bit uncompressed BMP and zlib-compressed 8-bit RGB PNG
+(image), PCM16 WAV (audio).
 
 These make ``extract_features(..., codec=...)`` a REAL decode path
 in-sandbox (multimodal.py's ``decode_stub=False`` seam): the payloads
@@ -55,6 +55,152 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return arr[:, :, ::-1].copy()  # BGR → RGB
 
 
+# --------------------------------------------------------------- PNG
+# Real compressed-container coverage via the stdlib: zlib inflate +
+# numpy unfiltering of all five PNG scanline filters (None/Sub/Up/
+# Average/Paeth). Scope: 8-bit RGB (color type 2), non-interlaced —
+# what a deterministic synthetic crawl payload needs; other color
+# types raise NotImplementedError at the seam.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor (RFC 2083 §6.6), vectorized over channel lanes.
+    Inputs/outputs are int16 arrays (values 0..255)."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(pixels: np.ndarray, filters="mixed", level: int = 6) -> bytes:
+    """(h, w, 3) uint8 RGB → PNG bytes (8-bit RGB, non-interlaced).
+
+    ``filters``: a single filter type (0-4), a per-row list, or
+    ``"mixed"`` (row y uses filter y % 5 — handy for exercising every
+    unfilter path in one payload)."""
+    import zlib
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, ch = px.shape
+    if ch != 3:
+        raise NotImplementedError("encode_png: 8-bit RGB only")
+    if isinstance(filters, int):
+        ftypes = [filters] * h
+    elif filters == "mixed":
+        ftypes = [y % 5 for y in range(h)]
+    else:
+        ftypes = list(filters)
+    raw = bytearray()
+    prev = np.zeros((w, ch), dtype=np.int16)
+    zero_px = np.zeros((1, ch), dtype=np.int16)
+    for y in range(h):
+        row = px[y].astype(np.int16)
+        left = np.vstack([zero_px, row[:-1]])
+        upleft = np.vstack([zero_px, prev[:-1]])
+        ft = ftypes[y]
+        if ft == 0:
+            filt = row
+        elif ft == 1:
+            filt = row - left
+        elif ft == 2:
+            filt = row - prev
+        elif ft == 3:
+            filt = row - (left + prev) // 2
+        elif ft == 4:
+            filt = row - _paeth(left, prev, upleft)
+        else:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        raw.append(ft)
+        raw.extend((filt % 256).astype(np.uint8).tobytes())
+        prev = row
+    idat = zlib.compress(bytes(raw), level)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        import zlib as _z
+
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", _z.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    return (
+        _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes (8-bit RGB, non-interlaced) → (h, w, 3) uint8 RGB.
+
+    Chunk walk + zlib inflate + scanline unfiltering: None and Up are
+    fully vectorized; Sub is a per-channel-lane cumulative sum (the
+    recurrence recon[x] = filt[x] + recon[x-1] mod 256 IS cumsum mod
+    256); Average/Paeth need the left-neighbor recursion, so they loop
+    over x with vectorized channel lanes — rows are short relative to
+    batch size, and this runs inside the Arrow batch loop."""
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload (missing signature)")
+    pos, w = len(_PNG_SIG), None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (size,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt_m, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if (depth, ctype, comp, filt_m, interlace) != (8, 2, 0, 0, 0):
+                raise NotImplementedError(
+                    "decode_png: only 8-bit RGB non-interlaced "
+                    f"(got depth={depth} color_type={ctype} interlace={interlace})"
+                )
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + size  # len + tag + body + crc
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = 1 + w * 3
+    rows = raw.reshape(h, stride)
+    out = np.zeros((h, w, 3), dtype=np.int16)
+    zero_px = np.zeros((1, 3), dtype=np.int16)
+    for y in range(h):
+        ft = int(rows[y, 0])
+        filt = rows[y, 1:].reshape(w, 3).astype(np.int16)
+        prev = out[y - 1] if y > 0 else np.zeros((w, 3), dtype=np.int16)
+        if ft == 0:
+            recon = filt
+        elif ft == 1:  # Sub: cumsum mod 256 per channel lane
+            recon = np.cumsum(filt.astype(np.int64), axis=0) % 256
+        elif ft == 2:  # Up
+            recon = (filt + prev) % 256
+        elif ft == 3:  # Average: left recursion, channel-vectorized
+            recon = np.zeros((w, 3), dtype=np.int16)
+            left = zero_px[0]
+            for x in range(w):
+                left = (filt[x] + (left + prev[x]) // 2) % 256
+                recon[x] = left
+        elif ft == 4:  # Paeth: left recursion, channel-vectorized
+            recon = np.zeros((w, 3), dtype=np.int16)
+            left, upleft = zero_px[0], zero_px[0]
+            for x in range(w):
+                left = (filt[x] + _paeth(left, prev[x], upleft)) % 256
+                recon[x] = left
+                upleft = prev[x]
+        else:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        out[y] = recon
+    return out.astype(np.uint8)
+
+
 # --------------------------------------------------------------- WAV
 def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
     """1-D int16 samples → mono PCM16 RIFF/WAVE bytes."""
@@ -92,19 +238,20 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
 # ------------------------------------------------------- feature codec
 def media_feature_codec(feature_dim: int = 4):
     """bytes → float32 feature vector, dispatching on the container's
-    magic bytes (BM → BMP, RIFF → WAV). Features are integer-exact in
-    float32 at test sizes so rollups are oracle-checkable:
+    magic bytes (BM → BMP, \\x89PNG → PNG, RIFF → WAV). Features are
+    integer-exact in float32 at test sizes so rollups are
+    oracle-checkable:
 
-      BMP: [pixel_sum, n_pixels, width, height]
-      WAV: [sample_sum, n_samples, sample_rate, 1]
+      BMP/PNG: [pixel_sum, n_pixels, width, height]
+      WAV:     [sample_sum, n_samples, sample_rate, 1]
 
     padded/truncated to ``feature_dim``. Plug into
     ``multimodal.extract_features(media, codec=media_feature_codec())``.
     """
 
     def codec(payload: bytes) -> np.ndarray:
-        if payload[:2] == b"BM":
-            px = decode_bmp(payload)
+        if payload[:2] == b"BM" or payload[:4] == b"\x89PNG":
+            px = decode_bmp(payload) if payload[:2] == b"BM" else decode_png(payload)
             h, w, _ = px.shape
             feats = [float(px.sum(dtype=np.int64)), float(h * w), float(w), float(h)]
         elif payload[:4] == b"RIFF":

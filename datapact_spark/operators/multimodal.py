@@ -52,19 +52,26 @@ def synthesize_media_table(spark, n: int = 64, seed: int = 42) -> DataFrame:
 
 
 def synthesize_real_media_table(spark, n: int = 64) -> DataFrame:
-    """Header-valid REAL container payloads (24-bit BMP for even ids,
-    PCM16 WAV for odd ids), built Arrow-batched from a deterministic
-    closed-form content formula an independent engine can replicate:
+    """Header-valid REAL container payloads (images for even ids —
+    alternating uncompressed 24-bit BMP and zlib-compressed PNG with
+    mixed scanline filters — PCM16 WAV for odd ids), built
+    Arrow-batched from a deterministic closed-form content formula an
+    independent engine can replicate:
 
-      BMP  (id even): w = id%5+2, h = id%4+2,
-                      pixel[y,x,c] = (id*31 + y*7 + x*3 + c) % 256
-      WAV  (id odd):  n_samples = id%50+10, rate 8000,
-                      sample[i] = ((id*131 + i*17) % 65536) - 32768
+      image (id even): w = id%5+2, h = id%4+2,
+                       pixel[y,x,c] = (id*31 + y*7 + x*3 + c) % 256
+                       (id%4==0 → BMP, id%4==2 → PNG, same pixels)
+      WAV   (id odd):  n_samples = id%50+10, rate 8000,
+                       sample[i] = ((id*131 + i*17) % 65536) - 32768
 
     Decoding these through the real codecs and summing the recovered
     content against the formula proves the parsers reproduce every
-    pixel/sample — the oracle-checkable 'real decode' path."""
-    from datapact_spark.operators.codecs import encode_bmp, encode_wav
+    pixel/sample — including the full zlib-inflate + unfilter PNG path
+    (every filter type exercised via filters="mixed") — the
+    oracle-checkable 'real decode' path. The oracle never parses a
+    container: it derives the sums straight from the formula, so it is
+    identical for both image containers."""
+    from datapact_spark.operators.codecs import encode_bmp, encode_png, encode_wav
 
     def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -75,7 +82,11 @@ def synthesize_real_media_table(spark, n: int = 64) -> DataFrame:
                     w, h = mid % 5 + 2, mid % 4 + 2
                     y, x, c = np.mgrid[0:h, 0:w, 0:3]
                     px = ((mid * 31 + y * 7 + x * 3 + c) % 256).astype(np.uint8)
-                    payload, kind, mime = encode_bmp(px), "image", "image/bmp"
+                    if mid % 4 == 0:
+                        payload, mime = encode_bmp(px), "image/bmp"
+                    else:
+                        payload, mime = encode_png(px, filters="mixed"), "image/png"
+                    kind = "image"
                 else:
                     i = np.arange(mid % 50 + 10, dtype=np.int64)
                     samples = ((mid * 131 + i * 17) % 65536 - 32768).astype(np.int16)

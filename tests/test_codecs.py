@@ -96,3 +96,43 @@ def test_decode_stub_false_without_codec_still_raises(spark):
     media = synthesize_media_table(spark, n=4)
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         extract_features(media, decode_stub=False).collect()
+
+
+class TestPng:
+    """PNG codec: zlib inflate + unfilter of every scanline filter."""
+
+    def test_round_trip_each_filter_type(self):
+        from datapact_spark.operators.codecs import decode_png, encode_png
+
+        rng = np.random.RandomState(11)
+        px = rng.randint(0, 256, (13, 9, 3), dtype=np.uint8)
+        for ft in (0, 1, 2, 3, 4):
+            got = decode_png(encode_png(px, filters=ft))
+            assert (got == px).all(), f"filter {ft}"
+
+    def test_round_trip_mixed_filters_and_gradient(self):
+        from datapact_spark.operators.codecs import decode_png, encode_png
+
+        # smooth gradients are where Average/Paeth predictors actually
+        # engage non-trivially
+        y, x, c = np.mgrid[0:16, 0:21, 0:3]
+        px = ((y * 7 + x * 3 + c) % 256).astype(np.uint8)
+        got = decode_png(encode_png(px, filters="mixed"))
+        assert (got == px).all()
+        # compression is real (gradient compresses far below raw)
+        assert len(encode_png(px, filters=4)) < px.nbytes // 4
+
+    def test_rejects_non_png_and_unsupported(self):
+        from datapact_spark.operators.codecs import decode_png, encode_png
+
+        with pytest.raises(ValueError, match="signature"):
+            decode_png(b"BMnotapng")
+        with pytest.raises(NotImplementedError, match="RGB"):
+            encode_png(np.zeros((2, 2, 4), dtype=np.uint8))
+
+    def test_feature_codec_dispatches_png(self):
+        from datapact_spark.operators.codecs import encode_png, media_feature_codec
+
+        px = np.full((3, 4, 3), 7, dtype=np.uint8)
+        feats = media_feature_codec(4)(encode_png(px))
+        assert feats.tolist() == [7.0 * 3 * 4 * 3, 12.0, 4.0, 3.0]
