@@ -141,15 +141,18 @@ class DataPactEngine:
                     self.ledger.write_violations(run_id, task.task_key, kind, vdf)
                 for dcheck, src_df in compiled.bootstrap_drift:
                     from datapact_spark.operators.drift import histogram_snapshot
-                    from datapact_spark.operators.quantiles import tdigest_sketch
-
-                    self.baselines.write(
-                        task.task_key,
-                        dcheck.column,
-                        tdigest_sketch(src_df, dcheck.column, dcheck.delta)
-                        if dcheck.sketch == "tdigest"
-                        else histogram_snapshot(src_df, dcheck.column, dcheck.bins),
+                    from datapact_spark.operators.quantiles import (
+                        kll_sketch,
+                        tdigest_sketch,
                     )
+
+                    if dcheck.sketch == "tdigest":
+                        snap = tdigest_sketch(src_df, dcheck.column, dcheck.delta)
+                    elif dcheck.sketch == "kll":
+                        snap = kll_sketch(src_df, dcheck.column, dcheck.bins)
+                    else:
+                        snap = histogram_snapshot(src_df, dcheck.column, dcheck.bins)
+                    self.baselines.write(task.task_key, dcheck.column, snap)
                 if task.partition_by:
                     # north-star mode: per-partition verdicts computed,
                     # checkpointed, and folded into the task payload +

@@ -41,6 +41,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
@@ -441,6 +442,139 @@ def approx_quantile_sketch(
             "cnt",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KLL-family drift (DriftCheck sketch='kll')
+# ---------------------------------------------------------------------------
+
+KLL_POINTS_PER_BIN = 4
+
+
+def kll_sketch(
+    df: DataFrame,
+    column: str,
+    bins: int,
+    accuracy: int = 10_000,
+    points_per_bin: int = KLL_POINTS_PER_BIN,
+    group_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """The stored form of a ``sketch='kll'`` drift baseline: the
+    ``approx_quantile_sketch`` (JVM percentile_approx — a GK/KLL-family
+    one-pass mergeable summary) evaluated on the uniform grid
+    j/(bins*points_per_bin), j = 0..bins*points_per_bin. The grid is
+    fine enough that treating the points as equal point masses
+    resolves CDF differences well below a 1/bins bin width."""
+    n_points = bins * points_per_bin
+    probs = [j / n_points for j in range(n_points + 1)]
+    return approx_quantile_sketch(df, column, probs, accuracy, group_cols)
+
+
+def kll_drift(
+    base: DataFrame,
+    now: DataFrame,
+    bins: int,
+    points_per_bin: int = KLL_POINTS_PER_BIN,
+) -> DataFrame:
+    """1-row (psi, ks) between two ``kll_sketch`` summaries, on the
+    BASELINE's equal-mass bins (edges = baseline quantiles at probs
+    k/bins) — the same comparison contract as ``tdigest_drift``. Both
+    summaries are treated as uniform point masses; each point lands in
+    bin 1 + #(edges strictly below it). Everything is a join/agg over
+    O(bins·points_per_bin) rows — lazy and JVM-only."""
+    from datapact_spark.operators.drift import _psi_ks
+
+    edges = _kll_edges(base, bins, points_per_bin)
+    return _psi_ks(
+        _kll_binned(base, edges), _kll_binned(now, edges), bins
+    )
+
+
+def _kll_edges(base: DataFrame, bins: int, ppb: int) -> DataFrame:
+    w = Window.orderBy("prob")
+    ranked = base.select("prob", "quantile", F.row_number().over(w).alias("__j"))
+    # interior edge k (1..bins-1) sits at point index j = k*ppb + 1
+    return ranked.where(
+        ((F.col("__j") - 1) % ppb == 0)
+        & (F.col("__j") > 1)
+        & (F.col("__j") < bins * ppb + 1)
+    ).select(F.col("quantile").alias("__e"))
+
+
+def _kll_binned(points: DataFrame, edges: DataFrame) -> DataFrame:
+    """(bin, cnt) from a quantile-point summary: bin of a point is
+    1 + the number of edges strictly below its value (prob is unique
+    within a summary, so it serves as the row id through the tiny
+    cross join)."""
+    return (
+        points.select("prob", F.col("quantile").alias("__q"))
+        .crossJoin(F.broadcast(edges))
+        .groupBy("prob", "__q")
+        .agg(
+            F.sum(F.when(F.col("__e") < F.col("__q"), 1).otherwise(0)).alias("__k")
+        )
+        .select((F.col("__k") + 1).cast("int").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def grouped_kll_drift(
+    source: DataFrame,
+    target: DataFrame,
+    column: str,
+    group_cols: Sequence[str],
+    bins: int = 10,
+    accuracy: int = 10_000,
+    points_per_bin: int = KLL_POINTS_PER_BIN,
+) -> DataFrame:
+    """(group..., psi, ks) — per-partition-group KLL drift: grouped
+    JVM quantile summaries on both sides, per-group source edges,
+    per-(group, bin) point-mass counts, shared PSI/KS tail. All
+    shuffles are on the group key; per group only
+    O(bins·points_per_bin) summary rows exist past the aggregate."""
+    from datapact_spark.operators.drift import grouped_psi_ks_from_counts
+
+    gcols = list(group_cols)
+    s = kll_sketch(source, column, bins, accuracy, points_per_bin, gcols)
+    t = kll_sketch(target, column, bins, accuracy, points_per_bin, gcols)
+    wj = Window.partitionBy(*gcols).orderBy("prob")
+    edges = (
+        s.select(*gcols, "prob", "quantile", F.row_number().over(wj).alias("__j"))
+        .where(
+            ((F.col("__j") - 1) % points_per_bin == 0)
+            & (F.col("__j") > 1)
+            & (F.col("__j") < bins * points_per_bin + 1)
+        )
+        .select(*gcols, F.col("quantile").alias("__e"))
+    )
+
+    def binned(points: DataFrame, out: str) -> DataFrame:
+        return (
+            points.select(*gcols, "prob", F.col("quantile").alias("__q"))
+            .join(edges, on=gcols, how="left")
+            .groupBy(*gcols, "prob", "__q")
+            .agg(
+                F.sum(
+                    F.when(F.col("__e") < F.col("__q"), 1).otherwise(0)
+                ).alias("__k")
+            )
+            .select(*gcols, (F.col("__k") + 1).cast("int").alias("bin"))
+            .groupBy(*gcols, "bin")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    merged = (
+        binned(s, "p_cnt")
+        .join(binned(t, "q_cnt"), on=[*gcols, "bin"], how="full_outer")
+        .select(
+            *gcols,
+            "bin",
+            F.coalesce(F.col("p_cnt"), F.lit(0)).alias("p_cnt"),
+            F.coalesce(F.col("q_cnt"), F.lit(0)).alias("q_cnt"),
+        )
+    )
+    return grouped_psi_ks_from_counts(merged, gcols)
 
 
 # ---------------------------------------------------------------------------

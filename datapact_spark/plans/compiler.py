@@ -440,7 +440,12 @@ def compile_task(
     bootstrap_drift: list = []
     for dcheck in task.drift_checks or []:
         from datapact_spark.operators.drift import drift_metrics, drift_vs_snapshot
-        from datapact_spark.operators.quantiles import tdigest_drift, tdigest_sketch
+        from datapact_spark.operators.quantiles import (
+            kll_drift,
+            kll_sketch,
+            tdigest_drift,
+            tdigest_sketch,
+        )
 
         metric_name = f"drift_{dcheck.metric}_{dcheck.column}"
         if dcheck.baseline == "snapshot" and baseline_store is not None:
@@ -451,6 +456,13 @@ def compile_task(
                     now = tdigest_sketch(source, dcheck.column, dcheck.delta)
                     metric_dfs.append(
                         tdigest_drift(snap, now, bins=dcheck.bins).select(
+                            F.col(dcheck.metric).alias(metric_name)
+                        )
+                    )
+                elif dcheck.sketch == "kll":
+                    now = kll_sketch(source, dcheck.column, dcheck.bins)
+                    metric_dfs.append(
+                        kll_drift(snap, now, bins=dcheck.bins).select(
                             F.col(dcheck.metric).alias(metric_name)
                         )
                     )
@@ -470,6 +482,14 @@ def compile_task(
             dig_t = tdigest_sketch(target, dcheck.column, dcheck.delta)
             metric_dfs.append(
                 tdigest_drift(dig_s, dig_t, bins=dcheck.bins).select(
+                    F.col(dcheck.metric).alias(metric_name)
+                )
+            )
+        elif dcheck.sketch == "kll":
+            sk_s = kll_sketch(source, dcheck.column, dcheck.bins)
+            sk_t = kll_sketch(target, dcheck.column, dcheck.bins)
+            metric_dfs.append(
+                kll_drift(sk_s, sk_t, bins=dcheck.bins).select(
                     F.col(dcheck.metric).alias(metric_name)
                 )
             )

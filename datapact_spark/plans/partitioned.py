@@ -285,6 +285,18 @@ def compile_partition_verdicts(
                     f"drift_{dcheck.metric}_{dcheck.column}"
                 ),
             )
+        elif dcheck.sketch == "kll":
+            from datapact_spark.operators.quantiles import grouped_kll_drift
+
+            gd = grouped_kll_drift(
+                source, target, dcheck.column, group_cols, bins=dcheck.bins,
+            )
+            dm = gd.select(
+                *group_cols,
+                (F.col("psi") if dcheck.metric == "psi" else F.col("ks")).alias(
+                    f"drift_{dcheck.metric}_{dcheck.column}"
+                ),
+            )
         else:
             dm = grouped_drift_metrics(source, target, dcheck, group_cols)
         step = step.join(dm, on=group_cols, how="left")

@@ -272,6 +272,81 @@ def test_engine_tdigest_snapshot_lifecycle(spark, tables, tmp_path):
     assert r3.failed_task_keys == ["td_snap"]
 
 
+def test_kll_drift_separates_same_from_shifted(spark, tables):
+    """sketch='kll' core: same distribution scores ~0; a shifted copy
+    scores high on both psi and ks."""
+    from datapact_spark.operators.quantiles import kll_drift, kll_sketch
+
+    orders = tables["orders"]
+    base = kll_sketch(orders, "o_totalprice", bins=10)
+    same = kll_drift(base, kll_sketch(orders, "o_totalprice", bins=10), 10).collect()[0]
+    assert same["ks"] == 0.0 and abs(same["psi"]) < 1e-6
+    shifted = orders.withColumn("o_totalprice", F.col("o_totalprice") * 3.0)
+    far = kll_drift(base, kll_sketch(shifted, "o_totalprice", bins=10), 10).collect()[0]
+    assert far["ks"] > 0.3 and far["psi"] > 0.5
+
+
+def test_grouped_kll_drift(spark, skewed_df):
+    from datapact_spark.operators.quantiles import grouped_kll_drift
+
+    src = skewed_df
+    tgt = src.withColumn(
+        "v", F.when(F.col("grp") == 2, F.col("v") + 500.0).otherwise(F.col("v"))
+    )
+    rows = {
+        r["grp"]: r
+        for r in grouped_kll_drift(src, tgt, "v", ["grp"], bins=8).collect()
+    }
+    assert rows[2]["ks"] > 0.3
+    assert all(r["ks"] < 0.05 for g, r in rows.items() if g != 2)
+
+
+def test_kll_snapshot_lifecycle(spark, tables, tmp_path):
+    """DriftCheck sketch='kll' end-to-end: bootstrap persists the
+    quantile-summary snapshot, an identical second run passes, a
+    drifted third run fails — mirroring the t-digest lifecycle."""
+    from datapact_spark.config import DataPactConfig, ValidationTask
+    from datapact_spark.engine import DataPactEngine
+    from datapact_spark.sources.loader import TableResolver
+
+    def cfg():
+        return DataPactConfig(
+            validations=[
+                ValidationTask(
+                    task_key="kll_snap",
+                    source="orders",
+                    target="orders",
+                    primary_keys=["o_orderkey"],
+                    drift_checks=[
+                        {
+                            "column": "o_totalprice",
+                            "metric": "ks",
+                            "threshold": 0.05,
+                            "sketch": "kll",
+                            "bins": 10,
+                            "baseline": "snapshot",
+                        }
+                    ],
+                )
+            ]
+        )
+
+    resolver = TableResolver(spark)
+    resolver.register("orders", tables["orders"])
+    engine = DataPactEngine(spark, resolver, results_path=str(tmp_path / "res"))
+    r1 = engine.run(cfg(), job_name="boot")
+    assert r1.passed
+    snap = engine.baselines.read("kll_snap", "o_totalprice")
+    assert {"prob", "quantile", "cnt"} <= set(snap.columns)
+    assert engine.run(cfg(), job_name="same").passed
+    resolver.register(
+        "orders",
+        tables["orders"].withColumn("o_totalprice", F.col("o_totalprice") * 3.0),
+    )
+    r3 = engine.run(cfg(), job_name="drifted")
+    assert r3.failed_task_keys == ["kll_snap"]
+
+
 def test_exact_quantile_drift_terms(spark, tables):
     orders = tables["orders"]
     probs = [0.1, 0.25, 0.5, 0.75, 0.9]
