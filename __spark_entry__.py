@@ -895,6 +895,76 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", "cosine_sim")
 
 
+_WINDOWED_DRIFT_SEQ = [0]
+
+
+def q_windowed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-time-window streaming drift, STRICT oracle: the REAL
+    Structured Streaming pipeline runs (readStream over the events
+    parquet → stream-static bin join on the stored baseline grid →
+    watermarked windowed aggregation → materialized sink), then each
+    window's histogram is scored against the baseline with the shared
+    PSI/KS tail. The strict columns are the KS scores: every one is a
+    fixed IEEE op sequence from exact counts (divisions, bin-ordered
+    running CDF folds, max of exact |gaps|), so DuckDB reproduces them
+    bitwise without any streaming machinery. PSI is deliberately NOT in
+    the compared output: its per-term ln is not bitwise portable on
+    these arguments (measured: 14 of 240 ln calls here differ by 1 ulp
+    between the JVM and DuckDB libm — the global drift_psi_terms /
+    drift_psi_value queries, whose arguments do agree, keep the psi
+    formula itself value-checked)."""
+    from datapact_spark.operators.drift import histogram_snapshot
+    from datapact_spark.streaming.incremental import (
+        windowed_drift_profile,
+        windowed_drift_scores,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    snap = histogram_snapshot(ev, "value", bins=8)
+    # the file stream source requires a DIRECTORY; the testdata events
+    # table is a single parquet file, so stage a copy into a per-sf
+    # temp dir (deterministic, done once)
+    import hashlib
+    import shutil
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    stream_dir = f"/tmp/datapact_stream_events_{tag}"
+    staged = os.path.join(stream_dir, "events.parquet")
+    src_file = os.path.join(sf_dir, "events.parquet")
+    if not os.path.exists(staged) or (
+        os.path.getsize(staged) != os.path.getsize(src_file)
+    ):
+        os.makedirs(stream_dir, exist_ok=True)
+        shutil.copyfile(src_file, staged)
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    ).parquet(stream_dir)
+    hist = windowed_drift_profile(
+        stream, "ts", "value", snap, bins=8,
+        window_duration="1 day", watermark="0 seconds",
+    )
+    _WINDOWED_DRIFT_SEQ[0] += 1
+    qn = f"windowed_drift_sink_{_WINDOWED_DRIFT_SEQ[0]}"
+    q = (
+        hist.writeStream.format("memory")
+        .queryName(qn)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # rebuild the (bounded: windows x bins rows) sink as a fresh
+    # relation — scores full-outer-joins it against its own distinct
+    # windows, and the memory-sink table's shared exprIds trip Spark's
+    # conflicting-reference resolution otherwise
+    sink = spark.table(qn)
+    sink = spark.createDataFrame(sink.collect(), sink.schema)
+    return windowed_drift_scores(sink, snap, bins=8).select(
+        "window_start", "window_end", "ks"
+    )
+
+
 def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (lag + running sum windows) rolled up to
     per-session stats; 30-minute gap over the events table."""
@@ -1249,6 +1319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_real_codec": q_multimodal_real_codec,
         "embedding_near_dups": q_embedding_near_dups,
         "sessionization": q_sessionization,
+        "windowed_drift": q_windowed_drift,
         "semi_join_scope": q_semi_join_scope,
         "tumbling_window_agg": q_tumbling_window_agg,
         "genie_table_quality": q_genie_table_quality,
@@ -1634,6 +1705,54 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE user_id IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
             GROUP BY event_type
+        """,
+        "windowed_drift": """
+            -- mirrors the streaming pipeline's arithmetic without the
+            -- streaming machinery: same baseline grid binning, same
+            -- zero-filled (window x baseline-bin) spine, same +1e-6,
+            -- ln, bin-ordered running CDF and PSI fold (psi = last of
+            -- the running sum == max, terms non-negative)
+            WITH b AS (SELECT MIN(CAST(value AS DOUBLE)) AS lo,
+                              MAX(CAST(value AS DOUBLE)) AS hi FROM events),
+            base AS (
+              SELECT CAST(LEAST(GREATEST(FLOOR((CAST(value AS DOUBLE) - lo) / NULLIF((hi - lo) / 8.0, 0)), 0), 7) AS INT) AS bin,
+                     CAST(COUNT(*) AS BIGINT) AS p_cnt
+              FROM events, b WHERE value IS NOT NULL GROUP BY 1),
+            wh AS (
+              SELECT date_trunc('day', ts) AS window_start,
+                     COALESCE(CAST(LEAST(GREATEST(FLOOR((CAST(value AS DOUBLE) - lo) / NULLIF((hi - lo) / 8.0, 0)), 0), 7) AS INT), 0) AS bin,
+                     CAST(COUNT(*) AS BIGINT) AS q_cnt
+              FROM events, b WHERE value IS NOT NULL GROUP BY 1, 2),
+            spine AS (SELECT w.window_start, x.bin, x.p_cnt
+                      FROM (SELECT DISTINCT window_start FROM wh) w CROSS JOIN base x),
+            merged AS (
+              SELECT COALESCE(s.window_start, h.window_start) AS window_start,
+                     COALESCE(s.bin, h.bin) AS bin,
+                     COALESCE(s.p_cnt, 0) AS p_cnt,
+                     COALESCE(h.q_cnt, 0) AS q_cnt
+              FROM spine s FULL OUTER JOIN wh h
+                ON s.window_start = h.window_start AND s.bin = h.bin),
+            tot AS (
+              SELECT window_start, bin, p_cnt, q_cnt,
+                     SUM(p_cnt) OVER (PARTITION BY window_start) AS p_tot,
+                     SUM(q_cnt) OVER (PARTITION BY window_start) AS q_tot
+              FROM merged),
+            ratio AS (
+              SELECT window_start, bin,
+                     p_cnt / CAST(p_tot AS DOUBLE) AS p,
+                     q_cnt / CAST(q_tot AS DOUBLE) AS q
+              FROM tot),
+            folded AS (
+              SELECT window_start,
+                     ABS(SUM(p) OVER (PARTITION BY window_start ORDER BY bin
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - SUM(q) OVER (PARTITION BY window_start ORDER BY bin
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cdf_gap
+              FROM ratio)
+            SELECT window_start,
+                   window_start + INTERVAL 1 DAY AS window_end,
+                   MAX(cdf_gap) AS ks
+            FROM folded GROUP BY window_start
         """,
         "tumbling_window_agg": """
             SELECT date_trunc('hour', ts) AS window_start,

@@ -243,14 +243,28 @@ def grouped_psi_ks_from_counts(
         )
         .select(
             *group_cols,
+            F.col("bin"),
             (F.col("p") + F.lit(_EPS)).alias("ps"),
             (F.col("q") + F.lit(_EPS)).alias("qs"),
             F.sum("p").over(w).alias("p_cdf"),
             F.sum("q").over(w).alias("q_cdf"),
         )
+        .select(
+            *group_cols,
+            # PSI as the LAST value of a bin-ordered running fold — the
+            # same IEEE op sequence every engine's ordered fold executes
+            # (an unordered SUM is summation-order-dependent). PSI terms
+            # are non-negative, so last-of-running == max-of-running,
+            # and the fold rides the same sorted window as the CDF.
+            F.sum(
+                (F.col("ps") - F.col("qs")) * F.log(F.col("ps") / F.col("qs"))
+            ).over(w).alias("psi_run"),
+            "p_cdf",
+            "q_cdf",
+        )
     )
     return ratios.groupBy(*group_cols).agg(
-        F.sum((F.col("ps") - F.col("qs")) * F.log(F.col("ps") / F.col("qs"))).alias("psi"),
+        F.max("psi_run").alias("psi"),
         F.max(F.abs(F.col("p_cdf") - F.col("q_cdf"))).alias("ks"),
     )
 
