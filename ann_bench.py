@@ -1,0 +1,145 @@
+"""ANN-family scale benchmark: embedding-cosine near-dup detection
+(GEMM sign-LSH signatures -> bucket self-join -> exact cosine verify)
+over a large synthetic vector corpus (sources/vecgen.py) — evidence
+that the similarity family scales: vectors/sec, verified-pair counts,
+and shuffle bytes per run, at one or two parallelism levels (the same
+taskset-pinned harness as dedup_bench.py / scaling_bench.py).
+
+Usage:  python ann_bench.py [--vecs 8000000] [--levels 32]
+        python ann_bench.py --vecs 8000000 --levels 8 32   # + efficiency
+Prints one JSON line; paste into BENCH.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, %(repo)r)
+from datapact_spark.session import get_spark
+from datapact_spark.operators.similarity import embedding_near_dups
+
+cores = int(sys.argv[1]); runs = int(sys.argv[2]); data_dir = sys.argv[3]
+warmup = int(sys.argv[4]); eventlog_dir = sys.argv[5]; bits = int(sys.argv[6])
+os.makedirs(eventlog_dir, exist_ok=True)
+local_dir = "/dev/shm/datapact_bench_local" if os.path.isdir("/dev/shm") else None
+conf = {
+    "spark.ui.enabled": "false",
+    "spark.sql.files.maxPartitionBytes": "32m",
+    "spark.driver.memory": os.environ.get("DATAPACT_DRIVER_MEM", "24g"),
+    "spark.eventLog.enabled": "true",
+    "spark.eventLog.dir": "file://" + eventlog_dir,
+    "spark.eventLog.compress": "false",
+    "spark.eventLog.rolling.enabled": "false",
+}
+if local_dir:
+    os.makedirs(local_dir, exist_ok=True)
+    conf["spark.local.dir"] = local_dir
+spark = get_spark(
+    app_name=f"ann-bench-{cores}",
+    master=f"local[{cores}]",
+    shuffle_partitions=cores * 3,
+    extra_conf=conf,
+)
+spark.sparkContext.setLogLevel("ERROR")
+vecs = spark.read.parquet(os.path.join(data_dir, "vecs"))
+out_dir = os.path.join(data_dir, f"pairs_out_{cores}")
+app_id = spark.sparkContext.applicationId
+times = []
+for i in range(runs + warmup):
+    t0 = time.monotonic()
+    # .write, not .count: count() would prune the cosine verify column
+    embedding_near_dups(
+        vecs, threshold=0.99, bits=bits, tables=4, max_bucket_size=100_000
+    ).write.mode("overwrite").parquet(out_dir)
+    dt = time.monotonic() - t0
+    if i >= warmup:
+        times.append(dt)
+pairs = spark.read.parquet(out_dir).count()
+print(json.dumps({"cores": cores, "times": times, "pairs": pairs,
+                  "app_id": app_id, "total_runs": runs + warmup}))
+spark.stop()
+"""
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--vecs", type=int, default=8_000_000)
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--warmup", type=int, default=1)
+    ap.add_argument("--levels", type=int, nargs="+", default=[32])
+    ap.add_argument("--bits", type=int, default=24,
+                    help="sign bits per table (2^bits buckets; keep the "
+                         "expected bucket occupancy ~O(1) at the corpus size)")
+    args = ap.parse_args()
+
+    data_dir = os.path.join(tempfile.gettempdir(), f"datapact_ann_{args.vecs}")
+    if not os.path.exists(os.path.join(data_dir, "vecs", "_SUCCESS")):
+        sys.path.insert(0, REPO)
+        from datapact_spark.session import get_spark
+        from datapact_spark.sources.vecgen import synthesize_vectors
+
+        spark = get_spark(
+            app_name="ann-gen", master="local[32]", shuffle_partitions=64,
+            extra_conf={"spark.ui.enabled": "false",
+                        "spark.driver.memory": os.environ.get("DATAPACT_DRIVER_MEM", "24g")},
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        synthesize_vectors(spark, args.vecs).repartition(64).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(data_dir, "vecs"))
+        spark.stop()
+
+    sys.path.insert(0, REPO)
+    from scaling_bench import shuffle_bytes_from_eventlog
+
+    worker_py = WORKER % {"repo": REPO}
+    eventlog_dir = os.path.join(data_dir, "eventlogs")
+    results = {}
+    for cores in args.levels:
+        cmd = [sys.executable, "-c", worker_py, str(cores), str(args.runs),
+               data_dir, str(args.warmup), eventlog_dir, str(args.bits)]
+        if os.path.exists("/usr/bin/taskset"):
+            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+        out = subprocess.run(cmd, capture_output=True, text=True, timeout=7200)
+        if out.returncode != 0:
+            raise RuntimeError(f"worker failed:\n{out.stderr[-3000:]}")
+        r = json.loads(out.stdout.strip().splitlines()[-1])
+        r["shuffle_bytes_total"] = shuffle_bytes_from_eventlog(eventlog_dir, r["app_id"])
+        r["shuffle_gb_per_run"] = round(
+            r["shuffle_bytes_total"] / max(r["total_runs"], 1) / 1e9, 3
+        )
+        results[cores] = r
+
+    n_input = args.vecs + (args.vecs + 63) // 64  # base + injected exact dups
+    report = {
+        "workload": "embedding_near_dups (sign-LSH GEMM + bucket self-join)",
+        "vectors": n_input,
+        "dim": 64,
+        "bits": args.bits,
+        "tables": 4,
+        "expected_pairs": (args.vecs + 63) // 64,
+    }
+    for cores, r in sorted(results.items()):
+        best = min(r["times"])
+        report[f"sec_local[{cores}]"] = round(best, 2)
+        report[f"vecs_per_sec_local[{cores}]"] = round(n_input / best, 1)
+        report[f"shuffle_gb_per_run_local[{cores}]"] = r["shuffle_gb_per_run"]
+        report["pairs_found"] = r["pairs"]
+    if len(args.levels) == 2:
+        lo, hi = sorted(args.levels)
+        eff = (min(results[lo]["times"]) / min(results[hi]["times"])) / (hi / lo)
+        report["scaling_efficiency"] = round(eff, 3)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,38 @@
+"""Deterministic synthetic embedding corpus for ANN scale benches.
+
+Vectors are JVM-side pseudo-random uniforms in [-1, 1): component i of
+row id is ``pmod(xxhash64(id, i, seed), 2_000_001)/1e6 - 1`` — no Python
+in the data path, stable across partitionings. Every ``dup_every``-th
+vector is duplicated verbatim with id offset +n, so the exact-copy
+near-dup population (and therefore LSH recall ground truth) is known in
+closed form: ceil(n / dup_every) pairs at cosine 1.0.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def synthesize_vectors(
+    spark: SparkSession,
+    n: int,
+    dim: int = 64,
+    dup_every: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: (
+                F.pmod(F.xxhash64(F.col("id"), i, F.lit(seed)), F.lit(2_000_001))
+                / F.lit(1_000_000.0)
+                - F.lit(1.0)
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    dups = base.where(F.col("vec_id") % dup_every == 0).select(
+        (F.col("vec_id") + n).alias("vec_id"), "embedding"
+    )
+    return base.unionByName(dups)
