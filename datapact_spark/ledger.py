@@ -139,15 +139,31 @@ class IvfIndexStore:
     def write(self, name: str, centroids, assigned: DataFrame) -> None:
         """``centroids``: (nlist, dim) ndarray; ``assigned``: the
         ``similarity.ivf_assignments`` output for the corpus."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         d = self._dir(name)
-        cent_rows = [
-            (int(i), [float(x) for x in row]) for i, row in enumerate(centroids)
-        ]
-        self.spark.createDataFrame(
-            cent_rows, "list_id long, centroid array<double>"
-        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "centroids"))
+        # centroids are nlist driver-side rows — write them directly
+        # with pyarrow (a Spark job for 8 rows costs seconds of pure
+        # scheduling overhead); Spark reads the file back fine
+        cdir = os.path.join(d, "centroids")
+        os.makedirs(cdir, exist_ok=True)
+        tbl = pa.table(
+            {
+                "list_id": pa.array(range(len(centroids)), pa.int64()),
+                "centroid": pa.array(
+                    [[float(x) for x in row] for row in centroids],
+                    pa.list_(pa.float64()),
+                ),
+            }
+        )
+        pq.write_table(tbl, os.path.join(cdir, "part-00000.parquet"))
+        open(os.path.join(cdir, "_SUCCESS"), "w").close()
         (
-            assigned.write.mode("overwrite")
+            # repartition on the partition column: each list is written
+            # by one task => nlist files, not tasks x nlist
+            assigned.repartition("list_id")
+            .write.mode("overwrite")
             .partitionBy("list_id")
             .parquet(os.path.join(d, "corpus"))
         )
