@@ -895,6 +895,54 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", "cosine_sim")
 
 
+def q_partitioned_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's FLAGSHIP scale mode — per-partition-group verdicts
+    with SALTED profiles carrying the fingerprint row-hash fold
+    (salt_buckets=4, row_hash_mode=fingerprint) — strict-oracle-checked
+    end to end. The target is a deterministically corrupted orders
+    copy: '1-URGENT' loses every 101st row (count check must fail it),
+    '3-MEDIUM' gets every 97th o_totalprice bumped (+1.0 — counts
+    equal, so ONLY the fingerprint gate routes it to the exact join;
+    the other three groups are clean and must verify with zero join,
+    total_compared == source_count). The oracle recomputes every
+    emitted column from first principles: per-group counts, inner-join
+    matched counts, and value-inequality mismatches — equal to the
+    hash-based engine decision up to a 2^-64 fold collision, the same
+    bound every hash query here carries."""
+    from datapact_spark.config import ValidationTask
+    from datapact_spark.plans.partitioned import compile_partition_verdicts
+    from datapact_spark.sources.loader import TableResolver
+
+    orders = _t(spark, sf_dir, "orders")
+    tgt = orders.where(
+        ~((F.col("o_orderpriority").like("1%")) & (F.col("o_orderkey") % 101 == 0))
+    ).withColumn(
+        "o_totalprice",
+        F.when(
+            (F.col("o_orderpriority").like("3%")) & (F.col("o_orderkey") % 97 == 0),
+            F.col("o_totalprice") + F.lit(1.0),
+        ).otherwise(F.col("o_totalprice")),
+    )
+    resolver = TableResolver(spark)
+    resolver.register("pv_src", orders)
+    resolver.register("pv_tgt", tgt)
+    task = ValidationTask(
+        task_key="pv", source="pv_src", target="pv_tgt",
+        primary_keys=["o_orderkey"], partition_by=["o_orderpriority"],
+        count_tolerance=0.0, pk_row_hash_check=True, pk_hash_tolerance=0.0,
+        hash_columns=["o_totalprice", "o_orderstatus"], hash_algo="md5",
+        uniqueness_columns=["o_orderkey"], uniqueness_tolerance=0.0,
+        row_hash_mode="fingerprint",
+    )
+    v = compile_partition_verdicts(spark, task, resolver, salt_buckets=4)
+    return v.select(
+        "o_orderpriority", "source_count", "target_count",
+        "total_compared_rows", "mismatch_count",
+        "count_passed", "row_hash_passed", "uniqueness_passed",
+        "overall_validation_passed",
+    )
+
+
 _WINDOWED_DRIFT_SEQ = [0]
 
 
@@ -1320,6 +1368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "sessionization": q_sessionization,
         "windowed_drift": q_windowed_drift,
+        "partitioned_verdict": q_partitioned_verdict,
         "semi_join_scope": q_semi_join_scope,
         "tumbling_window_agg": q_tumbling_window_agg,
         "genie_table_quality": q_genie_table_quality,
@@ -1706,6 +1755,47 @@ def oracle_sql() -> dict[str, str]:
             WHERE user_id IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
             GROUP BY event_type
         """,
+        "partitioned_verdict": """
+            -- first-principles recomputation of the per-group verdict:
+            -- counts, inner-join matched counts, value-inequality
+            -- mismatches. "clean" (counts equal AND no value mismatch)
+            -- corresponds to the engine's fingerprint-equal gate up to
+            -- a 2^-64 fold collision.
+            WITH src AS (
+              SELECT o_orderkey, o_orderpriority, o_totalprice, o_orderstatus
+              FROM orders),
+            tgt AS (
+              SELECT o_orderkey, o_orderpriority,
+                     CASE WHEN o_orderpriority LIKE '3%' AND o_orderkey % 97 = 0
+                          THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+                     o_orderstatus
+              FROM orders
+              WHERE NOT (o_orderpriority LIKE '1%' AND o_orderkey % 101 = 0)),
+            s AS (SELECT o_orderpriority g, CAST(COUNT(*) AS BIGINT) c FROM src GROUP BY 1),
+            t AS (SELECT o_orderpriority g, CAST(COUNT(*) AS BIGINT) c FROM tgt GROUP BY 1),
+            j AS (
+              SELECT src.o_orderpriority g,
+                     CAST(COUNT(*) AS BIGINT) AS matched,
+                     CAST(SUM(CASE WHEN src.o_totalprice <> tgt.o_totalprice
+                                     OR src.o_orderstatus <> tgt.o_orderstatus
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS mm
+              FROM src JOIN tgt USING (o_orderkey) GROUP BY 1)
+            SELECT s.g AS o_orderpriority,
+                   s.c AS source_count,
+                   COALESCE(t.c, 0) AS target_count,
+                   CASE WHEN s.c = t.c AND j.mm = 0 THEN s.c ELSE j.matched END
+                     AS total_compared_rows,
+                   CASE WHEN s.c = t.c AND j.mm = 0 THEN 0 ELSE j.mm END
+                     AS mismatch_count,
+                   (s.c = COALESCE(t.c, 0)) AS count_passed,
+                   (CASE WHEN s.c = t.c AND j.mm = 0 THEN 0 ELSE j.mm END = 0)
+                     AS row_hash_passed,
+                   TRUE AS uniqueness_passed,
+                   ((s.c = COALESCE(t.c, 0))
+                     AND (CASE WHEN s.c = t.c AND j.mm = 0 THEN 0 ELSE j.mm END = 0))
+                     AS overall_validation_passed
+            FROM s LEFT JOIN t ON s.g = t.g LEFT JOIN j ON s.g = j.g
+        """,
         "windowed_drift": """
             -- mirrors the streaming pipeline's arithmetic without the
             -- streaming machinery: same baseline grid binning, same
@@ -1719,7 +1809,9 @@ def oracle_sql() -> dict[str, str]:
                      CAST(COUNT(*) AS BIGINT) AS p_cnt
               FROM events, b WHERE value IS NOT NULL GROUP BY 1),
             wh AS (
-              SELECT date_trunc('day', ts) AS window_start,
+              -- day-precision date_trunc yields DATE in DuckDB; the
+              -- Spark window start is a TIMESTAMP
+              SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
                      COALESCE(CAST(LEAST(GREATEST(FLOOR((CAST(value AS DOUBLE) - lo) / NULLIF((hi - lo) / 8.0, 0)), 0), 7) AS INT), 0) AS bin,
                      CAST(COUNT(*) AS BIGINT) AS q_cnt
               FROM events, b WHERE value IS NOT NULL GROUP BY 1, 2),
