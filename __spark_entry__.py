@@ -943,6 +943,65 @@ def q_partitioned_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EVENTS_STREAM_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string,"
+    " value double, props string"
+)
+_STREAM_SINK_SEQ = [0]
+
+
+def _staged_events_dir(sf_dir: str) -> str:
+    """The file stream source requires a DIRECTORY; the testdata events
+    table is a single parquet file, so stage a copy into a per-sf temp
+    dir (deterministic, done once)."""
+    import hashlib
+    import shutil
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    stream_dir = f"/tmp/datapact_stream_events_{tag}"
+    staged = os.path.join(stream_dir, "events.parquet")
+    src_file = os.path.join(sf_dir, "events.parquet")
+    if not os.path.exists(staged) or (
+        os.path.getsize(staged) != os.path.getsize(src_file)
+    ):
+        os.makedirs(stream_dir, exist_ok=True)
+        shutil.copyfile(src_file, staged)
+    return stream_dir
+
+
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL stateful streaming sessionizer
+    (``applyInPandasWithState``, event-time timeouts, multi-interval
+    reopenable state) run to completion over the events stream, STRICT
+    oracle: with a 0-second watermark delay the final watermark is the
+    max event time, so the emitted set is exactly the batch
+    gaps-and-islands sessions whose close horizon (session_end + gap)
+    the watermark passed — a plain SQL predicate. Every emitted column
+    (start/end timestamps, event counts) must match the batch
+    derivation µs-exactly."""
+    from datapact_spark.streaming.incremental import stateful_sessionize
+
+    stream = spark.readStream.schema(_EVENTS_STREAM_SCHEMA).parquet(
+        _staged_events_dir(sf_dir)
+    )
+    sessions = stateful_sessionize(
+        stream.where("user_id < 200"), gap_minutes=30, watermark="0 seconds"
+    )
+    _STREAM_SINK_SEQ[0] += 1
+    qn = f"stream_sessions_sink_{_STREAM_SINK_SEQ[0]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(qn)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qn).select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+
+
 _WINDOWED_DRIFT_SEQ = [0]
 
 
@@ -969,25 +1028,9 @@ def q_windowed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     snap = histogram_snapshot(ev, "value", bins=8)
-    # the file stream source requires a DIRECTORY; the testdata events
-    # table is a single parquet file, so stage a copy into a per-sf
-    # temp dir (deterministic, done once)
-    import hashlib
-    import shutil
-
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    stream_dir = f"/tmp/datapact_stream_events_{tag}"
-    staged = os.path.join(stream_dir, "events.parquet")
-    src_file = os.path.join(sf_dir, "events.parquet")
-    if not os.path.exists(staged) or (
-        os.path.getsize(staged) != os.path.getsize(src_file)
-    ):
-        os.makedirs(stream_dir, exist_ok=True)
-        shutil.copyfile(src_file, staged)
-    stream = spark.readStream.schema(
-        "event_id long, ts timestamp, user_id long, event_type string,"
-        " value double, props string"
-    ).parquet(stream_dir)
+    stream = spark.readStream.schema(_EVENTS_STREAM_SCHEMA).parquet(
+        _staged_events_dir(sf_dir)
+    )
     hist = windowed_drift_profile(
         stream, "ts", "value", snap, bins=8,
         window_duration="1 day", watermark="0 seconds",
@@ -1369,6 +1412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionization": q_sessionization,
         "windowed_drift": q_windowed_drift,
         "partitioned_verdict": q_partitioned_verdict,
+        "streaming_sessions": q_streaming_sessions,
         "semi_join_scope": q_semi_join_scope,
         "tumbling_window_agg": q_tumbling_window_agg,
         "genie_table_quality": q_genie_table_quality,
@@ -1754,6 +1798,34 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE user_id IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
             GROUP BY event_type
+        """,
+        "streaming_sessions": """
+            -- batch gaps-and-islands sessions, filtered to those the
+            -- final watermark (max event time, 0s delay) sealed:
+            -- session_end + gap < watermark. Mirrors the streaming
+            -- emission contract exactly.
+            WITH ev AS (SELECT user_id, ts FROM events WHERE user_id < 200),
+            marked AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+                          THEN 1 ELSE 0 END AS is_new
+              FROM ev),
+            sessioned AS (
+              SELECT user_id, ts,
+                     SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM marked),
+            sess AS (
+              SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+                     CAST(COUNT(*) AS BIGINT) AS n_events
+              FROM sessioned GROUP BY user_id, sid)
+            SELECT user_id, session_start, session_end, n_events
+            FROM sess
+            -- Spark tracks the watermark in MILLISECONDS: mirror the
+            -- floor-to-ms truncation of the max event time
+            WHERE epoch_us(session_end) + 1800000000
+                  < (SELECT (MAX(epoch_us(ts)) // 1000) * 1000 FROM ev)
         """,
         "partitioned_verdict": """
             -- first-principles recomputation of the per-group verdict:
