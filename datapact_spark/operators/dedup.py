@@ -275,29 +275,55 @@ def simhash(
     xxhash64). Pass an engine-portable hash (e.g. the md5-prefix fold
     used by the oracle-checked driver query) to make the whole simhash
     reproducible outside Spark; pass ``bits`` ≤ the hash's bit width."""
-    # Explode tokens to (id, token_hash) rows, then one grouped aggregate
-    # with `bits` codegen'd SUM(±1) expressions — per-bit balances without
-    # any higher-order lambda (HOFs are interpreted and re-evaluate
-    # captured expressions per element; this shape is whole-stage codegen
-    # with map-side partial aggregation, same as the minhash signatures).
+    # Explode tokens to (id, token_hash) rows, then ONE grouped
+    # aggregate of lane-packed popcounts: each SUM accumulates 3 bit
+    # positions in disjoint 20-bit lanes of a long (no higher-order
+    # lambda — HOFs are interpreted and re-evaluate captured
+    # expressions per element; this shape is whole-stage codegen with
+    # map-side partial aggregation, same as the minhash signatures).
+    # balance_i = 2*ones_i - n, so ceil(bits/3) packed sums + one count
+    # replace `bits` SUM(±1) expressions — 64 bits costs 23 aggregate
+    # buffers instead of 64, a ~3× smaller codegen'd update loop.
+    # Lane width 20 bits ⇒ exact for documents up to 2^20-1 (~1M)
+    # whitespace tokens (a >5 MB single document); beyond that, lane
+    # carries would corrupt neighboring bits.
     if token_hash is None:
         token_hash = F.xxhash64
+    lanes_per_sum = 3
+    lane_bits = 20
     tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     exploded = df.select(
         F.col(id_col).alias("id"), F.explode(tokens).alias("tok")
     ).select("id", token_hash(F.col("tok")).alias("h"))
-    balance_exprs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(bits)
-    ]
-    balances = exploded.groupBy("id").agg(*balance_exprs)
+
+    def packed(j: int) -> F.Column:
+        # lanes j*3, j*3+1, j*3+2 → bits of h at those positions
+        addend = None
+        for k in range(lanes_per_sum):
+            i = j * lanes_per_sum + k
+            if i >= bits:
+                break
+            bit = F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))
+            term = F.shiftleft(bit, k * lane_bits)
+            addend = term if addend is None else addend + term
+        return F.sum(addend).alias(f"p{j}")
+
+    n_sums = (bits + lanes_per_sum - 1) // lanes_per_sum
+    balances = exploded.groupBy("id").agg(
+        F.count(F.lit(1)).alias("__n"), *[packed(j) for j in range(n_sums)]
+    )
+    lane_mask = (1 << lane_bits) - 1
     sim = F.lit(0).cast("long")
     for i in range(bits):
+        j, k = divmod(i, lanes_per_sum)
+        ones = F.shiftright(F.col(f"p{j}"), k * lane_bits).bitwiseAND(
+            F.lit(lane_mask)
+        )
+        # sign(2*ones - n) > 0  ⇔  2*ones > n
         sim = sim.bitwiseOR(
             F.when(
-                F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+                ones * 2 > F.col("__n"),
+                F.shiftleft(F.lit(1).cast("long"), i),
             ).otherwise(F.lit(0).cast("long"))
         )
     return balances.select("id", sim.alias("simhash"))
