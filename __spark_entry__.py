@@ -1028,6 +1028,9 @@ def q_windowed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     snap = histogram_snapshot(ev, "value", bins=8)
+    # materialize the (bins rows) snapshot once: the stream's bin join
+    # and the scoring stage otherwise each re-run its aggregate scans
+    snap = spark.createDataFrame(snap.collect(), snap.schema)
     stream = spark.readStream.schema(_EVENTS_STREAM_SCHEMA).parquet(
         _staged_events_dir(sf_dir)
     )

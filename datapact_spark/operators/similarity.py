@@ -330,6 +330,7 @@ def ivf_topk(
     seed: int = 42,
     index_store=None,
     index_name: str | None = None,
+    rebuild: bool = False,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the coarse-quantizer
     scale path alongside ``lsh_topk``: the corpus is partitioned into
@@ -343,9 +344,13 @@ def ivf_topk(
     training and corpus assignment run only when the named index does
     not exist yet; later calls serve queries straight from the stored
     (centroids, assignments) — no training pass, no corpus GEMM, and
-    partition pruning on the probed lists."""
+    partition pruning on the probed lists. The CALLER owns index
+    invalidation: a changed corpus is served stale until
+    ``rebuild=True`` (or the index directory is deleted) — checking
+    corpus identity automatically would cost the very scan the index
+    exists to avoid."""
     if index_store is not None and index_name is not None:
-        if not index_store.exists(index_name):
+        if rebuild or not index_store.exists(index_name):
             cents = train_ivf_centroids(
                 corpus, nlist, id_col, vec_col, iters, sample_fraction, seed
             )
