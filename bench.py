@@ -48,7 +48,10 @@ def main() -> None:
     for name, fn in queries.items():
         t0 = time.monotonic()
         df = fn(spark, sf_dir)
-        n = df.count()  # full materialization of the result
+        # noop sink: evaluates EVERY output column (count() would let
+        # Catalyst prune projection-only metrics — md5 fingerprints,
+        # quality scores — and under-measure those queries)
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.monotonic() - t0, 4)
 
     # flagship throughput: one full multi-check validation over lineitem
