@@ -136,3 +136,28 @@ class TestPng:
         px = np.full((3, 4, 3), 7, dtype=np.uint8)
         feats = media_feature_codec(4)(encode_png(px))
         assert feats.tolist() == [7.0 * 3 * 4 * 3, 12.0, 4.0, 3.0]
+
+    def test_round_trip_property(self):
+        """Property: decode(encode(px, any filter plan)) == px for
+        arbitrary shapes and contents."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from datapact_spark.operators.codecs import decode_png, encode_png
+
+        @settings(max_examples=30, deadline=None)
+        @given(
+            h=st.integers(1, 12),
+            w=st.integers(1, 12),
+            seed=st.integers(0, 2**31 - 1),
+            mode=st.sampled_from([0, 1, 2, 3, 4, "mixed", "random"]),
+        )
+        def check(h, w, seed, mode):
+            rng = np.random.RandomState(seed)
+            px = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+            filters = (
+                [int(x) for x in rng.randint(0, 5, h)] if mode == "random" else mode
+            )
+            assert (decode_png(encode_png(px, filters=filters)) == px).all()
+
+        check()

@@ -159,6 +159,22 @@ def test_grouped_drift_in_partitioned_task(spark, tmp_path):
     assert rows["g2"]["drift_x_psi_passed"] is False
     assert rows["g2"]["overall_validation_passed"] is False
 
+    # same verdict decisions through the grouped KLL sketch path
+    task_kll = ValidationTask(
+        task_key="gdk", source="s", target="t", partition_by=["grp"],
+        count_tolerance=0.0,
+        drift_checks=[{
+            "column": "x", "metric": "ks", "threshold": 0.1, "sketch": "kll",
+        }],
+    )
+    rows = {
+        r["grp"]: r
+        for r in compile_partition_verdicts(spark, task_kll, resolver).collect()
+    }
+    assert rows["g1"]["drift_x_ks_passed"] is True
+    assert rows["g2"]["drift_x_ks_passed"] is False
+    assert rows["g2"]["overall_validation_passed"] is False
+
 
 def test_snapshot_baseline_lifecycle(spark, dists, tmp_path):
     """Snapshot-mode drift: run 1 bootstraps the baseline (vacuous
