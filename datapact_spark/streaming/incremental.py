@@ -296,6 +296,13 @@ def drift_monitor_stream(
     The first batch bootstraps the baseline (vacuous pass), exactly
     like the batch engine's snapshot lifecycle.  Returns the
     StreamingQuery.
+
+    Sketch family: t-digest only. The running-baseline fold needs a
+    MERGEABLE stored sketch; a KLL/percentile_approx summary
+    (DriftCheck sketch='kll') is already collapsed to quantile points
+    when stored, so it supports batch snapshot comparison but not this
+    incremental merge (histograms would merge, but the digest adapts
+    its support as the stream drifts — the right default here).
     """
     from datapact_spark.operators.quantiles import (
         merge_tdigests,
