@@ -876,6 +876,32 @@ def q_multimodal_real_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode path, oracle-checked: header-valid
+    uncompressed-AVI payloads (closed-form pixel formula) are parsed by
+    the pure-numpy RIFF/AVI codec inside the mapInPandas batch loop,
+    frames are uniformly SAMPLED (k=2: indices 0 and n//2), and the
+    recovered sampled-pixel sums are rolled up. DuckDB derives the same
+    sums from the generation formula and the sampling index rule
+    without parsing any container — a green row proves the chunk walk,
+    DIB frame decode, AND the frame sampler are bit-exact."""
+    from datapact_spark.operators.codecs import media_feature_codec
+    from datapact_spark.operators.multimodal import (
+        extract_features,
+        synthesize_real_video_table,
+    )
+
+    media = synthesize_real_video_table(spark, n=60)
+    feats = extract_features(
+        media, feature_dim=4, codec=media_feature_codec(4, video_sample_k=2)
+    )
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.element_at("feature", 1).cast("long")).alias("content_sum"),
+        F.sum(F.element_at("feature", 2).cast("long")).alias("frames_sum"),
+    )
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection, STRICT oracle: DuckDB
     brute-forces all-pairs cosine ≥ 0.99 as ground truth (at sf0.01
@@ -1416,6 +1442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_drift": q_windowed_drift,
         "partitioned_verdict": q_partitioned_verdict,
         "streaming_sessions": q_streaming_sessions,
+        "multimodal_video": q_multimodal_video,
         "semi_join_scope": q_semi_join_scope,
         "tumbling_window_agg": q_tumbling_window_agg,
         "genie_table_quality": q_genie_table_quality,
@@ -1801,6 +1828,33 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE user_id IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
             GROUP BY event_type
+        """,
+        "multimodal_video": """
+            -- independent derivation: the Spark side encodes real AVI
+            -- containers, decodes them with the pure-numpy codec,
+            -- samples frames 0 and n//2 (k=2 uniform rule
+            -- floor(i*n/k)), and sums the recovered pixels; the oracle
+            -- computes the same sums from the generation formula and
+            -- the index rule (no parsing)
+            WITH ids AS (SELECT range AS id FROM range(60)),
+            v AS (SELECT id, id % 3 + 2 AS nf, id % 4 + 2 AS w, id % 3 + 2 AS h
+                  FROM ids),
+            px AS (
+              SELECT v.id,
+                     SUM(CASE WHEN f.f = 0 OR f.f = v.nf // 2
+                              THEN (v.id * 13 + f.f * 29 + y.y * 7 + x.x * 3 + c.c) % 256
+                              ELSE 0 END) AS content,
+                     MAX(v.nf) AS frames
+              FROM v,
+                   LATERAL (SELECT unnest(generate_series(0, v.nf - 1)) AS f) f,
+                   LATERAL (SELECT unnest(generate_series(0, v.h - 1)) AS y) y,
+                   LATERAL (SELECT unnest(generate_series(0, v.w - 1)) AS x) x,
+                   (SELECT unnest([0, 1, 2]) AS c) c
+              GROUP BY v.id)
+            SELECT 'video' AS kind, COUNT(*) AS n,
+                   CAST(SUM(content) AS BIGINT) AS content_sum,
+                   CAST(SUM(frames) AS BIGINT) AS frames_sum
+            FROM px
         """,
         "streaming_sessions": """
             -- batch gaps-and-islands sessions, filtered to those the

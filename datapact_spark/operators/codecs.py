@@ -1,6 +1,6 @@
 """Pure-numpy media codecs: real decoders that need no external
 library — 24-bit uncompressed BMP and zlib-compressed 8-bit RGB PNG
-(image), PCM16 WAV (audio).
+(image), PCM16 WAV (audio), uncompressed 24-bit AVI (video).
 
 These make ``extract_features(..., codec=...)`` a REAL decode path
 in-sandbox (multimodal.py's ``decode_stub=False`` seam): the payloads
@@ -8,9 +8,10 @@ are genuine header-valid containers, the decoders parse the actual
 binary layout (BITMAPFILEHEADER/BITMAPINFOHEADER incl. bottom-up rows,
 BGR order and 4-byte row padding; RIFF/WAVE fmt+data chunk walking),
 and the encoders exist so tests and queries can synthesize valid
-payloads deterministically. Video stays stubbed (no pure-numpy
-container is practical); the frame-sample plan in multimodal.py is the
-skeleton a real ffmpeg codec would hang off.
+payloads deterministically. Video is covered by the uncompressed
+24-bit AVI codec below — a real RIFF container (the video analogue of
+BMP/WAV); compressed codecs (H.264 etc.) still require ffmpeg and
+raise NotImplementedError at the seam.
 
 Everything here runs INSIDE the Arrow batch loop of ``mapInPandas`` —
 per-payload numpy, no Spark APIs — which is exactly the vectorized
@@ -235,15 +236,135 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     return rate, data
 
 
+# --------------------------------------------------------------- AVI
+# Uncompressed ('DIB ') 24-bit RGB AVI — the video analogue of BMP/WAV:
+# a real RIFF container (hdrl with avih/strh/strf headers, movi LIST of
+# 00db raw frames), parsed by mainstream players, needing only struct +
+# numpy. Replaces the former "no pure-numpy video container" stub.
+
+
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """(n, h, w, 3) uint8 RGB frames → uncompressed 24-bit AVI bytes
+    (RIFF 'AVI ', video stream only, '00db' raw bottom-up BGR DIBs)."""
+    fr = np.asarray(frames, dtype=np.uint8)
+    n, h, w, _ = fr.shape
+    row_size = (w * 3 + 3) // 4 * 4
+    frame_size = row_size * h
+    pad = b"\x00" * (row_size - w * 3)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return tag + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    def lst(fourcc: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps,  # microseconds per frame
+        frame_size * fps,  # max bytes per second
+        0,                 # padding granularity
+        0,                 # flags (no index chunk written)
+        n, 0, 1, frame_size, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0,
+        1, fps,            # rate/scale: fps frames per second
+        0, n, frame_size, 0xFFFFFFFF, 0,
+        0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 2835, 2835, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_body = b"".join(
+        chunk(
+            b"00db",
+            b"".join(fr[i, y, :, ::-1].tobytes() + pad for y in range(h - 1, -1, -1)),
+        )
+        for i in range(n)
+    )
+    movi = lst(b"movi", movi_body)
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi(payload: bytes) -> tuple[int, np.ndarray]:
+    """Uncompressed 24-bit AVI bytes → (fps, (n, h, w, 3) uint8 RGB).
+    Walks RIFF/LIST chunks; only 'DIB '/raw 00db video is supported —
+    compressed codecs raise NotImplementedError at the seam."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    w = h = n = None
+    fps = 0
+    frames: list[np.ndarray] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal w, h, n, fps
+        while pos + 8 <= end:
+            tag = payload[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", payload, pos + 4)
+            body_start = pos + 8
+            if tag == b"LIST":
+                walk(body_start + 4, body_start + size)
+            elif tag == b"avih":
+                vals = struct.unpack_from("<IIIIIIIIIIIIII", payload, body_start)
+                n = vals[4]
+                w, h = vals[8], vals[9]
+            elif tag == b"strh":
+                fcc_type, fcc_handler = struct.unpack_from("<4s4s", payload, body_start)
+                if fcc_type == b"vids" and fcc_handler not in (b"DIB ", b"\x00\x00\x00\x00"):
+                    raise NotImplementedError(
+                        f"only uncompressed DIB video (got {fcc_handler!r})"
+                    )
+                if fcc_type == b"vids":
+                    scale, rate = struct.unpack_from("<II", payload, body_start + 20)
+                    fps = rate // max(scale, 1)
+            elif tag == b"strf":
+                _sz, bw, bh, _planes, bpp, comp = struct.unpack_from(
+                    "<IiiHHI", payload, body_start
+                )
+                if bpp != 24 or comp != 0:
+                    raise NotImplementedError("only 24-bit uncompressed AVI frames")
+                w, h = bw, abs(bh)
+            elif tag in (b"00db", b"00dc"):
+                row_size = (w * 3 + 3) // 4 * 4
+                arr = np.frombuffer(payload, np.uint8, count=row_size * h,
+                                    offset=body_start)
+                arr = arr.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
+                frames.append(arr[::-1, :, ::-1].copy())  # bottom-up BGR → RGB
+            pos = body_start + size + (size & 1)
+
+    walk(12, len(payload))
+    if w is None or not frames:
+        raise ValueError("AVI missing headers or frames")
+    return fps, np.stack(frames)
+
+
+def sample_frames(frames: np.ndarray, k: int) -> np.ndarray:
+    """Deterministic uniform frame sampling: k frames at indices
+    floor(i * n / k), i = 0..k-1 (all frames when k >= n)."""
+    n = frames.shape[0]
+    if k >= n:
+        return frames
+    idx = [(i * n) // k for i in range(k)]
+    return frames[idx]
+
+
 # ------------------------------------------------------- feature codec
-def media_feature_codec(feature_dim: int = 4):
+def media_feature_codec(feature_dim: int = 4, video_sample_k: int = 4):
     """bytes → float32 feature vector, dispatching on the container's
-    magic bytes (BM → BMP, \\x89PNG → PNG, RIFF → WAV). Features are
-    integer-exact in float32 at test sizes so rollups are
-    oracle-checkable:
+    magic bytes (BM → BMP, \\x89PNG → PNG, RIFF+WAVE → WAV,
+    RIFF+'AVI ' → AVI). Features are integer-exact in float32 at test
+    sizes so rollups are oracle-checkable:
 
       BMP/PNG: [pixel_sum, n_pixels, width, height]
       WAV:     [sample_sum, n_samples, sample_rate, 1]
+      AVI:     [pixel_sum over ``video_sample_k`` uniformly sampled
+                frames (indices floor(i*n/k)), n_frames, width, height]
 
     padded/truncated to ``feature_dim``. Plug into
     ``multimodal.extract_features(media, codec=media_feature_codec())``.
@@ -254,6 +375,16 @@ def media_feature_codec(feature_dim: int = 4):
             px = decode_bmp(payload) if payload[:2] == b"BM" else decode_png(payload)
             h, w, _ = px.shape
             feats = [float(px.sum(dtype=np.int64)), float(h * w), float(w), float(h)]
+        elif payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+            _fps, frames = decode_avi(payload)
+            n, h, w, _ = frames.shape
+            sampled = sample_frames(frames, video_sample_k)
+            feats = [
+                float(sampled.sum(dtype=np.int64)),
+                float(n),
+                float(w),
+                float(h),
+            ]
         elif payload[:4] == b"RIFF":
             rate, samples = decode_wav(payload)
             feats = [
@@ -263,7 +394,7 @@ def media_feature_codec(feature_dim: int = 4):
                 1.0,
             ]
         else:
-            raise ValueError("unknown container (expected BMP or WAV)")
+            raise ValueError("unknown container (expected BMP, PNG, WAV, or AVI)")
         feats = (feats + [0.0] * feature_dim)[:feature_dim]
         return np.asarray(feats, dtype=np.float32)
 

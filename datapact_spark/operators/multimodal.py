@@ -13,7 +13,7 @@ exact plug-in point, and ``codec=`` injects a real decoder —
 ``operators/codecs.py`` ships pure-numpy BMP (24-bit) and WAV (PCM16)
 decoders, so image and audio have a REAL in-sandbox decode path
 (``synthesize_real_media_table`` below builds genuine container bytes
-for it). Video stays stubbed pending ffmpeg.
+for it). Video has a REAL uncompressed-AVI path (codecs.encode_avi/decode_avi + sample_frames); compressed codecs stay behind the seam pending ffmpeg.
 """
 
 from __future__ import annotations
@@ -150,6 +150,40 @@ def extract_features(
             )
 
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def synthesize_real_video_table(spark, n: int = 40) -> DataFrame:
+    """Header-valid REAL uncompressed-AVI payloads, Arrow-batched from
+    a deterministic closed-form content formula an independent engine
+    can replicate:
+
+      frames = id%3+2, w = id%4+2, h = id%3+2, fps 10,
+      pixel[f,y,x,c] = (id*13 + f*29 + y*7 + x*3 + c) % 256
+
+    Decoding through ``decode_avi`` and summing pixels over the
+    deterministic frame sample proves the container parser and the
+    frame sampler recover content bit-exactly — the video edition of
+    the BMP/WAV/PNG real-decode oracle."""
+    from datapact_spark.operators.codecs import encode_avi
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                nf, w, h = mid % 3 + 2, mid % 4 + 2, mid % 3 + 2
+                f, y, x, c = np.mgrid[0:nf, 0:h, 0:w, 0:3]
+                px = ((mid * 13 + f * 29 + y * 7 + x * 3 + c) % 256).astype(
+                    np.uint8
+                )
+                out.append((mid, "video", encode_avi(px, fps=10), "video/avi"))
+            yield pd.DataFrame(
+                out, columns=["media_id", "kind", "payload", "mime"]
+            )
+
+    return spark.range(n).mapInPandas(
+        build, schema="media_id long, kind string, payload binary, mime string"
+    )
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

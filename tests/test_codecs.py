@@ -161,3 +161,38 @@ class TestPng:
             assert (decode_png(encode_png(px, filters=filters)) == px).all()
 
         check()
+
+
+class TestAvi:
+    """Uncompressed 24-bit AVI codec: RIFF chunk walk + DIB frames."""
+
+    def test_round_trip(self):
+        from datapact_spark.operators.codecs import decode_avi, encode_avi
+
+        rng = np.random.RandomState(5)
+        for n, h, w in [(1, 2, 2), (4, 3, 5), (6, 7, 3)]:
+            fr = rng.randint(0, 256, (n, h, w, 3), dtype=np.uint8)
+            fps, got = decode_avi(encode_avi(fr, fps=24))
+            assert fps == 24 and (got == fr).all()
+
+    def test_frame_sampling_rule(self):
+        from datapact_spark.operators.codecs import sample_frames
+
+        fr = np.arange(10 * 2 * 2 * 3, dtype=np.uint8).reshape(10, 2, 2, 3)
+        assert (sample_frames(fr, 4) == fr[[0, 2, 5, 7]]).all()
+        assert (sample_frames(fr, 3) == fr[[0, 3, 6]]).all()
+        assert sample_frames(fr, 99).shape[0] == 10
+
+    def test_rejects_non_avi_and_compressed(self):
+        from datapact_spark.operators.codecs import decode_avi, encode_wav
+
+        with pytest.raises(ValueError, match="RIFF/AVI"):
+            decode_avi(encode_wav(np.zeros(4, dtype=np.int16)))
+
+    def test_feature_codec_dispatches_avi(self):
+        from datapact_spark.operators.codecs import encode_avi, media_feature_codec
+
+        fr = np.full((4, 2, 3, 3), 5, dtype=np.uint8)
+        feats = media_feature_codec(4, video_sample_k=2)(encode_avi(fr))
+        # frames 0 and 2 sampled: 2 frames * 2*3 px * 3 ch * value 5
+        assert feats.tolist() == [5.0 * 2 * 6 * 3, 4.0, 3.0, 2.0]
