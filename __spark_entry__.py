@@ -876,6 +876,22 @@ def q_multimodal_real_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring (char 20-gram) duplication scoring — the
+    training-data staple of catching VERBATIM repeated spans
+    (boilerplate, licenses) that doc-level MinHash/SimHash miss. Per
+    document: total gram windows, windows shared with >= 2 docs, and
+    the duplication fraction. STRICT oracle: DuckDB recomputes the
+    same counts from the literal gram strings (no hashing), equal to
+    the xxhash64-based engine path up to a 2^-64 collision."""
+    from datapact_spark.operators.dedup import doc_duplication_score
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return doc_duplication_score(docs, k=20, min_docs=2).select(
+        F.col("id").alias("doc_id"), "n_grams", "shared_grams", "dup_score"
+    )
+
+
 def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video decode path, oracle-checked: header-valid
     uncompressed-AVI payloads (closed-form pixel formula) are parsed by
@@ -1443,6 +1459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partitioned_verdict": q_partitioned_verdict,
         "streaming_sessions": q_streaming_sessions,
         "multimodal_video": q_multimodal_video,
+        "substring_dedup": q_substring_dedup,
         "semi_join_scope": q_semi_join_scope,
         "tumbling_window_agg": q_tumbling_window_agg,
         "genie_table_quality": q_genie_table_quality,
@@ -1828,6 +1845,22 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE user_id IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
             GROUP BY event_type
+        """,
+        "substring_dedup": """
+            -- literal gram strings (no hashing): counts equal the
+            -- xxhash64 engine path up to a 2^-64 collision
+            WITH g AS (
+              SELECT doc_id AS id, substr(text, p.p, 20) AS gram
+              FROM documents,
+                   LATERAL (SELECT unnest(generate_series(1, GREATEST(length(text) - 19, 0))) AS p) p),
+            rep AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT id) >= 2),
+            tot AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM g GROUP BY id),
+            sh AS (SELECT g.id, CAST(COUNT(*) AS BIGINT) AS shared_grams
+                   FROM g JOIN rep USING (gram) GROUP BY g.id)
+            SELECT t.id AS doc_id, t.n_grams,
+                   COALESCE(s.shared_grams, 0) AS shared_grams,
+                   COALESCE(s.shared_grams, 0) / CAST(t.n_grams AS DOUBLE) AS dup_score
+            FROM tot t LEFT JOIN sh s ON t.id = s.id
         """,
         "multimodal_video": """
             -- independent derivation: the Spark side encodes real AVI

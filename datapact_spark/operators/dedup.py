@@ -371,3 +371,116 @@ def simhash_near_dups(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-substring (char n-gram) dedup — the training-data staple of
+# finding VERBATIM repeated spans (boilerplate, licenses, templated
+# headers) across documents, independent of doc-level similarity
+# (two documents can be <1% similar yet share a 500-char license block)
+# ---------------------------------------------------------------------------
+
+
+def char_ngram_hashes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    stride: int = 1,
+    portable: bool = False,
+) -> DataFrame:
+    """(id, pos, gram_hash) rows — one per character ``k``-gram window
+    (every ``stride`` characters). JVM-side: a ``transform`` over a
+    position sequence hashing ``substring`` windows (the per-element
+    work references only plain column attributes, so the
+    interpreted-HOF re-evaluation trap does not bite), then
+    ``posexplode``. Output volume is O(total chars / stride) rows of
+    (long, int, long) — the shape that scales: no joins, no Python.
+
+    ``portable=True`` hashes with the md5-prefix fold (bit-identical in
+    any engine with md5 — used by the strict oracle); default xxhash64
+    is the fast path."""
+    n_grams = F.greatest(
+        (F.length(F.col(text_col)) - F.lit(k - 1) + F.lit(stride - 1))
+        / F.lit(stride),
+        F.lit(0),
+    ).cast("int")
+
+    def gram_hash(gram: F.Column) -> F.Column:
+        if portable:
+            return F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")
+        return F.xxhash64(gram)
+
+    # guard: sequence(0, -1) would DESCEND for texts shorter than k
+    grams = F.when(
+        n_grams > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_grams - 1),
+            lambda i: gram_hash(
+                F.substring(F.col(text_col), i * stride + 1, k)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return df.select(F.col(id_col).alias("id"), grams.alias("__g")).select(
+        "id", F.posexplode("__g").alias("pos", "gram_hash")
+    ).select("id", (F.col("pos") * stride).alias("pos"), "gram_hash")
+
+
+def repeated_substring_grams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    stride: int = 1,
+    min_docs: int = 2,
+    portable: bool = False,
+) -> DataFrame:
+    """Char ``k``-grams appearing in at least ``min_docs`` DISTINCT
+    documents: (gram_hash, n_docs, n_occurrences). One groupBy on the
+    gram hash (map-side partials; the shuffle carries one partial row
+    per distinct gram per task) — never a self-join, so a gram shared
+    by every document costs one counter, not O(n²) pairs."""
+    g = char_ngram_hashes(df, id_col, text_col, k, stride, portable)
+    return (
+        g.groupBy("gram_hash")
+        .agg(
+            F.count_distinct("id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def doc_duplication_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    stride: int = 1,
+    min_docs: int = 2,
+    portable: bool = False,
+) -> DataFrame:
+    """Per-document verbatim-duplication score: the fraction of a
+    document's ``k``-gram windows that also occur in >= ``min_docs``
+    documents (id, n_grams, shared_grams, dup_score). The join back is
+    gram-hash equality against the (small by construction) repeated-
+    gram set — high-duplication corpora shrink it further via
+    ``min_docs``. Training pipelines drop or trim documents past a
+    score threshold."""
+    g = char_ngram_hashes(df, id_col, text_col, k, stride, portable)
+    rep = repeated_substring_grams(
+        df, id_col, text_col, k, stride, min_docs, portable
+    ).select("gram_hash")
+    joined = g.join(rep, on="gram_hash", how="left_semi").groupBy("id").agg(
+        F.count(F.lit(1)).alias("shared_grams")
+    )
+    totals = g.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    return totals.join(joined, on="id", how="left").select(
+        "id",
+        "n_grams",
+        F.coalesce(F.col("shared_grams"), F.lit(0)).alias("shared_grams"),
+        (
+            F.coalesce(F.col("shared_grams"), F.lit(0))
+            / F.col("n_grams").cast("double")
+        ).alias("dup_score"),
+    )

@@ -421,3 +421,56 @@ class TestCodecSeam:
         media = synthesize_media_table(spark, n=4)
         with pytest.raises(Exception, match="NotImplementedError|decode"):
             extract_features(media, decode_stub=False).collect()
+
+
+class TestSubstringDedup:
+    """Exact-substring (char n-gram) dedup: verbatim repeated spans."""
+
+    def test_shared_boilerplate_detected(self, spark):
+        from datapact_spark.operators.dedup import (
+            doc_duplication_score,
+            repeated_substring_grams,
+        )
+
+        boiler = "SPDX-License-Identifier: Apache-2.0 WITH LLVM-exception"
+        docs = spark.createDataFrame(
+            [
+                (1, boiler + " unique content alpha beta"),
+                (2, "totally different words here " + boiler),
+                (3, "no shared material whatsoever in this document xyz"),
+            ],
+            "doc_id long, text string",
+        )
+        # a 56-char shared span yields exactly 56-20+1 = 37 shared
+        # 20-gram windows in each carrier
+        rep = repeated_substring_grams(docs, k=20)
+        assert rep.count() == len(boiler) - 20 + 1
+        assert rep.agg(F.min("n_docs")).collect()[0][0] == 2
+        scores = {r["id"]: r for r in doc_duplication_score(docs, k=20).collect()}
+        expect_shared = len(boiler) - 20 + 1
+        assert scores[1]["shared_grams"] == expect_shared
+        assert scores[2]["shared_grams"] == expect_shared
+        assert scores[3]["shared_grams"] == 0 and scores[3]["dup_score"] == 0.0
+        for i in (1, 2):
+            assert scores[i]["dup_score"] == pytest.approx(
+                expect_shared / scores[i]["n_grams"]
+            )
+
+    def test_short_and_empty_docs_are_safe(self, spark):
+        from datapact_spark.operators.dedup import char_ngram_hashes
+
+        docs = spark.createDataFrame(
+            [(1, "short"), (2, ""), (3, None), (4, "x" * 25)],
+            "doc_id long, text string",
+        )
+        g = char_ngram_hashes(docs, k=20)
+        rows = g.groupBy("id").count().collect()
+        # only the 25-char doc produces windows (25-20+1 = 6)
+        assert {(r["id"], r["count"]) for r in rows} == {(4, 6)}
+
+    def test_stride_and_positions(self, spark):
+        from datapact_spark.operators.dedup import char_ngram_hashes
+
+        docs = spark.createDataFrame([(1, "a" * 30)], "doc_id long, text string")
+        g = char_ngram_hashes(docs, k=20, stride=5).collect()
+        assert sorted(r["pos"] for r in g) == [0, 5, 10]
