@@ -388,6 +388,7 @@ def char_ngram_hashes(
     k: int = 20,
     stride: int = 1,
     portable: bool = False,
+    mod_sample: int | None = None,
 ) -> DataFrame:
     """(id, pos, gram_hash) rows — one per character ``k``-gram window
     (every ``stride`` characters). JVM-side: a ``transform`` over a
@@ -399,7 +400,20 @@ def char_ngram_hashes(
 
     ``portable=True`` hashes with the md5-prefix fold (bit-identical in
     any engine with md5 — used by the strict oracle); default xxhash64
-    is the fast path."""
+    is the fast path.
+
+    Sampling levers (100-TB volume control):
+    * ``stride`` decimates POSITIONALLY — intra-document window
+      counting only. Two documents sharing a span sample the same
+      windows only when their span alignments agree mod stride, so
+      cross-document detection is NOT guaranteed at stride > 1.
+    * ``mod_sample=m`` keeps only grams with hash % m == 0 —
+      CONTENT-anchored (winnowing-style): every document keeps the
+      same selected windows of a shared span, so detection holds with
+      probability 1-(1-1/m)^(L-k+1) for an L-char span, independent of
+      alignment, while the shuffle shrinks ~m×. Prefer mod_sample for
+      cross-document dedup; hashing cost is unchanged (all windows are
+      hashed, then filtered)."""
     n_grams = F.greatest(
         (F.length(F.col(text_col)) - F.lit(k - 1) + F.lit(stride - 1))
         / F.lit(stride),
@@ -421,9 +435,88 @@ def char_ngram_hashes(
             ),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    return df.select(F.col(id_col).alias("id"), grams.alias("__g")).select(
+    out = df.select(F.col(id_col).alias("id"), grams.alias("__g")).select(
         "id", F.posexplode("__g").alias("pos", "gram_hash")
     ).select("id", (F.col("pos") * stride).alias("pos"), "gram_hash")
+    if mod_sample and mod_sample > 1:
+        out = out.where(F.pmod(F.col("gram_hash"), F.lit(mod_sample)) == 0)
+    return out
+
+
+def char_ngram_hashes_vectorized(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    stride: int = 1,
+    mod_sample: int | None = None,
+) -> DataFrame:
+    """Fast path for ``char_ngram_hashes``: a numpy rolling polynomial
+    hash inside ``mapInPandas`` (the sanctioned vectorized-hash role).
+    Each Arrow batch hashes every window as one sliding-window matrix ·
+    power-vector product — no per-element interpreted lambda, ~10-20×
+    the Column-path throughput at stride 1.
+
+    Hash values differ from the JVM path (polynomial vs xxhash64) and
+    windows are UTF-8 BYTE grams, not char grams — detection semantics
+    are identical for ASCII corpora, and all downstream counts
+    (repeated grams, duplication scores) are hash-agnostic."""
+    import numpy as np
+    import pandas as pd
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    # TWO independent 31-bit rolling hashes packed into one 62-bit
+    # value: a single 31-bit hash collides at ~10^5 distinct grams
+    # (birthday bound) and would miscount shared windows
+    def _powers(p: int) -> "np.ndarray":
+        out, acc = np.empty(k, dtype=np.int64), 1
+        for j in range(k):
+            out[j] = acc
+            acc = (acc * p) % _MERSENNE
+        return out
+
+    powers1, powers2 = _powers(_PR), _powers(1_000_033)
+
+    def batches(it):
+        for pdf in it:
+            ids, poss, hashes = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                b = np.frombuffer(str(text).encode("utf-8"), dtype=np.uint8)
+                if b.size < k:
+                    continue
+                win = sliding_window_view(b, k)[::stride].astype(np.int64)
+                h = (
+                    ((win @ powers1) % _MERSENNE) << 31
+                ) | ((win @ powers2) % _MERSENNE)
+                pos = np.arange(0, h.size * stride, stride, dtype=np.int64)[: h.size]
+                if mod_sample and mod_sample > 1:
+                    keep = (h % mod_sample) == 0
+                    h, pos = h[keep], pos[keep]
+                if h.size == 0:
+                    continue
+                ids.append(np.full(h.size, int(did), dtype=np.int64))
+                poss.append(pos)
+                hashes.append(h)
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "id": np.concatenate(ids),
+                        "pos": np.concatenate(poss),
+                        "gram_hash": np.concatenate(hashes),
+                    }
+                )
+            else:
+                yield pd.DataFrame(
+                    {"id": pd.Series(dtype="int64"),
+                     "pos": pd.Series(dtype="int64"),
+                     "gram_hash": pd.Series(dtype="int64")}
+                )
+
+    return df.select(id_col, text_col).mapInPandas(
+        batches, schema="id long, pos long, gram_hash long"
+    )
 
 
 def repeated_substring_grams(
@@ -434,13 +527,15 @@ def repeated_substring_grams(
     stride: int = 1,
     min_docs: int = 2,
     portable: bool = False,
+    vectorized: bool = False,
+    mod_sample: int | None = None,
 ) -> DataFrame:
     """Char ``k``-grams appearing in at least ``min_docs`` DISTINCT
     documents: (gram_hash, n_docs, n_occurrences). One groupBy on the
     gram hash (map-side partials; the shuffle carries one partial row
     per distinct gram per task) — never a self-join, so a gram shared
     by every document costs one counter, not O(n²) pairs."""
-    g = char_ngram_hashes(df, id_col, text_col, k, stride, portable)
+    g = _grams(df, id_col, text_col, k, stride, portable, vectorized, mod_sample)
     return (
         g.groupBy("gram_hash")
         .agg(
@@ -448,6 +543,16 @@ def repeated_substring_grams(
             F.count(F.lit(1)).alias("n_occurrences"),
         )
         .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def _grams(df, id_col, text_col, k, stride, portable, vectorized, mod_sample=None):
+    if vectorized:
+        return char_ngram_hashes_vectorized(
+            df, id_col, text_col, k, stride, mod_sample
+        )
+    return char_ngram_hashes(
+        df, id_col, text_col, k, stride, portable, mod_sample
     )
 
 
@@ -459,6 +564,8 @@ def doc_duplication_score(
     stride: int = 1,
     min_docs: int = 2,
     portable: bool = False,
+    vectorized: bool = False,
+    mod_sample: int | None = None,
 ) -> DataFrame:
     """Per-document verbatim-duplication score: the fraction of a
     document's ``k``-gram windows that also occur in >= ``min_docs``
@@ -466,21 +573,32 @@ def doc_duplication_score(
     gram-hash equality against the (small by construction) repeated-
     gram set — high-duplication corpora shrink it further via
     ``min_docs``. Training pipelines drop or trim documents past a
-    score threshold."""
-    g = char_ngram_hashes(df, id_col, text_col, k, stride, portable)
-    rep = repeated_substring_grams(
-        df, id_col, text_col, k, stride, min_docs, portable
-    ).select("gram_hash")
-    joined = g.join(rep, on="gram_hash", how="left_semi").groupBy("id").agg(
-        F.count(F.lit(1)).alias("shared_grams")
-    )
-    totals = g.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
-    return totals.join(joined, on="id", how="left").select(
+    score threshold. ``vectorized=True`` uses the numpy rolling-hash
+    fast path (see ``char_ngram_hashes_vectorized``)."""
+    from pyspark.sql.window import Window
+
+    # Single-pass shape: the gram relation is consumed EXACTLY ONCE
+    # (a naive totals/rep/join formulation recomputes the hashing up
+    # to 3x — it dominated the wall time at 1M docs). Collapse to
+    # per-(gram, doc) occurrence counts, count carrier docs per gram
+    # over a window (rows are distinct (gram, doc) pairs, so count ==
+    # count_distinct), then fold both totals and shared counts in one
+    # groupBy(id) with a conditional sum. Three compact shuffles,
+    # one hash pass.
+    g = _grams(df, id_col, text_col, k, stride, portable, vectorized, mod_sample)
+    gi = g.groupBy("gram_hash", "id").agg(F.count(F.lit(1)).alias("__occ"))
+    wg = Window.partitionBy("gram_hash")
+    gi = gi.withColumn("__n_docs", F.count(F.lit(1)).over(wg))
+    return gi.groupBy("id").agg(
+        F.sum("__occ").alias("n_grams"),
+        F.sum(
+            F.when(F.col("__n_docs") >= min_docs, F.col("__occ")).otherwise(0)
+        ).alias("shared_grams"),
+    ).select(
         "id",
         "n_grams",
-        F.coalesce(F.col("shared_grams"), F.lit(0)).alias("shared_grams"),
-        (
-            F.coalesce(F.col("shared_grams"), F.lit(0))
-            / F.col("n_grams").cast("double")
-        ).alias("dup_score"),
+        "shared_grams",
+        (F.col("shared_grams") / F.col("n_grams").cast("double")).alias(
+            "dup_score"
+        ),
     )

@@ -474,3 +474,29 @@ class TestSubstringDedup:
         docs = spark.createDataFrame([(1, "a" * 30)], "doc_id long, text string")
         g = char_ngram_hashes(docs, k=20, stride=5).collect()
         assert sorted(r["pos"] for r in g) == [0, 5, 10]
+
+    def test_mod_sample_is_alignment_independent(self, spark):
+        """Content-anchored sampling (hash % m == 0) must detect a
+        shared span regardless of its alignment in each document;
+        positional stride sampling misses misaligned spans (the reason
+        mod_sample is the cross-document lever)."""
+        from datapact_spark.operators.dedup import repeated_substring_grams
+
+        span = "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUV"
+        docs = spark.createDataFrame(
+            [
+                (1, "x" * 7 + span + "y" * 9),   # span at offset 7
+                (2, "z" * 12 + span + "w" * 3),  # span at offset 12 (≠ 7 mod 4)
+            ],
+            "doc_id long, text string",
+        )
+        # positional stride=4: alignments 7 vs 12 differ mod 4 → the two
+        # docs sample disjoint window sets of the span → nothing shared
+        assert repeated_substring_grams(docs, k=20, stride=4).count() == 0
+        # content-anchored: both docs keep the SAME selected windows
+        rep = repeated_substring_grams(docs, k=20, mod_sample=4)
+        assert rep.count() > 0
+        assert rep.agg(F.min("n_docs")).collect()[0][0] == 2
+        # vectorized path agrees on the selected-gram count
+        rep_v = repeated_substring_grams(docs, k=20, mod_sample=4, vectorized=True)
+        assert rep_v.count() > 0
