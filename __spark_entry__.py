@@ -876,6 +876,26 @@ def q_multimodal_real_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters (the mergeable FREQUENCY sketch family
+    beside the quantile sketches) over document tokens, STRICT oracle:
+    run in its exactness regime (capacity 64 >= the corpus's distinct
+    token count), where the mapInPandas-partial / applyInPandas-merge
+    pipeline provably reports exact counts — so DuckDB's plain GROUP BY
+    top-k (count DESC, token ASC ties) must match bitwise. The sketchy
+    regime's undercount bound and survival guarantee are property-
+    tested in tests/test_frequency.py."""
+    from datapact_spark.operators.frequency import heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
+    ).where(F.col("tok") != "")
+    return heavy_hitters(toks, "tok", k=10, capacity=64).select(
+        F.col("item").alias("token"), F.col("count_lo").alias("cnt")
+    )
+
+
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring (char 20-gram) duplication scoring — the
     training-data staple of catching VERBATIM repeated spans
@@ -1460,6 +1480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions": q_streaming_sessions,
         "multimodal_video": q_multimodal_video,
         "substring_dedup": q_substring_dedup,
+        "heavy_hitters": q_heavy_hitters,
         "semi_join_scope": q_semi_join_scope,
         "tumbling_window_agg": q_tumbling_window_agg,
         "genie_table_quality": q_genie_table_quality,
@@ -1845,6 +1866,18 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE user_id IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
             GROUP BY event_type
+        """,
+        "heavy_hitters": """
+            -- exactness regime: capacity >= distinct tokens, so the
+            -- sketch pipeline must equal a plain GROUP BY top-k
+            WITH toks AS (
+              SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+              FROM documents)
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM toks WHERE token <> ''
+            GROUP BY token
+            ORDER BY cnt DESC, token ASC
+            LIMIT 10
         """,
         "substring_dedup": """
             -- literal gram strings (no hashing): counts equal the

@@ -1,0 +1,157 @@
+"""Frequency sketches: heavy hitters over unbounded key domains.
+
+Training pipelines need "what dominates this corpus" answers — top
+domains, over-represented tokens/templates, hot event types — where the
+key domain can be billions wide. Two paths:
+
+* ``heavy_hitters_exact`` — one groupBy + top-k: the right plan
+  whenever the distinct-key count fits a shuffle (Spark's map-side
+  partial aggregation already makes this near-optimal).
+* ``misra_gries_sketch`` — a MERGEABLE bounded-memory summary
+  (Misra-Gries / SpaceSaving family, Agarwal et al. "Mergeable
+  Summaries"): each Arrow batch compresses its exact counts to
+  ``capacity`` counters, partials merge associatively (sum counters,
+  subtract the (capacity+1)-th largest, drop non-positive). Per-item
+  error is bounded by n/(capacity+1) UNDERCOUNT (reported <= true),
+  and every item with true count > n/(capacity+1) survives. With
+  capacity >= total distinct keys no subtraction ever happens and the
+  summary is EXACT — the oracle-checkable regime.
+
+Plan shape (same as the t-digest): mapInPandas partials (<= capacity
+rows per batch x group) -> one Exchange on the group key ->
+applyInPandas merge. Raw rows never shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_GROUP_TAG = "__mg_group"
+
+
+def heavy_hitters_exact(
+    df: DataFrame, col: Column | str, k: int = 10
+) -> DataFrame:
+    """Exact top-k items by count: (item, cnt), ordered count DESC then
+    item ASC (deterministic ties)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        df.select(c.cast("string").alias("item"))
+        .where(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("item").asc())
+        .limit(k)
+    )
+
+
+def _mg_compress(items: np.ndarray, counts: np.ndarray, capacity: int):
+    """Compress (items, counts) to <= capacity counters with the
+    mergeable-summaries rule: subtract the (capacity+1)-th largest
+    count from all, keep positive."""
+    if items.size <= capacity:
+        return items, counts
+    order = np.argsort(-counts, kind="stable")
+    items, counts = items[order], counts[order]
+    sub = counts[capacity]
+    counts = counts - sub
+    keep = counts > 0
+    return items[:capacity][keep[:capacity]], counts[:capacity][keep[:capacity]]
+
+
+def misra_gries_sketch(
+    df: DataFrame,
+    col: Column | str,
+    capacity: int = 1024,
+    group_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Mergeable heavy-hitter summary of ``col``: <= capacity rows
+    (group..., item, count_lo) per group, where ``count_lo`` is a lower
+    bound within n/(capacity+1) of the true count (exact when the
+    group's distinct-key count <= capacity)."""
+    gcols = list(group_cols or [])
+    c = F.col(col) if isinstance(col, str) else col
+    src = df.select(*gcols, c.cast("string").alias("__v")).where(
+        F.col("__v").isNotNull()
+    )
+    part_fields = [src.schema[g] for g in gcols] + [
+        StructField("item", StringType(), False),
+        StructField("count_lo", LongType(), False),
+    ]
+    schema = StructType(part_fields)
+
+    def partials(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            groups = pdf.groupby(gcols, sort=False) if gcols else [((), pdf)]
+            for key, g in groups:
+                vc = g["__v"].value_counts()
+                items, counts = _mg_compress(
+                    vc.index.to_numpy(), vc.to_numpy(dtype=np.int64), capacity
+                )
+                key = key if isinstance(key, tuple) else (key,)
+                for it, cn in zip(items, counts):
+                    out.append((*key, str(it), int(cn)) if gcols else (str(it), int(cn)))
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    part = src.mapInPandas(partials, schema=schema)
+
+    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        agg = pdf.groupby("item", sort=False)["count_lo"].sum()
+        items, counts = _mg_compress(
+            agg.index.to_numpy(), agg.to_numpy(dtype=np.int64), capacity
+        )
+        out = pd.DataFrame({"item": items, "count_lo": counts})
+        for i, g in enumerate(gcols):
+            out.insert(i, g, key[i])
+        return out[[*gcols, "item", "count_lo"]]
+
+    if gcols:
+        return part.groupBy(*gcols).applyInPandas(merge, schema=schema)
+    return part.groupBy(F.lit(1).alias(_GROUP_TAG)).applyInPandas(
+        lambda key, pdf: merge((), pdf),
+        schema=StructType(
+            [StructField("item", StringType(), False),
+             StructField("count_lo", LongType(), False)]
+        ),
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: Column | str,
+    k: int = 10,
+    capacity: int = 1024,
+    group_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Approximate top-k via the Misra-Gries summary: (group..., item,
+    count_lo) ordered per group by count_lo DESC, item ASC. Exact (and
+    identical to ``heavy_hitters_exact``) when distinct keys per group
+    <= capacity."""
+    from pyspark.sql.window import Window
+
+    gcols = list(group_cols or [])
+    sk = misra_gries_sketch(df, col, capacity, gcols)
+    if not gcols:
+        return sk.orderBy(F.col("count_lo").desc(), F.col("item").asc()).limit(k)
+    w = Window.partitionBy(*gcols).orderBy(
+        F.col("count_lo").desc(), F.col("item").asc()
+    )
+    return (
+        sk.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= k)
+        .drop("__r")
+    )

@@ -1,0 +1,97 @@
+"""Heavy-hitter frequency sketches: exact path, Misra-Gries bounds,
+exactness regime, merge/partial plan shape."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datapact_spark.operators.frequency import (
+    heavy_hitters,
+    heavy_hitters_exact,
+    misra_gries_sketch,
+)
+
+
+@pytest.fixture(scope="module")
+def skewed_items(spark):
+    # two genuine heavy hitters (30% / 20%) over a ~1000-key tail
+    h = F.pmod(F.xxhash64("id"), F.lit(1000))
+    df = spark.range(100_000).select(
+        F.when(h < 300, F.lit("HH1"))
+        .when(h < 500, F.lit("HH2"))
+        .otherwise(F.concat(F.lit("t"), h.cast("string")))
+        .alias("item")
+    )
+    return df.persist()
+
+
+def test_exact_top_k_deterministic_ties(spark):
+    df = spark.createDataFrame(
+        [("b",), ("b",), ("a",), ("a",), ("c",)], "item string"
+    )
+    rows = [(r["item"], r["cnt"]) for r in heavy_hitters_exact(df, "item", 2).collect()]
+    assert rows == [("a", 2), ("b", 2)]  # count desc, item asc
+
+
+def test_exactness_regime_matches_exact(spark, skewed_items):
+    exact = [
+        (r["item"], r["cnt"])
+        for r in heavy_hitters_exact(skewed_items, "item", 10).collect()
+    ]
+    approx = [
+        (r["item"], r["count_lo"])
+        for r in heavy_hitters(skewed_items, "item", 10, capacity=4096).collect()
+    ]
+    assert approx == exact
+
+
+def test_mg_bounds_and_survival(spark, skewed_items):
+    n = skewed_items.count()
+    cap = 64
+    bound = n / (cap + 1)
+    sk = {
+        r["item"]: r["count_lo"]
+        for r in misra_gries_sketch(skewed_items, "item", capacity=cap).collect()
+    }
+    ex = {
+        r["item"]: r["cnt"]
+        for r in skewed_items.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert len(sk) <= cap
+    # reported counts are undercounts within the n/(cap+1) bound
+    assert all(0 <= ex[i] - c <= bound for i, c in sk.items())
+    # every item above the bound MUST survive — and the heavy two exist
+    heavy = [i for i, c in ex.items() if c > bound]
+    assert {"HH1", "HH2"} <= set(heavy)
+    assert all(i in sk for i in heavy)
+    # the top-2 ranking is right despite compression
+    top2 = [r["item"] for r in heavy_hitters(
+        skewed_items, "item", 2, capacity=cap
+    ).collect()]
+    assert top2 == ["HH1", "HH2"]
+
+
+def test_grouped_heavy_hitters(spark):
+    h = F.pmod(F.xxhash64("id"), F.lit(100))
+    df = spark.range(30_000).select(
+        (F.col("id") % 2).cast("string").alias("grp"),
+        F.when(h < 50, F.lit("top")).otherwise(h.cast("string")).alias("item"),
+    )
+    rows = heavy_hitters(df, "item", 1, capacity=256, group_cols=["grp"]).collect()
+    assert len(rows) == 2
+    assert all(r["item"] == "top" for r in rows)
+
+
+def test_plan_shuffles_only_partials(spark, skewed_items):
+    """Raw rows must never shuffle: the single Exchange sits ABOVE the
+    partial MapInPandas stage (same contract as the t-digest)."""
+    df = misra_gries_sketch(skewed_items, "item", capacity=64)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1, tree
+    assert tree.index("Exchange") < tree.index("MapInPandas"), tree
