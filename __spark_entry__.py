@@ -876,6 +876,22 @@ def q_multimodal_real_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift terms (the frequency half of drift monitoring)
+    over the documents language mix, STRICT oracle: the comparison
+    frame is the source's top-4 languages + __OTHER__; the target is a
+    deterministic slice halving one language. Every emitted value is
+    exact counts, single IEEE divisions, |p-q|, and a category-ordered
+    running fold — DuckDB reproduces all of it bitwise (PSI's ln stays
+    out of the hashed output; the engine's categorical psi threshold
+    path is numpy-parity-tested instead)."""
+    from datapact_spark.operators.drift import categorical_drift_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    tgt = docs.where(~((F.col("lang") == "de") & (F.col("doc_id") % 2 == 0)))
+    return categorical_drift_terms(docs, tgt, "lang", top_k=4)
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra-Gries heavy hitters (the mergeable FREQUENCY sketch family
     beside the quantile sketches) over document tokens, STRICT oracle:
@@ -1481,6 +1497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_video": q_multimodal_video,
         "substring_dedup": q_substring_dedup,
         "heavy_hitters": q_heavy_hitters,
+        "categorical_drift": q_categorical_drift,
         "semi_join_scope": q_semi_join_scope,
         "tumbling_window_agg": q_tumbling_window_agg,
         "genie_table_quality": q_genie_table_quality,
@@ -1866,6 +1883,34 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE user_id IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
             GROUP BY event_type
+        """,
+        "categorical_drift": """
+            -- same frame/fold arithmetic from exact counts: top-4
+            -- source languages + __OTHER__, |p-q| terms, category-
+            -- ordered running sum
+            WITH src AS (SELECT lang FROM documents),
+            tgt AS (SELECT lang FROM documents
+                    WHERE NOT (lang = 'de' AND doc_id % 2 = 0)),
+            top AS (SELECT lang AS category FROM src
+                    GROUP BY lang ORDER BY COUNT(*) DESC, lang ASC LIMIT 4),
+            p AS (SELECT COALESCE(t.category, '__OTHER__') AS category,
+                         CAST(COUNT(*) AS BIGINT) AS p_cnt
+                  FROM src LEFT JOIN top t ON src.lang = t.category GROUP BY 1),
+            q AS (SELECT COALESCE(t.category, '__OTHER__') AS category,
+                         CAST(COUNT(*) AS BIGINT) AS q_cnt
+                  FROM tgt LEFT JOIN top t ON tgt.lang = t.category GROUP BY 1),
+            m AS (SELECT COALESCE(p.category, q.category) AS category,
+                         COALESCE(p_cnt, 0) AS p_cnt, COALESCE(q_cnt, 0) AS q_cnt
+                  FROM p FULL OUTER JOIN q ON p.category = q.category),
+            r AS (SELECT category, p_cnt, q_cnt,
+                         p_cnt / CAST(SUM(p_cnt) OVER () AS DOUBLE) AS p,
+                         q_cnt / CAST(SUM(q_cnt) OVER () AS DOUBLE) AS q
+                  FROM m)
+            SELECT category, p_cnt, q_cnt, p, q,
+                   ABS(p - q) AS tv_term,
+                   SUM(ABS(p - q)) OVER (ORDER BY category
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tv_running
+            FROM r
         """,
         "heavy_hitters": """
             -- exactness regime: capacity >= distinct tokens, so the

@@ -23,7 +23,7 @@ _IDENT_RE = re.compile(r"[^0-9a-zA-Z_]+")
 AGG_FUNCS = {"SUM", "AVG", "MIN", "MAX", "COUNT"}
 PRIORITIES = {"critical", "high", "medium", "low"}
 HASH_ALGOS = {"md5", "sha256", "xxhash64"}
-DRIFT_METRICS = {"psi", "ks"}
+DRIFT_METRICS = {"psi", "ks", "tv"}
 
 
 def make_identifier(name: str, prefix: str = "custom_sql") -> str:
@@ -191,6 +191,12 @@ class DriftCheck(BaseModel):
     # sketches ... with PSI/KS thresholds")
     sketch: str = "histogram"
     delta: float = 200.0  # t-digest compression (~delta/2 centroids)
+    # "numeric" (default): binned/quantile sketches over a numeric
+    # column; "categorical": frequency-based drift over a discrete
+    # column — the comparison frame is the source's top-`bins`
+    # categories plus an __OTHER__ bucket, scored with PSI or total
+    # variation ("tv"); sketches don't apply (validated)
+    kind: str = "numeric"
     # "target": two-sample source-vs-target drift (the table-pair model);
     # "snapshot": compare the source against a stored baseline histogram
     # (bootstrap on first run), the north-star lifecycle
@@ -209,6 +215,30 @@ class DriftCheck(BaseModel):
         if v not in {"target", "snapshot"}:
             raise ValueError("baseline must be 'target' or 'snapshot'")
         return v
+
+    @field_validator("kind")
+    @classmethod
+    def _validate_kind(cls, v: str) -> str:
+        if v not in {"numeric", "categorical"}:
+            raise ValueError("kind must be 'numeric' or 'categorical'")
+        return v
+
+    @model_validator(mode="after")
+    def _validate_categorical(self):
+        if self.kind == "categorical":
+            if self.sketch != "histogram":
+                raise ValueError(
+                    "categorical drift has no sketch family — leave sketch "
+                    "at its default"
+                )
+            if self.metric not in {"psi", "tv"}:
+                raise ValueError(
+                    "categorical drift metric must be 'psi' or 'tv' (KS "
+                    "needs an ordered domain)"
+                )
+        elif self.metric == "tv":
+            raise ValueError("metric 'tv' is categorical-only")
+        return self
 
     @field_validator("sketch")
     @classmethod

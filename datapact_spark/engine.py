@@ -146,7 +146,15 @@ class DataPactEngine:
                         tdigest_sketch,
                     )
 
-                    if dcheck.sketch == "tdigest":
+                    if dcheck.kind == "categorical":
+                        from datapact_spark.operators.drift import (
+                            categorical_snapshot,
+                        )
+
+                        snap = categorical_snapshot(
+                            src_df, dcheck.column, dcheck.bins
+                        )
+                    elif dcheck.sketch == "tdigest":
                         snap = tdigest_sketch(src_df, dcheck.column, dcheck.delta)
                     elif dcheck.sketch == "kll":
                         snap = kll_sketch(src_df, dcheck.column, dcheck.bins)

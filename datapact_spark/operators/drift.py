@@ -280,3 +280,256 @@ def drift_vs_snapshot(
     both = _psi_ks(hist_base, hist_now, check.bins)
     metric_col = F.col("psi") if check.metric == "psi" else F.col("ks")
     return both.select(metric_col.alias(f"drift_{check.metric}_{check.column}"))
+
+
+# ---------------------------------------------------------------------------
+# categorical drift — frequency-based PSI / total variation over a
+# string (or any discrete) column: the other half of real-world drift
+# monitoring (event types, languages, domains, labels)
+# ---------------------------------------------------------------------------
+
+OTHER_CATEGORY = "__OTHER__"
+
+
+def category_counts(
+    df: DataFrame, column: str, categories: DataFrame
+) -> DataFrame:
+    """(category, cnt) with every value outside the ``categories``
+    relation folded into ``__OTHER__`` — the bounded-cardinality frame
+    that makes categorical drift scale to unbounded key domains. NULLs
+    count into __OTHER__ as well."""
+    cats = categories.select(F.col("category").alias("__cat"))
+    joined = (
+        df.select(F.col(column).cast("string").alias("__v"))
+        .join(
+            F.broadcast(cats), F.col("__v").eqNullSafe(F.col("__cat")), "left"
+        )
+        .select(
+            F.coalesce(F.col("__cat"), F.lit(OTHER_CATEGORY)).alias("category")
+        )
+    )
+    return joined.groupBy("category").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def top_categories(df: DataFrame, column: str, top_k: int) -> DataFrame:
+    """The ``top_k`` most frequent SOURCE categories (count DESC,
+    value ASC ties — deterministic), excluding NULL: the comparison
+    frame every side is folded onto. At unbounded cardinality swap the
+    exact groupBy for ``frequency.heavy_hitters`` — the frame only
+    needs the dominant categories, the tail is __OTHER__ by design."""
+    return (
+        df.select(F.col(column).cast("string").alias("category"))
+        .where(F.col("category").isNotNull())
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.col("__c").desc(), F.col("category").asc())
+        .limit(top_k)
+        .select("category")
+    )
+
+
+def categorical_drift_terms(
+    source: DataFrame, target: DataFrame, column: str, top_k: int = 20
+) -> DataFrame:
+    """(category, p_cnt, q_cnt, p, q, tv_term, tv_running) — per-
+    category drift terms on the source's top-k + __OTHER__ frame.
+    ``tv_term = |p - q|``; the category-ordered running sum's last row
+    × 0.5 is the total-variation distance — every value exact counts
+    and single IEEE divisions/subtractions, hence strict-oracle
+    portable (unlike PSI's ln)."""
+    from pyspark.sql.window import Window
+
+    cats = top_categories(source, column, top_k)
+    p = category_counts(source, column, cats).select(
+        "category", F.col("cnt").alias("p_cnt")
+    )
+    q = category_counts(target, column, cats).select(
+        "category", F.col("cnt").alias("q_cnt")
+    )
+    merged = p.join(q, on="category", how="full_outer").select(
+        "category",
+        F.coalesce(F.col("p_cnt"), F.lit(0)).alias("p_cnt"),
+        F.coalesce(F.col("q_cnt"), F.lit(0)).alias("q_cnt"),
+    )
+    wt = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wr = Window.orderBy("category").rowsBetween(Window.unboundedPreceding, 0)
+    ratios = merged.select(
+        "category",
+        "p_cnt",
+        "q_cnt",
+        F.coalesce(
+            F.col("p_cnt") / F.nullif(F.sum("p_cnt").over(wt).cast("double"), F.lit(0.0)),
+            F.lit(0.0),
+        ).alias("p"),
+        F.coalesce(
+            F.col("q_cnt") / F.nullif(F.sum("q_cnt").over(wt).cast("double"), F.lit(0.0)),
+            F.lit(0.0),
+        ).alias("q"),
+    )
+    return ratios.select(
+        "category", "p_cnt", "q_cnt", "p", "q",
+        F.abs(F.col("p") - F.col("q")).alias("tv_term"),
+        F.sum(F.abs(F.col("p") - F.col("q"))).over(wr).alias("tv_running"),
+    )
+
+
+def categorical_drift_metrics(
+    source: DataFrame, target: DataFrame, check
+) -> DataFrame:
+    """1-row DF ``drift_<metric>_<column>`` over the categorical frame:
+    ``psi`` (with the usual +1e-6 smoothing, category-ordered fold) or
+    ``tv`` (total variation = 0.5 · Σ|p-q|). ``check.bins`` is the
+    top-k category budget."""
+    terms = categorical_drift_terms(source, target, check.column, check.bins)
+    from pyspark.sql.window import Window
+
+    wr = Window.orderBy("category").rowsBetween(Window.unboundedPreceding, 0)
+    folded = terms.select(
+        (
+            F.sum(
+                (F.col("p") + F.lit(_EPS) - (F.col("q") + F.lit(_EPS)))
+                * F.log((F.col("p") + F.lit(_EPS)) / (F.col("q") + F.lit(_EPS)))
+            ).over(wr)
+        ).alias("psi_run"),
+        F.col("tv_running"),
+    ).agg(
+        F.max("psi_run").alias("psi"),
+        (F.max("tv_running") * 0.5).alias("tv"),
+    )
+    metric = F.col("psi") if check.metric == "psi" else F.col("tv")
+    return folded.select(metric.alias(f"drift_{check.metric}_{check.column}"))
+
+
+def categorical_snapshot(df: DataFrame, column: str, top_k: int = 20) -> DataFrame:
+    """Stored categorical baseline: (category, cnt) over the top-k +
+    __OTHER__ frame — trivially mergeable (counts add) and the frame
+    travels with the snapshot."""
+    cats = top_categories(df, column, top_k)
+    return category_counts(df, column, cats)
+
+
+def categorical_drift_vs_snapshot(
+    df: DataFrame, snapshot: DataFrame, check
+) -> DataFrame:
+    """1-row drift of ``df`` against a stored categorical snapshot:
+    the SNAPSHOT's categories are the comparison frame (its __OTHER__
+    row is baseline tail mass; current rows outside the frame fold
+    into __OTHER__ the same way)."""
+    from pyspark.sql.window import Window
+
+    cats = snapshot.select("category").where(
+        F.col("category") != OTHER_CATEGORY
+    )
+    q = category_counts(df, check.column, cats).select(
+        "category", F.col("cnt").alias("q_cnt")
+    )
+    p = snapshot.select("category", F.col("cnt").alias("p_cnt"))
+    merged = p.join(q, on="category", how="full_outer").select(
+        "category",
+        F.coalesce(F.col("p_cnt"), F.lit(0)).alias("p_cnt"),
+        F.coalesce(F.col("q_cnt"), F.lit(0)).alias("q_cnt"),
+    )
+    wt = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wr = Window.orderBy("category").rowsBetween(Window.unboundedPreceding, 0)
+    ratios = merged.select(
+        "category",
+        F.coalesce(
+            F.col("p_cnt") / F.nullif(F.sum("p_cnt").over(wt).cast("double"), F.lit(0.0)),
+            F.lit(0.0),
+        ).alias("p"),
+        F.coalesce(
+            F.col("q_cnt") / F.nullif(F.sum("q_cnt").over(wt).cast("double"), F.lit(0.0)),
+            F.lit(0.0),
+        ).alias("q"),
+    )
+    folded = ratios.select(
+        F.sum(
+            (F.col("p") + F.lit(_EPS) - (F.col("q") + F.lit(_EPS)))
+            * F.log((F.col("p") + F.lit(_EPS)) / (F.col("q") + F.lit(_EPS)))
+        ).over(wr).alias("psi_run"),
+        F.sum(F.abs(F.col("p") - F.col("q"))).over(wr).alias("tv_run"),
+    ).agg(
+        F.max("psi_run").alias("psi"), (F.max("tv_run") * 0.5).alias("tv")
+    )
+    metric = F.col("psi") if check.metric == "psi" else F.col("tv")
+    return folded.select(metric.alias(f"drift_{check.metric}_{check.column}"))
+
+
+def grouped_categorical_drift(
+    source: DataFrame,
+    target: DataFrame,
+    column: str,
+    group_cols: list[str],
+    top_k: int = 20,
+) -> DataFrame:
+    """(group..., psi, tv) — per-partition-group categorical drift on
+    each group's own source top-k + __OTHER__ frame. All shuffles are
+    on the group key; psi folds category-ordered (deterministic), tv is
+    half the ordered |p-q| fold's last value."""
+    gcols = list(group_cols)
+    wr_top = Window.partitionBy(*gcols).orderBy(
+        F.col("__c").desc(), F.col("category").asc()
+    )
+    cats = (
+        source.select(*gcols, F.col(column).cast("string").alias("category"))
+        .where(F.col("category").isNotNull())
+        .groupBy(*gcols, "category")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .withColumn("__r", F.row_number().over(wr_top))
+        .where(F.col("__r") <= top_k)
+        .select(*gcols, F.col("category").alias("__v"), F.lit(1).alias("__in"))
+    )
+
+    def counts(df: DataFrame, out: str) -> DataFrame:
+        folded = (
+            df.select(*gcols, F.col(column).cast("string").alias("__v"))
+            .join(cats, on=[*gcols, "__v"], how="left")
+            .select(
+                *gcols,
+                F.when(F.col("__in") == 1, F.col("__v"))
+                .otherwise(F.lit(OTHER_CATEGORY))
+                .alias("category"),
+            )
+        )
+        return folded.groupBy(*gcols, "category").agg(
+            F.count(F.lit(1)).alias(out)
+        )
+
+    merged = (
+        counts(source, "p_cnt")
+        .join(counts(target, "q_cnt"), on=[*gcols, "category"], how="full_outer")
+        .select(
+            *gcols,
+            "category",
+            F.coalesce(F.col("p_cnt"), F.lit(0)).alias("p_cnt"),
+            F.coalesce(F.col("q_cnt"), F.lit(0)).alias("q_cnt"),
+        )
+    )
+    wt = Window.partitionBy(*gcols).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wr = Window.partitionBy(*gcols).orderBy("category").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ratios = merged.select(
+        *gcols,
+        "category",
+        F.coalesce(
+            F.col("p_cnt") / F.nullif(F.sum("p_cnt").over(wt).cast("double"), F.lit(0.0)),
+            F.lit(0.0),
+        ).alias("p"),
+        F.coalesce(
+            F.col("q_cnt") / F.nullif(F.sum("q_cnt").over(wt).cast("double"), F.lit(0.0)),
+            F.lit(0.0),
+        ).alias("q"),
+    ).select(
+        *gcols,
+        F.sum(
+            (F.col("p") + F.lit(_EPS) - (F.col("q") + F.lit(_EPS)))
+            * F.log((F.col("p") + F.lit(_EPS)) / (F.col("q") + F.lit(_EPS)))
+        ).over(wr).alias("psi_run"),
+        F.sum(F.abs(F.col("p") - F.col("q"))).over(wr).alias("tv_run"),
+    )
+    return ratios.groupBy(*gcols).agg(
+        F.max("psi_run").alias("psi"), (F.max("tv_run") * 0.5).alias("tv")
+    )

@@ -117,6 +117,7 @@ _SKETCH_SNAPSHOT_COLS = {
     "histogram": {"bin", "cnt"},
     "tdigest": {"means", "weights", "total"},
     "kll": {"prob", "quantile", "cnt"},
+    "categorical": {"category", "cnt"},
 }
 
 
@@ -127,7 +128,8 @@ def _check_snapshot_family(snap: DataFrame, dcheck) -> None:
     across runs). Without this, the mismatched columns surface as an
     opaque missing-column AnalysisException deep inside the drift plan."""
     cols = set(snap.columns)
-    want = _SKETCH_SNAPSHOT_COLS[dcheck.sketch]
+    family = "categorical" if dcheck.kind == "categorical" else dcheck.sketch
+    want = _SKETCH_SNAPSHOT_COLS[family]
     if want <= cols:
         return
     stored = next(
@@ -136,8 +138,8 @@ def _check_snapshot_family(snap: DataFrame, dcheck) -> None:
     raise ValueError(
         f"drift baseline snapshot for column '{dcheck.column}' was written by "
         f"sketch family '{stored}' (columns {sorted(cols)}) but the check is "
-        f"configured with sketch='{dcheck.sketch}'. Delete the stored baseline "
-        f"to re-bootstrap, or restore the original sketch setting."
+        f"configured with sketch family '{family}'. Delete the stored "
+        f"baseline to re-bootstrap, or restore the original sketch setting."
     )
 
 
@@ -448,7 +450,29 @@ def compile_task(
         )
 
         metric_name = f"drift_{dcheck.metric}_{dcheck.column}"
-        if dcheck.baseline == "snapshot" and baseline_store is not None:
+        if dcheck.kind == "categorical":
+            from datapact_spark.operators.drift import (
+                categorical_drift_metrics,
+                categorical_drift_vs_snapshot,
+            )
+
+            if dcheck.baseline == "snapshot" and baseline_store is not None:
+                if baseline_store.exists(task.task_key, dcheck.column):
+                    snap = baseline_store.read(task.task_key, dcheck.column)
+                    _check_snapshot_family(snap, dcheck)
+                    metric_dfs.append(
+                        categorical_drift_vs_snapshot(source, snap, dcheck)
+                    )
+                else:
+                    metric_dfs.append(
+                        spark.range(1).select(F.lit(0.0).alias(metric_name))
+                    )
+                    bootstrap_drift.append((dcheck, source))
+            else:
+                metric_dfs.append(
+                    categorical_drift_metrics(source, target, dcheck)
+                )
+        elif dcheck.baseline == "snapshot" and baseline_store is not None:
             if baseline_store.exists(task.task_key, dcheck.column):
                 snap = baseline_store.read(task.task_key, dcheck.column)
                 _check_snapshot_family(snap, dcheck)

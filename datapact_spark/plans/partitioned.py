@@ -272,7 +272,19 @@ def compile_partition_verdicts(
     for dcheck in task.drift_checks or []:
         from datapact_spark.operators.drift import grouped_drift_metrics
 
-        if dcheck.sketch == "tdigest":
+        if dcheck.kind == "categorical":
+            from datapact_spark.operators.drift import grouped_categorical_drift
+
+            gd = grouped_categorical_drift(
+                source, target, dcheck.column, group_cols, top_k=dcheck.bins,
+            )
+            dm = gd.select(
+                *group_cols,
+                (F.col("psi") if dcheck.metric == "psi" else F.col("tv")).alias(
+                    f"drift_{dcheck.metric}_{dcheck.column}"
+                ),
+            )
+        elif dcheck.sketch == "tdigest":
             from datapact_spark.operators.quantiles import grouped_tdigest_drift
 
             gd = grouped_tdigest_drift(

@@ -250,3 +250,106 @@ def test_snapshot_sketch_family_mismatch_is_clear_error(spark, dists, tmp_path):
     # opaque missing-column AnalysisException
     assert "sketch family 'histogram'" in out.error
     assert "sketch='tdigest'" in out.error
+
+
+def test_categorical_drift_two_sample(spark):
+    from datapact_spark.config import DriftCheck
+    from datapact_spark.operators.drift import (
+        OTHER_CATEGORY,
+        categorical_drift_metrics,
+        categorical_drift_terms,
+    )
+
+    h = F.pmod(F.xxhash64("id"), F.lit(100))
+    src = spark.range(20_000).select(
+        F.when(h < 60, F.lit("A")).when(h < 90, F.lit("B"))
+        .when(h < 96, F.lit("C")).otherwise(F.lit("D")).alias("cat")
+    )
+    # same distribution → ~0 drift on both metrics
+    same = DriftCheck(column="cat", metric="tv", kind="categorical", bins=3)
+    v0 = categorical_drift_metrics(src, src, same).collect()[0][0]
+    assert v0 == 0.0
+    # swap A and C mass → large drift
+    tgt = src.replace({"A": "C", "C": "A"}, subset=["cat"])
+    v1 = categorical_drift_metrics(src, tgt, same).collect()[0][0]
+    assert v1 > 0.5  # TV between the two is |pA-qA| etc ~ 0.54
+    psi = DriftCheck(column="cat", metric="psi", kind="categorical", bins=3)
+    assert categorical_drift_metrics(src, tgt, psi).collect()[0][0] > 1.0
+    # top_k=3 folds D (the rarest) into __OTHER__
+    terms = {r["category"]: r for r in categorical_drift_terms(src, tgt, "cat", 3).collect()}
+    assert OTHER_CATEGORY in terms and set(terms) == {"A", "B", "C", OTHER_CATEGORY}
+    # masses sum to 1 on each side
+    assert sum(r["p"] for r in terms.values()) == pytest.approx(1.0)
+
+
+def test_categorical_snapshot_lifecycle_and_family_guard(spark, tmp_path):
+    from datapact_spark.engine import DataPactEngine
+
+    h = F.pmod(F.xxhash64("id"), F.lit(10))
+    base = spark.range(5000).select(
+        F.when(h < 7, F.lit("en")).otherwise(F.lit("de")).alias("lang"),
+        (F.col("id") % 100).cast("double").alias("x"),
+    )
+    drifted = spark.range(5000).select(
+        F.when(h < 3, F.lit("en")).otherwise(F.lit("de")).alias("lang"),
+        (F.col("id") % 100).cast("double").alias("x"),
+    )
+    resolver = TableResolver(spark)
+    resolver.register("cur", base)
+    resolver.register("tgt_unused", base)
+    engine = DataPactEngine(spark, resolver, results_path=str(tmp_path / "r"))
+
+    def cfg(kind="categorical", column="lang", metric="tv"):
+        return DataPactConfig(validations=[ValidationTask(
+            task_key="cat_snap", source="cur", target="tgt_unused",
+            drift_checks=[{
+                "column": column, "metric": metric, "threshold": 0.1,
+                "baseline": "snapshot", "kind": kind, "bins": 8,
+            }],
+        )])
+
+    r1 = engine.run(cfg(), job_name="boot")
+    assert r1.outcomes["cat_snap"].status == "SUCCESS"
+    snap = engine.baselines.read("cat_snap", "lang")
+    assert {"category", "cnt"} <= set(snap.columns)
+    assert engine.run(cfg(), job_name="same").passed
+    resolver.register("cur", drifted)
+    r3 = engine.run(cfg(), job_name="drifted")
+    assert r3.failed_task_keys == ["cat_snap"]
+    # family guard: flipping the stored categorical baseline to a
+    # numeric check must fail with the clear sketch-family error
+    r4 = engine.run(
+        cfg(kind="numeric", metric="psi"), job_name="flip", raise_on_failure=False
+    )
+    assert r4.outcomes["cat_snap"].status == "ERROR"
+    assert "sketch family 'categorical'" in r4.outcomes["cat_snap"].error
+
+
+def test_grouped_categorical_drift(spark):
+    from datapact_spark.operators.drift import grouped_categorical_drift
+
+    h = F.pmod(F.xxhash64("id"), F.lit(10))
+    src = spark.range(30_000).select(
+        (F.col("id") % 3).cast("string").alias("grp"),
+        F.when(h < 5, F.lit("x")).otherwise(F.lit("y")).alias("cat"),
+    )
+    tgt = src.withColumn(
+        "cat",
+        F.when(
+            (F.col("grp") == "1") & (F.col("cat") == "x"), F.lit("y")
+        ).otherwise(F.col("cat")),
+    )
+    rows = {r["grp"]: r for r in grouped_categorical_drift(src, tgt, "cat", ["grp"]).collect()}
+    assert rows["1"]["tv"] > 0.3 and rows["1"]["psi"] > 0.5
+    assert all(rows[g]["tv"] == 0.0 for g in ("0", "2"))
+
+
+def test_categorical_config_validation(spark):
+    from datapact_spark.config import DriftCheck
+
+    with pytest.raises(Exception, match="categorical-only"):
+        DriftCheck(column="x", metric="tv", kind="numeric")
+    with pytest.raises(Exception, match="no sketch family"):
+        DriftCheck(column="x", metric="psi", kind="categorical", sketch="tdigest")
+    with pytest.raises(Exception, match="psi.*tv|'psi' or 'tv'"):
+        DriftCheck(column="x", metric="ks", kind="categorical")
