@@ -249,7 +249,7 @@ def test_snapshot_sketch_family_mismatch_is_clear_error(spark, dists, tmp_path):
     # the error names the stored family and the configured one — not an
     # opaque missing-column AnalysisException
     assert "sketch family 'histogram'" in out.error
-    assert "sketch='tdigest'" in out.error
+    assert "sketch family 'tdigest'" in out.error
 
 
 def test_categorical_drift_two_sample(spark):
