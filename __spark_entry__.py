@@ -919,11 +919,15 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     document: total gram windows, windows shared with >= 2 docs, and
     the duplication fraction. STRICT oracle: DuckDB recomputes the
     same counts from the literal gram strings (no hashing), equal to
-    the xxhash64-based engine path up to a 2^-64 collision."""
+    the hash-based engine path up to a 2^-62 collision. Runs the
+    vectorized production path (numpy rolling hash — ~3× the Column
+    path's throughput; path equivalence is unit-tested)."""
     from datapact_spark.operators.dedup import doc_duplication_score
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return doc_duplication_score(docs, k=20, min_docs=2).select(
+    return doc_duplication_score(
+        docs, k=20, min_docs=2, vectorized=True
+    ).select(
         F.col("id").alias("doc_id"), "n_grams", "shared_grams", "dup_score"
     )
 
