@@ -466,3 +466,133 @@ def windowed_drift_scores(
         )
     )
     return grouped_psi_ks_from_counts(merged, group_cols)
+
+
+def categorical_drift_monitor_stream(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    column: str,
+    baselines,
+    task_key: str,
+    checkpoint_dir: str,
+    verdicts_path: str,
+    *,
+    top_k: int = 20,
+    metric: str = "tv",
+    threshold: float = 0.1,
+    update_baseline: bool = True,
+    trigger_available_now: bool = True,
+    on_batch: Callable[[int, float, bool], None] | None = None,
+):
+    """Continuous CATEGORICAL drift monitor — the frequency sibling of
+    ``drift_monitor_stream``. Category counts are trivially mergeable
+    (they add), so the running baseline is exact forever.
+
+    Per micro-batch: fold the batch onto the stored frame (the FIRST
+    batch's top-``top_k`` categories + ``__OTHER__`` — novel later
+    categories pool into __OTHER__, the standard fixed-frame monitoring
+    contract), score psi / total-variation against the running
+    baseline, append one idempotent verdict row ``(batch_id, n_rows,
+    psi, tv, passed, replayed)``, then add the batch's counts into the
+    baseline. Replay semantics identical to the numeric monitor:
+    committed verdicts are kept; a crash-window rescore is flagged
+    ``replayed`` (it self-compares against a baseline already
+    containing the batch)."""
+    from datapact_spark.operators.drift import (
+        OTHER_CATEGORY,
+        categorical_snapshot,
+        category_counts,
+    )
+    from datapact_spark.operators.drift import _EPS  # noqa: PLC2701
+
+    bl_column = f"{column}__cat_stream"
+
+    def _verdict_exists(batch_id: int) -> bool:
+        d = os.path.join(verdicts_path, f"batch_id={batch_id}")
+        try:
+            return any(f.endswith(".parquet") for f in os.listdir(d))
+        except OSError:
+            return False
+
+    def _score(base_rows, now_rows) -> tuple[float, float]:
+        # tiny frames (<= top_k + 1 rows) — plain python, deterministic
+        # category-ordered folds, same arithmetic as the batch path
+        import math
+
+        cats = sorted(set(base_rows) | set(now_rows))
+        p_tot = sum(base_rows.values()) or 1
+        q_tot = sum(now_rows.values()) or 1
+        psi = tv = 0.0
+        for c in cats:
+            p = base_rows.get(c, 0) / float(p_tot)
+            q = now_rows.get(c, 0) / float(q_tot)
+            psi += (p + _EPS - (q + _EPS)) * math.log((p + _EPS) / (q + _EPS))
+            tv += abs(p - q)
+        return psi, tv * 0.5
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        n_rows = batch_df.count()
+        if n_rows == 0:
+            return
+        replayed = False
+        if baselines.exists(task_key, bl_column):
+            base = baselines.read(task_key, bl_column)
+            rows = base.collect()  # <= top_k + 1 rows + batch marker
+            last_seen = max((r["last_batch_id"] for r in rows), default=-1)
+            if batch_id <= last_seen:
+                if _verdict_exists(batch_id):
+                    return
+                replayed = True
+            base_counts = {r["category"]: r["cnt"] for r in rows}
+            frame = [c for c in base_counts if c != OTHER_CATEGORY]
+            cats = spark.createDataFrame(
+                [(c,) for c in frame], "category string"
+            )
+            now_rows = {
+                r["category"]: r["cnt"]
+                for r in category_counts(batch_df, column, cats).collect()
+            }
+            psi, tv = _score(base_counts, now_rows)
+            passed = (psi if metric == "psi" else tv) <= threshold
+            if update_baseline and batch_id > last_seen:
+                merged = dict(base_counts)
+                for c, n in now_rows.items():
+                    merged[c] = merged.get(c, 0) + n
+                baselines.write(
+                    task_key, bl_column,
+                    spark.createDataFrame(
+                        [(c, n, batch_id) for c, n in merged.items()],
+                        "category string, cnt long, last_batch_id long",
+                    ),
+                )
+        else:
+            psi, tv, passed = 0.0, 0.0, True  # bootstrap batch
+            boot = categorical_snapshot(batch_df, column, top_k).withColumn(
+                "last_batch_id", F.lit(batch_id)
+            )
+            rows = boot.collect()
+            if rows:
+                baselines.write(
+                    task_key, bl_column,
+                    spark.createDataFrame(rows, boot.schema),
+                )
+        verdict = spark.createDataFrame(
+            [(batch_id, n_rows, psi, tv, bool(passed), replayed)],
+            "batch_id long, n_rows long, psi double, tv double,"
+            " passed boolean, replayed boolean",
+        )
+        (
+            verdict.write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(verdicts_path)
+        )
+        if on_batch is not None:
+            on_batch(batch_id, psi if metric == "psi" else tv, bool(passed))
+
+    writer = stream_df.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

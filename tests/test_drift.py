@@ -353,3 +353,57 @@ def test_categorical_config_validation(spark):
         DriftCheck(column="x", metric="psi", kind="categorical", sketch="tdigest")
     with pytest.raises(Exception, match="psi.*tv|'psi' or 'tv'"):
         DriftCheck(column="x", metric="ks", kind="categorical")
+
+
+def test_categorical_drift_monitor_stream(spark, tmp_path):
+    """Streaming categorical monitor: bootstrap frame, in-distribution
+    pass, shifted batch fails; running baseline folds counts
+    replay-safely; novel categories pool into __OTHER__."""
+    from datapact_spark.ledger import BaselineStore
+    from datapact_spark.streaming.incremental import (
+        categorical_drift_monitor_stream,
+    )
+
+    src_dir = str(tmp_path / "src")
+    h = F.pmod(F.xxhash64("id"), F.lit(10))
+    # batches 0/1: 70/30 en/de; batch 2: 20/50/30 en/de/NOVEL
+    for lo, hi, mk in ((0, 20_000, None), (20_000, 40_000, None),
+                      (40_000, 60_000, "zz")):
+        df = spark.range(lo, hi).select(
+            F.when(h < (2 if mk else 7), F.lit("en"))
+            .when(h < 7, F.lit(mk) if mk else F.lit("en"))
+            .otherwise(F.lit("de")).alias("lang")
+        )
+        df.coalesce(1).write.mode("append").parquet(src_dir)
+
+    baselines = BaselineStore(spark, str(tmp_path / "res"))
+    verdicts_path = str(tmp_path / "verdicts")
+    stream = (
+        spark.readStream.schema("lang string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = categorical_drift_monitor_stream(
+        spark, stream, "lang", baselines, "cmon", str(tmp_path / "ckpt"),
+        verdicts_path, metric="tv", threshold=0.1, top_k=4,
+    )
+    q.awaitTermination(120)
+    v = {r["batch_id"]: r for r in spark.read.parquet(verdicts_path).collect()}
+    assert len(v) == 3
+    assert v[0]["passed"] and v[0]["tv"] == 0.0          # bootstrap
+    assert v[1]["passed"] and v[1]["tv"] < 0.02          # same mix
+    assert not v[2]["passed"] and v[2]["tv"] > 0.2       # shifted + novel
+    # running baseline folded all batches; novel category sits in OTHER
+    snap = {r["category"]: r["cnt"] for r in baselines.read("cmon", "lang__cat_stream").collect()}
+    assert sum(snap.values()) == 60_000
+    from datapact_spark.operators.drift import OTHER_CATEGORY
+    assert snap.get(OTHER_CATEGORY, 0) >= 10_000  # the zz mass
+    # replay on the same checkpoint: no duplicate verdicts, no re-merge
+    q2 = categorical_drift_monitor_stream(
+        spark, stream, "lang", baselines, "cmon", str(tmp_path / "ckpt"),
+        verdicts_path, metric="tv", threshold=0.1, top_k=4,
+    )
+    q2.awaitTermination(60)
+    assert spark.read.parquet(verdicts_path).count() == 3
+    snap2 = {r["category"]: r["cnt"] for r in baselines.read("cmon", "lang__cat_stream").collect()}
+    assert sum(snap2.values()) == 60_000
