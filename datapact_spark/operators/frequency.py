@@ -119,6 +119,15 @@ def misra_gries_sketch(
             out.insert(i, g, key[i])
         return out[[*gcols, "item", "count_lo"]]
 
+    # Pre-aggregate partials per item BEFORE the final compress: the
+    # map-side-combined groupBy collapses duplicate items across
+    # batches distributedly, so the single-group compress below sees
+    # one row per SURVIVING distinct item, not batches x capacity rows
+    # — the difference between a bounded reducer and a funnel at 10^12
+    # rows.
+    part = part.groupBy(*gcols, "item").agg(
+        F.sum("count_lo").alias("count_lo")
+    )
     if gcols:
         return part.groupBy(*gcols).applyInPandas(merge, schema=schema)
     return part.groupBy(F.lit(1).alias(_GROUP_TAG)).applyInPandas(

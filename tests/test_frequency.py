@@ -86,12 +86,18 @@ def test_grouped_heavy_hitters(spark):
 
 
 def test_plan_shuffles_only_partials(spark, skewed_items):
-    """Raw rows must never shuffle: the single Exchange sits ABOVE the
-    partial MapInPandas stage (same contract as the t-digest)."""
+    """Raw rows must never shuffle: every Exchange sits ABOVE the
+    partial MapInPandas stage. Two compact exchanges by design — the
+    per-item pre-merge (map-side combined, collapses duplicate items
+    across batches distributedly) and the final single-group compress
+    whose input is one row per surviving distinct item."""
     df = misra_gries_sketch(skewed_items, "item", capacity=64)
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
     tree = plan.split("\n\n")[0]
-    assert tree.count("Exchange") == 1, tree
-    assert tree.index("Exchange") < tree.index("MapInPandas"), tree
+    assert tree.count("Exchange") == 2, tree
+    # formatted trees print root-first: both exchanges above the partials
+    assert tree.rindex("Exchange") < tree.index("MapInPandas"), tree
+    # map-side combine on the pre-merge (partial_sum before its exchange)
+    assert "partial_sum" in plan
