@@ -577,14 +577,21 @@ def doc_duplication_score(
     fast path (see ``char_ngram_hashes_vectorized``)."""
     from pyspark.sql.window import Window
 
-    # Single-pass shape: the gram relation is consumed EXACTLY ONCE
+    # Single-pass shape: the gram relation is hashed EXACTLY ONCE
     # (a naive totals/rep/join formulation recomputes the hashing up
-    # to 3x — it dominated the wall time at 1M docs). Collapse to
-    # per-(gram, doc) occurrence counts, count carrier docs per gram
-    # over a window (rows are distinct (gram, doc) pairs, so count ==
+    # to 3x — it dominated the wall time at 1M docs; a groupBy+join
+    # carrier-count variant measured 2x slower because the two
+    # consumers of the (gram, id) aggregate do NOT share the hashing
+    # subtree through Exchange reuse). Collapse to per-(gram, doc)
+    # occurrence counts, count carrier docs per gram over a window
+    # (rows are distinct (gram, doc) pairs, so count ==
     # count_distinct), then fold both totals and shared counts in one
-    # groupBy(id) with a conditional sum. Three compact shuffles,
-    # one hash pass.
+    # groupBy(id) with a conditional sum. Skew caveat: the window
+    # partitions by gram, and AQE never splits skewed windows — a gram
+    # present in a large fraction of ALL documents pins its carrier
+    # rows to one task. ``mod_sample`` shrinks every partition m-fold;
+    # a corpus known to carry near-universal boilerplate should strip
+    # it with ``repeated_substring_grams`` + a filter first.
     g = _grams(df, id_col, text_col, k, stride, portable, vectorized, mod_sample)
     gi = g.groupBy("gram_hash", "id").agg(F.count(F.lit(1)).alias("__occ"))
     wg = Window.partitionBy("gram_hash")
