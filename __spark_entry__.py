@@ -718,7 +718,11 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (centroids, assignments); later calls in the same environment skip
     training and query the stored partitioned assignment table — the
     float64 centroid/assignment round-trip through parquet is exact,
-    so the result stays bitwise equal to the unindexed pipeline."""
+    so the result stays bitwise equal to the unindexed pipeline. The
+    index tag folds in the source parquet's size+mtime (the same
+    invalidation ``_staged_events_dir`` uses): regenerating the
+    testdata in place at the same path gets a fresh index directory
+    instead of silently serving stale centroids/assignments."""
     import hashlib
 
     from datapact_spark.ledger import IvfIndexStore
@@ -726,7 +730,11 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.where("vec_id < 5")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:10]
     store = IvfIndexStore(spark, f"/tmp/datapact_ann_{tag}")
     return ivf_topk(
         emb, queries_df, k=5, nlist=8, nprobe=8, iters=1,
@@ -1460,7 +1468,26 @@ def q_range_join_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Retired from the ACTIVE driver board (the driver verifies at most 50
+# entries per round; r4 showed entries past #50 are silently dropped).
+# These four are redundant with still-active entries — doc_fingerprint's
+# md5 content fingerprint is exercised by dedup_exact, quality_score's
+# ratio projections by text_token_stats, and the owner/priority
+# breakdowns are the same A9 rollup shape as the active domain_breakdown
+# — but they remain fully oracle-checked in-repo: queries_all() feeds
+# tests/test_oracle_parity.py, which sweeps ACTIVE + RETIRED every run.
+RETIRED_QUERY_KEYS = (
+    "doc_fingerprint",
+    "quality_score",
+    "owner_breakdown",
+    "priority_breakdown",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """ACTIVE driver board: exactly 50 entries (the driver's cap), one
+    per operator family, ordered so every family that changed recently
+    sits safely inside the cap."""
     return {
         "count_validation": q_count_validation,
         "null_validation": q_null_validation,
@@ -1471,10 +1498,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "custom_sql_diff": q_custom_sql_diff,
         "drift_histogram": q_drift_histogram,
         "dedup_exact": q_dedup_exact,
-        "doc_fingerprint": q_doc_fingerprint,
         "text_token_stats": q_text_token_stats,
         "lang_id": q_lang_id,
-        "quality_score": q_quality_score,
         "ann_bruteforce": q_ann_bruteforce,
         "minhash_dedup": q_minhash_dedup,
         "run_aggregation": q_run_aggregation,
@@ -1505,8 +1530,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join_scope": q_semi_join_scope,
         "tumbling_window_agg": q_tumbling_window_agg,
         "genie_table_quality": q_genie_table_quality,
-        "owner_breakdown": q_owner_breakdown,
-        "priority_breakdown": q_priority_breakdown,
         "payload_check_rollup": q_payload_check_rollup,
         "genie_issues": q_genie_issues,
         "genie_current_status": q_genie_current_status,
@@ -1519,8 +1542,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Queries rotated off the 50-entry driver board (see
+    RETIRED_QUERY_KEYS) — still oracle-checked by the in-repo parity
+    sweep."""
+    retired = {
+        "doc_fingerprint": q_doc_fingerprint,
+        "quality_score": q_quality_score,
+        "owner_breakdown": q_owner_breakdown,
+        "priority_breakdown": q_priority_breakdown,
+    }
+    assert set(retired) == set(RETIRED_QUERY_KEYS)
+    return retired
+
+
+def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """ACTIVE + RETIRED — the full oracle-backed surface; what
+    tests/test_oracle_parity.py sweeps."""
+    return {**queries(), **retired_queries()}
+
+
 # ------------------------------------------------------------------ oracles
-def oracle_sql() -> dict[str, str]:
+def _oracle_sql_all() -> dict[str, str]:
     lang_markers = {
         "en": ["the", "and", "of", "is", "a"],
         "es": ["el", "la", "de", "que", "y"],
@@ -2507,3 +2550,23 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY prob
         """,
     }
+
+
+def oracle_sql() -> dict[str, str]:
+    """Oracles for the ACTIVE driver board only — mirrors ``queries()``
+    (the driver verifies at most 50 entries; retired twins live in
+    ``retired_oracle_sql()`` and stay covered by the in-repo sweep)."""
+    return {
+        k: v for k, v in _oracle_sql_all().items() if k not in RETIRED_QUERY_KEYS
+    }
+
+
+def retired_oracle_sql() -> dict[str, str]:
+    """Oracles for the retired board entries (see RETIRED_QUERY_KEYS)."""
+    allq = _oracle_sql_all()
+    return {k: allq[k] for k in RETIRED_QUERY_KEYS}
+
+
+def oracle_sql_all() -> dict[str, str]:
+    """ACTIVE + RETIRED oracles — what tests/test_oracle_parity.py runs."""
+    return _oracle_sql_all()

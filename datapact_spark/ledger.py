@@ -136,9 +136,14 @@ class IvfIndexStore:
             os.path.exists(os.path.join(d, "corpus", "_SUCCESS"))
         )
 
-    def write(self, name: str, centroids, assigned: DataFrame) -> None:
+    def write(
+        self, name: str, centroids, assigned: DataFrame, meta: dict | None = None
+    ) -> None:
         """``centroids``: (nlist, dim) ndarray; ``assigned``: the
-        ``similarity.ivf_assignments`` output for the corpus."""
+        ``similarity.ivf_assignments`` output for the corpus; ``meta``:
+        optional JSON-serializable build metadata (the freshness probe
+        stores the corpus fingerprint — row count + commutative id
+        hash — here; see ``similarity.corpus_fingerprint``)."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -167,6 +172,22 @@ class IvfIndexStore:
             .partitionBy("list_id")
             .parquet(os.path.join(d, "corpus"))
         )
+        if meta is not None:
+            import json
+
+            with open(os.path.join(d, "meta.json"), "w") as f:
+                json.dump(meta, f)
+
+    def read_meta(self, name: str) -> dict | None:
+        """Build metadata written alongside the index (None for indexes
+        written before meta existed, or when the build passed none)."""
+        import json
+
+        p = os.path.join(self._dir(name), "meta.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
 
     def read(self, name: str):
         """Returns (centroids ndarray, assigned DataFrame)."""

@@ -276,28 +276,34 @@ def simhash(
     used by the oracle-checked driver query) to make the whole simhash
     reproducible outside Spark; pass ``bits`` ≤ the hash's bit width."""
     # Explode tokens to (id, token_hash) rows, then ONE grouped
-    # aggregate of lane-packed popcounts: each SUM accumulates 3 bit
-    # positions in disjoint 20-bit lanes of a long (no higher-order
+    # aggregate of lane-packed popcounts: each SUM accumulates 2 bit
+    # positions in disjoint 31-bit lanes of a long (no higher-order
     # lambda — HOFs are interpreted and re-evaluate captured
     # expressions per element; this shape is whole-stage codegen with
     # map-side partial aggregation, same as the minhash signatures).
-    # balance_i = 2*ones_i - n, so ceil(bits/3) packed sums + one count
-    # replace `bits` SUM(±1) expressions — 64 bits costs 23 aggregate
-    # buffers instead of 64, a ~3× smaller codegen'd update loop.
-    # Lane width 20 bits ⇒ exact for documents up to 2^20-1 (~1M)
-    # whitespace tokens (a >5 MB single document); beyond that, lane
-    # carries would corrupt neighboring bits.
+    # balance_i = 2*ones_i - n, so ceil(bits/2) packed sums + one count
+    # replace `bits` SUM(±1) expressions — 64 bits costs 33 aggregate
+    # buffers instead of 64, a ~2× smaller codegen'd update loop.
+    # Lane width 31 bits ⇒ PROVABLY exact for any document Spark can
+    # hold: each lane's value is at most the token count n, a Spark
+    # string is capped at 2^31-1 bytes, and whitespace-separated tokens
+    # cost >= 2 bytes each, so n <= 2^30 < 2^31 — no carry into the
+    # neighboring lane is reachable (the earlier 20-bit × 3 packing
+    # silently corrupted signatures past 2^20 (~1M) tokens, a realistic
+    # >5 MB crawl document). The per-row addend is < 2^31 + 2^0 + 1 and
+    # the sum over <= 2^30 tokens stays < 2^62 — no long overflow.
     if token_hash is None:
         token_hash = F.xxhash64
-    lanes_per_sum = 3
-    lane_bits = 20
+    lanes_per_sum = 2
+    lane_bits = 31
     tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     exploded = df.select(
         F.col(id_col).alias("id"), F.explode(tokens).alias("tok")
     ).select("id", token_hash(F.col("tok")).alias("h"))
 
     def packed(j: int) -> F.Column:
-        # lanes j*3, j*3+1, j*3+2 → bits of h at those positions
+        # lanes j*lanes_per_sum .. j*lanes_per_sum+lanes_per_sum-1
+        # → bits of h at those positions
         addend = None
         for k in range(lanes_per_sum):
             i = j * lanes_per_sum + k
@@ -457,13 +463,28 @@ def char_ngram_hashes_vectorized(
     power-vector product — no per-element interpreted lambda, ~10-20×
     the Column-path throughput at stride 1.
 
-    Hash values differ from the JVM path (polynomial vs xxhash64) and
-    windows are UTF-8 BYTE grams, not char grams — detection semantics
-    are identical for ASCII corpora, and all downstream counts
-    (repeated grams, duplication scores) are hash-agnostic."""
+    Hash values differ from the JVM path (polynomial vs xxhash64), but
+    windows are CODEPOINT grams (text decoded to UTF-32 before the
+    sliding view), so window count and positions match the JVM char
+    path for all text, not just ASCII; downstream counts (repeated
+    grams, duplication scores) are hash-agnostic.
+
+    Requires an INTEGRAL ``id_col`` (output schema pins ``id`` to
+    long); raises TypeError otherwise — use the JVM path
+    (``vectorized=False``), which preserves the id type, for string
+    doc ids."""
     import numpy as np
     import pandas as pd
     from numpy.lib.stride_tricks import sliding_window_view
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    id_type = df.select(id_col).schema[0].dataType
+    if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"char_ngram_hashes_vectorized requires an integral id column "
+            f"(output schema pins id to long); {id_col!r} is {id_type.simpleString()} "
+            f"— use vectorized=False for non-integral doc ids"
+        )
 
     # TWO independent 31-bit rolling hashes packed into one 62-bit
     # value: a single 31-bit hash collides at ~10^5 distinct grams
@@ -483,7 +504,14 @@ def char_ngram_hashes_vectorized(
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 if text is None:
                     continue
-                b = np.frombuffer(str(text).encode("utf-8"), dtype=np.uint8)
+                # UTF-32-LE → one uint32 per CODEPOINT: windows align
+                # with the JVM path's character windows on any text
+                # (uint8 over UTF-8 bytes would shift window counts and
+                # positions for non-ASCII); for ASCII the values equal
+                # the byte values, so hashes are unchanged there
+                b = np.frombuffer(
+                    str(text).encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
                 if b.size < k:
                     continue
                 win = sliding_window_view(b, k)[::stride].astype(np.int64)
@@ -534,7 +562,9 @@ def repeated_substring_grams(
     documents: (gram_hash, n_docs, n_occurrences). One groupBy on the
     gram hash (map-side partials; the shuffle carries one partial row
     per distinct gram per task) — never a self-join, so a gram shared
-    by every document costs one counter, not O(n²) pairs."""
+    by every document costs one counter, not O(n²) pairs.
+    ``vectorized=True`` requires an integral id column (raises
+    TypeError otherwise — see ``char_ngram_hashes_vectorized``)."""
     g = _grams(df, id_col, text_col, k, stride, portable, vectorized, mod_sample)
     return (
         g.groupBy("gram_hash")
@@ -566,40 +596,69 @@ def doc_duplication_score(
     portable: bool = False,
     vectorized: bool = False,
     mod_sample: int | None = None,
+    carrier_strategy: str = "join",
 ) -> DataFrame:
     """Per-document verbatim-duplication score: the fraction of a
     document's ``k``-gram windows that also occur in >= ``min_docs``
-    documents (id, n_grams, shared_grams, dup_score). The join back is
-    gram-hash equality against the (small by construction) repeated-
-    gram set — high-duplication corpora shrink it further via
-    ``min_docs``. Training pipelines drop or trim documents past a
-    score threshold. ``vectorized=True`` uses the numpy rolling-hash
-    fast path (see ``char_ngram_hashes_vectorized``)."""
-    from pyspark.sql.window import Window
+    documents (id, n_grams, shared_grams, dup_score). Training
+    pipelines drop or trim documents past a score threshold.
+    ``vectorized=True`` uses the numpy rolling-hash fast path
+    (integral doc ids only — see ``char_ngram_hashes_vectorized``).
 
-    # Single-pass shape: the gram relation is hashed EXACTLY ONCE
-    # (a naive totals/rep/join formulation recomputes the hashing up
-    # to 3x — it dominated the wall time at 1M docs; a groupBy+join
-    # carrier-count variant measured 2x slower because the two
-    # consumers of the (gram, id) aggregate do NOT share the hashing
-    # subtree through Exchange reuse). Collapse to per-(gram, doc)
-    # occurrence counts, count carrier docs per gram over a window
-    # (rows are distinct (gram, doc) pairs, so count ==
-    # count_distinct), then fold both totals and shared counts in one
-    # groupBy(id) with a conditional sum. Skew caveat: the window
-    # partitions by gram, and AQE never splits skewed windows — a gram
-    # present in a large fraction of ALL documents pins its carrier
-    # rows to one task. ``mod_sample`` shrinks every partition m-fold;
-    # a corpus known to carry near-universal boilerplate should strip
-    # it with ``repeated_substring_grams`` + a filter first.
+    ``carrier_strategy``:
+
+    * ``"join"`` (default, the 100-TB shape) — persist the per-(gram,
+      doc) occurrence aggregate ONCE (the persist is what keeps the
+      gram hashing single-pass: Exchange reuse does not fire across
+      two consumers of a mapInPandas-fed aggregate, and re-hashing
+      measured ~2× the total cost at 1M docs), derive carrier counts
+      with a ``groupBy(gram_hash)`` whose MAP-SIDE PARTIALS absorb
+      even a gram present in every document, and join only the
+      >= ``min_docs`` gram set back. The join is AQE-skew-splittable
+      (unlike a window partition, which pins all carrier rows of one
+      gram to a single task — a near-universal boilerplate gram sends
+      O(corpus) rows through one reducer at scale).
+    * ``"window"`` — the former single-shuffle window shape, kept as a
+      small-data opt-in: no persist and one fewer exchange, but the
+      carrier count runs over ``Window.partitionBy(gram_hash)`` and
+      AQE never splits skewed windows.
+    """
     g = _grams(df, id_col, text_col, k, stride, portable, vectorized, mod_sample)
     gi = g.groupBy("gram_hash", "id").agg(F.count(F.lit(1)).alias("__occ"))
-    wg = Window.partitionBy("gram_hash")
-    gi = gi.withColumn("__n_docs", F.count(F.lit(1)).over(wg))
-    return gi.groupBy("id").agg(
+
+    if carrier_strategy == "window":
+        from pyspark.sql.window import Window
+
+        wg = Window.partitionBy("gram_hash")
+        scored = gi.withColumn("__n_docs", F.count(F.lit(1)).over(wg)).withColumn(
+            "__shared", F.col("__n_docs") >= min_docs
+        )
+    elif carrier_strategy == "join":
+        from pyspark.storagelevel import StorageLevel
+
+        # Rows of gi are distinct (gram, doc) pairs, so count == the
+        # carrier-doc count. The persist stays for the session (Spark
+        # evicts MEMORY_AND_DISK blocks under pressure); callers doing
+        # repeated scoring can spark.catalog.clearCache() between runs.
+        gi = gi.persist(StorageLevel.MEMORY_AND_DISK)
+        rep = (
+            gi.groupBy("gram_hash")
+            .agg(F.count(F.lit(1)).alias("__n_docs"))
+            .where(F.col("__n_docs") >= min_docs)
+            .select("gram_hash", F.lit(True).alias("__shared"))
+        )
+        scored = gi.join(rep, "gram_hash", "left").withColumn(
+            "__shared", F.coalesce(F.col("__shared"), F.lit(False))
+        )
+    else:
+        raise ValueError(
+            f"carrier_strategy must be 'join' or 'window', got {carrier_strategy!r}"
+        )
+
+    return scored.groupBy("id").agg(
         F.sum("__occ").alias("n_grams"),
         F.sum(
-            F.when(F.col("__n_docs") >= min_docs, F.col("__occ")).otherwise(0)
+            F.when(F.col("__shared"), F.col("__occ")).otherwise(0)
         ).alias("shared_grams"),
     ).select(
         "id",

@@ -75,11 +75,27 @@ def misra_gries_sketch(
     col: Column | str,
     capacity: int = 1024,
     group_cols: Sequence[str] | None = None,
+    salt_buckets: int = 64,
 ) -> DataFrame:
     """Mergeable heavy-hitter summary of ``col``: <= capacity rows
     (group..., item, count_lo) per group, where ``count_lo`` is a lower
     bound within n/(capacity+1) of the true count (exact when the
-    group's distinct-key count <= capacity)."""
+    group's distinct-key count <= capacity).
+
+    ``salt_buckets`` bounds the FINAL merge: without it the last
+    ``applyInPandas`` group would receive every surviving distinct item
+    — up to map_tasks × capacity rows (≈10⁹ at 10⁶ tasks), a single-
+    reducer funnel. Items are hashed into ``salt_buckets`` disjoint
+    buckets, each bucket MG-compressed to <= capacity counters in
+    parallel, and only the <= salt_buckets × capacity bucket-summary
+    rows reach the final merge. Correctness: the buckets partition the
+    item domain, so each bucket compress is a valid Misra-Gries
+    summary of its bucket's sub-stream and the final step is a plain
+    mergeable-summaries merge — the n/(capacity+1) undercount bound is
+    tree-shape-independent (Agarwal et al.), and in the exact regime
+    (distinct keys <= capacity) no stage ever subtracts, so the output
+    is identical to the unsalted merge. Set ``salt_buckets <= 1`` to
+    skip the intermediate level (small-data opt-out)."""
     gcols = list(group_cols or [])
     c = F.col(col) if isinstance(col, str) else col
     src = df.select(*gcols, c.cast("string").alias("__v")).where(
@@ -128,6 +144,29 @@ def misra_gries_sketch(
     part = part.groupBy(*gcols, "item").agg(
         F.sum("count_lo").alias("count_lo")
     )
+    if salt_buckets and salt_buckets > 1:
+        # salted intermediate compress: one bounded exchange on
+        # (group, salt), each bucket compressed independently — the
+        # final merge input shrinks from tasks×capacity to
+        # salt_buckets×capacity rows
+        def bucket_compress(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            items, counts = _mg_compress(
+                pdf["item"].to_numpy(),
+                pdf["count_lo"].to_numpy(dtype=np.int64),
+                capacity,
+            )
+            out = pd.DataFrame({"item": items, "count_lo": counts})
+            for i, g in enumerate(gcols):
+                out.insert(i, g, key[i])
+            return out[[*gcols, "item", "count_lo"]]
+
+        part = (
+            part.withColumn(
+                "__mg_salt", F.pmod(F.xxhash64("item"), F.lit(salt_buckets))
+            )
+            .groupBy(*gcols, "__mg_salt")
+            .applyInPandas(bucket_compress, schema=schema)
+        )
     if gcols:
         return part.groupBy(*gcols).applyInPandas(merge, schema=schema)
     return part.groupBy(F.lit(1).alias(_GROUP_TAG)).applyInPandas(

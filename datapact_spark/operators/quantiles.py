@@ -481,9 +481,19 @@ def kll_drift(
     k/bins) — the same comparison contract as ``tdigest_drift``. Both
     summaries are treated as uniform point masses; each point lands in
     bin 1 + #(edges strictly below it). Everything is a join/agg over
-    O(bins·points_per_bin) rows — lazy and JVM-only."""
+    O(bins·points_per_bin) rows — lazy and JVM-only.
+
+    ``bins == 1`` is a degenerate single-bin comparison: there are no
+    interior edges, every point of both summaries lands in bin 1, and
+    drift is 0 by construction — short-circuited here because the
+    edge cross join below would otherwise drop every point row and
+    return null psi/ks instead of 0."""
     from datapact_spark.operators.drift import _psi_ks
 
+    if bins == 1:
+        return base.sparkSession.range(1).select(
+            F.lit(0.0).alias("psi"), F.lit(0.0).alias("ks")
+        )
     edges = _kll_edges(base, bins, points_per_bin)
     return _psi_ks(
         _kll_binned(base, edges), _kll_binned(now, edges), bins

@@ -317,6 +317,20 @@ def ivf_probe_topk(
     )
 
 
+def corpus_fingerprint(corpus: DataFrame, id_col: str = "vec_id") -> tuple[int, int]:
+    """Cheap corpus-identity probe for index freshness: (row count,
+    commutative 64-bit id hash). ``bit_xor(xxhash64(id))`` is
+    order-independent, overflow-free, and the scan is column-pruned to
+    the id alone — one aggregate pass, no vectors read. Collision odds
+    for an *accidental* match after a corpus change are ~2^-64 (plus
+    the count must also match)."""
+    row = corpus.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"bit_xor(xxhash64(`{id_col}`))").alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"] if row["h"] is not None else 0)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -331,6 +345,7 @@ def ivf_topk(
     index_store=None,
     index_name: str | None = None,
     rebuild: bool = False,
+    check_freshness: bool = False,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the coarse-quantizer
     scale path alongside ``lsh_topk``: the corpus is partitioned into
@@ -345,17 +360,40 @@ def ivf_topk(
     not exist yet; later calls serve queries straight from the stored
     (centroids, assignments) — no training pass, no corpus GEMM, and
     partition pruning on the probed lists. The CALLER owns index
-    invalidation: a changed corpus is served stale until
+    invalidation by default: a changed corpus is served stale until
     ``rebuild=True`` (or the index directory is deleted) — checking
-    corpus identity automatically would cost the very scan the index
-    exists to avoid."""
+    corpus identity on every call would cost a corpus scan, which the
+    id-only probe below keeps cheap but not free.
+
+    ``check_freshness=True`` opts into that probe: before serving, one
+    column-pruned aggregate over the live corpus's id column
+    (``corpus_fingerprint``) is compared to the fingerprint stored in
+    the index meta at build time; a mismatch (or an index written
+    before meta existed) triggers an automatic rebuild instead of
+    silently serving stale neighbors. The default stays zero-cost on
+    the serve path."""
     if index_store is not None and index_name is not None:
-        if rebuild or not index_store.exists(index_name):
+        fp: tuple[int, int] | None = None
+        build = rebuild or not index_store.exists(index_name)
+        if not build and check_freshness:
+            fp = corpus_fingerprint(corpus, id_col)
+            meta = index_store.read_meta(index_name)
+            if (
+                meta is None
+                or (int(meta.get("n_rows", -1)), int(meta.get("id_hash", 0))) != fp
+            ):
+                build = True
+        if build:
             cents = train_ivf_centroids(
                 corpus, nlist, id_col, vec_col, iters, sample_fraction, seed
             )
+            if fp is None:
+                fp = corpus_fingerprint(corpus, id_col)
             index_store.write(
-                index_name, cents, ivf_assignments(corpus, cents, id_col, vec_col)
+                index_name,
+                cents,
+                ivf_assignments(corpus, cents, id_col, vec_col),
+                meta={"n_rows": fp[0], "id_hash": fp[1]},
             )
         cents, assigned = index_store.read(index_name)
     else:
@@ -366,13 +404,29 @@ def ivf_topk(
     return ivf_probe_topk(assigned, cents, queries, k, id_col, vec_col, nprobe)
 
 
+def derive_lsh_bits(n_rows: int, floor: int = 8, cap: int = 28) -> int:
+    """Constant-occupancy hyperplane-count rule: ``bits ≈ log2(n) − 6``
+    keeps the expected rows-per-bucket near 2^6 = 64 as the corpus
+    grows, which is what makes the self-join shuffle volume LINEAR in
+    n (measured in BENCH.md §r4: fixed bits=12 at 8M vectors blew the
+    shuffle super-linearly; bits=17 = log2(8M)−6 restored 8.7× volume
+    for 8× vectors). Clamped to [floor, cap]: below 2^14 rows the
+    fixed floor keeps recall stable on small corpora, and past cap the
+    per-bucket constant already dominates."""
+    import math
+
+    if n_rows <= 1:
+        return floor
+    return max(floor, min(cap, int(round(math.log2(n_rows))) - 6))
+
+
 def embedding_near_dups(
     df: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    bits: int = 12,
+    bits: int | None = 12,
     tables: int = 4,
     seed: int = 42,
     max_bucket_size: int | None = 10_000,
@@ -380,7 +434,16 @@ def embedding_near_dups(
     """Embedding-cosine near-duplicate pairs via LSH self-join:
     (id_a, id_b, cosine_sim) with sim ≥ threshold, id_a < id_b.
     Buckets above ``max_bucket_size`` are dropped so one degenerate
-    bucket (e.g. all-zero vectors) can't go quadratic."""
+    bucket (e.g. all-zero vectors) can't go quadratic.
+
+    ``bits=None`` derives the hyperplane count from a cheap corpus
+    count via the constant-occupancy rule (``derive_lsh_bits``,
+    bits ≈ log2(n) − 6) — the setting that keeps shuffle volume linear
+    in corpus size instead of leaving the 8M-vector cliff to the
+    caller. The count is one column-pruned aggregate scan; pass an
+    explicit ``bits`` to skip it."""
+    if bits is None:
+        bits = derive_lsh_bits(df.count())
     planes = _hyperplanes(dim, bits, tables, seed)
     buckets_udf = make_sign_buckets_udf(planes)
     b = df.select(

@@ -39,6 +39,25 @@ from datapact_spark.plans.compiler import compile_task
 from datapact_spark.sources.loader import TableResolver
 
 
+def _partition_has_parquet(spark: SparkSession, root: str, batch_id: int) -> bool:
+    """True when the verdict partition ``batch_id=<id>`` already holds a
+    committed parquet file.  Resolved through the Hadoop FileSystem API
+    so replay detection works on ANY filesystem Spark can write to
+    (HDFS, S3A, local, ...) — an ``os.listdir`` probe silently returns
+    False for non-local storage, and a checkpoint replay would then
+    overwrite the honest original verdict with a self-compared
+    (artificially low) score."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(f"{root}/batch_id={batch_id}")
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return False
+    return any(
+        st.getPath().getName().endswith(".parquet")
+        for st in fs.listStatus(path)
+    )
+
+
 def validate_stream(
     spark: SparkSession,
     task: ValidationTask,
@@ -313,11 +332,7 @@ def drift_monitor_stream(
     bl_column = f"{column}__stream"
 
     def _verdict_exists(batch_id: int) -> bool:
-        d = os.path.join(verdicts_path, f"batch_id={batch_id}")
-        try:
-            return any(f.endswith(".parquet") for f in os.listdir(d))
-        except OSError:
-            return False
+        return _partition_has_parquet(spark, verdicts_path, batch_id)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         n_rows = batch_df.count()
@@ -508,11 +523,7 @@ def categorical_drift_monitor_stream(
     bl_column = f"{column}__cat_stream"
 
     def _verdict_exists(batch_id: int) -> bool:
-        d = os.path.join(verdicts_path, f"batch_id={batch_id}")
-        try:
-            return any(f.endswith(".parquet") for f in os.listdir(d))
-        except OSError:
-            return False
+        return _partition_has_parquet(spark, verdicts_path, batch_id)
 
     def _score(base_rows, now_rows) -> tuple[float, float]:
         # tiny frames (<= top_k + 1 rows) — plain python, deterministic

@@ -500,3 +500,147 @@ class TestSubstringDedup:
         # vectorized path agrees on the selected-gram count
         rep_v = repeated_substring_grams(docs, k=20, mod_sample=4, vectorized=True)
         assert rep_v.count() > 0
+
+
+class TestRound5Fixes:
+    """Regression tests for the r5 scale/correctness fixes: de-skewed
+    carrier counts, codepoint-aligned vectorized grams, 31-bit simhash
+    lanes, and the Hadoop-FS replay probe."""
+
+    def _boiler_docs(self, spark):
+        boiler = "SPDX-License-Identifier: Apache-2.0 WITH LLVM-exception"
+        return spark.createDataFrame(
+            [
+                (1, boiler + " unique content alpha beta"),
+                (2, "totally different words here " + boiler),
+                (3, "no shared material whatsoever in this document xyz"),
+                (4, boiler + " " + boiler),  # gram repeated within one doc
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_carrier_join_matches_window(self, spark):
+        """The default AQE-skew-splittable join carrier strategy must
+        produce byte-identical scores to the former window shape
+        (rows of gi are distinct (gram, doc) pairs, so a groupBy count
+        == the window count-over-partition)."""
+        from datapact_spark.operators.dedup import doc_duplication_score
+
+        docs = self._boiler_docs(spark)
+        join_rows = sorted(
+            tuple(r) for r in doc_duplication_score(docs, k=20).collect()
+        )
+        win_rows = sorted(
+            tuple(r)
+            for r in doc_duplication_score(
+                docs, k=20, carrier_strategy="window"
+            ).collect()
+        )
+        assert join_rows == win_rows
+        assert len(join_rows) == 4
+
+    def test_carrier_strategy_invalid_raises(self, spark):
+        from datapact_spark.operators.dedup import doc_duplication_score
+
+        with pytest.raises(ValueError, match="carrier_strategy"):
+            doc_duplication_score(
+                self._boiler_docs(spark), k=20, carrier_strategy="bogus"
+            )
+
+    def test_vectorized_windows_are_codepoint_aligned(self, spark):
+        """Non-ASCII text: the numpy fast path must produce the same
+        window COUNT and POSITIONS as the JVM char path (UTF-8 byte
+        windows would over-count for multibyte text)."""
+        from datapact_spark.operators.dedup import (
+            char_ngram_hashes,
+            char_ngram_hashes_vectorized,
+        )
+
+        # 30 codepoints, all multibyte (UTF-8: 2-3 bytes each)
+        text = "é" * 10 + "中" * 10 + "ß" * 10
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        jvm = char_ngram_hashes(docs, k=20).collect()
+        vec = char_ngram_hashes_vectorized(docs, k=20).collect()
+        assert sorted(r["pos"] for r in vec) == sorted(r["pos"] for r in jvm)
+        assert len(vec) == 30 - 20 + 1
+
+    def test_vectorized_string_id_raises(self, spark):
+        from datapact_spark.operators.dedup import char_ngram_hashes_vectorized
+
+        docs = spark.createDataFrame([("a", "x" * 30)], "doc_id string, text string")
+        with pytest.raises(TypeError, match="integral id"):
+            char_ngram_hashes_vectorized(docs, k=20)
+
+    def test_simhash_exact_past_million_tokens(self, spark):
+        """A document with > 2^20 whitespace tokens must produce the
+        same signature as an unpacked per-bit reference aggregation —
+        the former 20-bit×3 lane packing silently carried into
+        neighboring bits in exactly this regime."""
+        from datapact_spark.operators.dedup import simhash
+
+        n_tok = (1 << 20) + 4096
+        text = " ".join(f"t{i % 997}" for i in range(n_tok))
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        got = simhash(docs).collect()[0]["simhash"]
+
+        toks = docs.select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
+        ).select(F.xxhash64("tok").alias("h"))
+        sums = toks.agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"b{i}")
+                for i in range(64)
+            ],
+        ).collect()[0]
+        ref = 0
+        for i in range(64):
+            if 2 * sums[f"b{i}"] > sums["n"]:
+                ref |= 1 << i
+        assert got == ref
+
+    def test_partition_has_parquet_probe(self, spark, tmp_path):
+        """Replay probe resolves through the Hadoop FileSystem API and
+        answers correctly for committed, empty, and absent partitions."""
+        from datapact_spark.streaming.incremental import _partition_has_parquet
+
+        root = str(tmp_path / "verdicts")
+        spark.range(3).selectExpr("id", "CAST(1 AS INT) AS batch_id").write.partitionBy(
+            "batch_id"
+        ).parquet(root)
+        assert _partition_has_parquet(spark, root, 1)
+        assert not _partition_has_parquet(spark, root, 2)
+        (tmp_path / "verdicts" / "batch_id=3").mkdir()
+        assert not _partition_has_parquet(spark, root, 3)
+
+    def test_derive_lsh_bits_rule(self):
+        """bits ≈ log2(n) − 6, clamped: the constant-occupancy setting
+        that kept shuffle linear at 8M vectors (BENCH.md §r4)."""
+        from datapact_spark.operators.similarity import derive_lsh_bits
+
+        assert derive_lsh_bits(1_000_000) == 14  # log2(1e6)≈19.9 → 14
+        assert derive_lsh_bits(8_000_000) == 17  # the measured 8M point
+        assert derive_lsh_bits(1_000) == 8       # floor
+        assert derive_lsh_bits(0) == 8
+        assert derive_lsh_bits(1 << 40) == 28    # cap
+
+    def test_embedding_near_dups_auto_bits(self, spark):
+        """bits=None derives the hyperplane count from a corpus count
+        and still finds the injected duplicate pair (tiny corpus →
+        floor bits → full recall regime)."""
+        import numpy as np
+
+        from datapact_spark.operators.similarity import embedding_near_dups
+
+        rng = np.random.RandomState(11)
+        rows = [
+            (i, [float(x) for x in rng.randn(64)]) for i in range(100)
+        ]
+        v = [float(x) for x in rng.randn(64)]
+        rows += [(1000, v), (1001, v)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        ids = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_dups(df, threshold=0.99, bits=None).collect()
+        }
+        assert (1000, 1001) in ids

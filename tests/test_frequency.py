@@ -85,19 +85,69 @@ def test_grouped_heavy_hitters(spark):
     assert all(r["item"] == "top" for r in rows)
 
 
-def test_plan_shuffles_only_partials(spark, skewed_items):
+@pytest.mark.parametrize("salt_buckets,n_exchanges", [(64, 3), (1, 2)])
+def test_plan_shuffles_only_partials(spark, skewed_items, salt_buckets, n_exchanges):
     """Raw rows must never shuffle: every Exchange sits ABOVE the
-    partial MapInPandas stage. Two compact exchanges by design — the
+    partial MapInPandas stage. Compact exchanges by design — the
     per-item pre-merge (map-side combined, collapses duplicate items
-    across batches distributedly) and the final single-group compress
-    whose input is one row per surviving distinct item."""
-    df = misra_gries_sketch(skewed_items, "item", capacity=64)
+    across batches distributedly), the salted bucket compress (input
+    one row per surviving distinct item, output <= salt×capacity), and
+    the final merge whose input is the bucket summaries. With
+    salt_buckets<=1 the middle level is skipped (two exchanges)."""
+    df = misra_gries_sketch(
+        skewed_items, "item", capacity=64, salt_buckets=salt_buckets
+    )
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
     tree = plan.split("\n\n")[0]
-    assert tree.count("Exchange") == 2, tree
-    # formatted trees print root-first: both exchanges above the partials
+    assert tree.count("Exchange") == n_exchanges, tree
+    # formatted trees print root-first: all exchanges above the partials
     assert tree.rindex("Exchange") < tree.index("MapInPandas"), tree
     # map-side combine on the pre-merge (partial_sum before its exchange)
     assert "partial_sum" in plan
+
+
+def test_salted_merge_matches_unsalted(spark, skewed_items):
+    """Two-level (salted) merge == one-level merge in the exact regime
+    (distinct keys <= capacity): no stage ever subtracts, so the output
+    counters are exact and identical regardless of merge tree shape."""
+    one = sorted(
+        (r["item"], r["count_lo"])
+        for r in misra_gries_sketch(
+            skewed_items, "item", capacity=4096, salt_buckets=1
+        ).collect()
+    )
+    two = sorted(
+        (r["item"], r["count_lo"])
+        for r in misra_gries_sketch(
+            skewed_items, "item", capacity=4096, salt_buckets=16
+        ).collect()
+    )
+    assert one == two
+
+
+def test_salted_merge_bounds_hold(spark, skewed_items):
+    """In the sketchy regime the salted tree still honors the
+    n/(capacity+1) undercount bound and keeps every above-bound item
+    (buckets partition the item domain; per-bucket MG summaries are
+    valid summaries of their sub-streams, and the merge bound is
+    tree-shape-independent)."""
+    n = skewed_items.count()
+    cap = 64
+    bound = n / (cap + 1)
+    sk = {
+        r["item"]: r["count_lo"]
+        for r in misra_gries_sketch(
+            skewed_items, "item", capacity=cap, salt_buckets=8
+        ).collect()
+    }
+    ex = {
+        r["item"]: r["cnt"]
+        for r in skewed_items.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert all(0 <= ex[i] - c <= bound for i, c in sk.items())
+    heavy = [i for i, c in ex.items() if c > bound]
+    assert all(i in sk for i in heavy)

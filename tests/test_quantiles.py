@@ -286,6 +286,23 @@ def test_kll_drift_separates_same_from_shifted(spark, tables):
     assert far["ks"] > 0.3 and far["psi"] > 0.5
 
 
+def test_kll_drift_single_bin_is_zero(spark, tables):
+    """bins==1: no interior edges exist, every point of both summaries
+    lands in the single bin, so drift is 0 by construction — the edge
+    cross join would otherwise drop all point rows and return nulls."""
+    from datapact_spark.operators.quantiles import kll_drift, kll_sketch
+
+    orders = tables["orders"]
+    base = kll_sketch(orders, "o_totalprice", bins=10)
+    shifted = kll_sketch(
+        orders.withColumn("o_totalprice", F.col("o_totalprice") * 3.0),
+        "o_totalprice",
+        bins=10,
+    )
+    row = kll_drift(base, shifted, bins=1).collect()[0]
+    assert row["psi"] == 0.0 and row["ks"] == 0.0
+
+
 def test_grouped_kll_drift(spark, skewed_df):
     from datapact_spark.operators.quantiles import grouped_kll_drift
 

@@ -50,8 +50,8 @@ def main(names: list[str]) -> int:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
-    qs = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
+    qs = entry_mod.queries_all()
+    oracles = entry_mod.oracle_sql_all()
     targets = names or [k for k in qs if k in oracles]
     failures = 0
     for name in targets:

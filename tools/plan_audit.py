@@ -32,7 +32,7 @@ def main(names: list[str]) -> int:
 
     spark = get_spark(app_name="plan_audit")
     spark.sparkContext.setLogLevel("ERROR")
-    qs = entry_mod.queries()
+    qs = entry_mod.queries_all()
     for name in names or qs:
         df = qs[name](spark, SF_DIR)
         plan = df._sc._jvm.PythonSQLUtils.explainString(
