@@ -144,6 +144,7 @@ def tdigest_sketch(
     column: str,
     delta: float = 200.0,
     group_cols: Sequence[str] | None = None,
+    merge_salt_buckets: int = 32,
 ) -> DataFrame:
     """Mergeable t-digest of ``column``: one row (or one per group) of
     (means, weights, total, vmin, vmax).
@@ -158,7 +159,19 @@ def tdigest_sketch(
 
     At 10^12 rows the map stage emits ~delta/2 rows per (batch x
     group-in-batch); only those partials shuffle, never raw values.
-    """
+
+    ``merge_salt_buckets`` bounds the FINAL merge group: a group
+    holding 20% of a 10^12-row table sees ~10^6 map tasks, so its
+    merge would otherwise receive ~10^6 partial rows × delta/2
+    centroids through one pandas group.  Partials are salted by a
+    content hash into ``merge_salt_buckets`` sub-merges first, so the
+    final group reads <= merge_salt_buckets digest rows.  Digest
+    merging is the documented mergeable-summary operation; in the
+    exactness regime (delta/2 >= n, singleton centroids — the regime
+    the strict oracle runs in) no compression ever fires, so the
+    two-level result is byte-identical to the one-level merge.  Set
+    <= 1 to disable (small batch inputs, e.g. streaming monitors,
+    where one extra exchange isn't worth it)."""
     gcols = list(group_cols or [])
     src = df.select(
         *gcols, F.col(column).cast("double").alias("__v")
@@ -186,11 +199,20 @@ def tdigest_sketch(
             yield pd.DataFrame(out, columns=[f.name for f in part_schema.fields])
 
     partial = src.mapInPandas(partials, schema=part_schema)
-    return _remerge(partial, delta, gcols)
+    return _remerge(partial, delta, gcols, merge_salt_buckets)
 
 
-def _remerge(partial: DataFrame, delta: float, gcols: list[str]) -> DataFrame:
-    """Merge partial digest rows (same schema as the output) per group."""
+def _remerge(
+    partial: DataFrame,
+    delta: float,
+    gcols: list[str],
+    salt_buckets: int = 1,
+) -> DataFrame:
+    """Merge partial digest rows (same schema as the output) per group.
+    ``salt_buckets > 1`` inserts an intermediate per-(group, salt)
+    sub-merge (salt = content hash of the centroid means) so the final
+    per-group merge reads <= salt_buckets rows instead of one row per
+    upstream map task — see ``tdigest_sketch``."""
     out_schema = digest_schema([partial.schema[c] for c in gcols])
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -209,6 +231,13 @@ def _remerge(partial: DataFrame, delta: float, gcols: list[str]) -> DataFrame:
         )
         return pd.DataFrame([row])
 
+    if salt_buckets and salt_buckets > 1:
+        salted = partial.withColumn(
+            "__ds", F.pmod(F.xxhash64("means"), F.lit(salt_buckets))
+        )
+        partial = salted.groupBy(*gcols, "__ds").applyInPandas(
+            lambda pdf: merge(pdf.drop(columns="__ds")), schema=out_schema
+        )
     if gcols:
         return partial.groupBy(*gcols).applyInPandas(merge, schema=out_schema)
     return (

@@ -339,7 +339,8 @@ def drift_monitor_stream(
         if n_rows == 0:
             return
         replayed = False
-        dig_now = tdigest_sketch(batch_df, column, delta)
+        # microbatches are small; skip the salted sub-merge level
+        dig_now = tdigest_sketch(batch_df, column, delta, merge_salt_buckets=1)
         if baselines.exists(task_key, bl_column):
             base = baselines.read(task_key, bl_column)
             # None if the stored baseline is empty (bootstrapped from a
@@ -381,6 +382,175 @@ def drift_monitor_stream(
                 baselines.write(
                     task_key, bl_column,
                     spark.createDataFrame(boot_rows, boot.schema),
+                )
+        verdict = spark.createDataFrame(
+            [(batch_id, n_rows, psi, ks, bool(passed), replayed)],
+            "batch_id long, n_rows long, psi double, ks double,"
+            " passed boolean, replayed boolean",
+        )
+        (
+            verdict.write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(verdicts_path)
+        )
+        if on_batch is not None:
+            on_batch(batch_id, psi if metric == "psi" else ks, bool(passed))
+
+    writer = stream_df.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def kll_drift_monitor_stream(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    column: str,
+    baselines,
+    task_key: str,
+    checkpoint_dir: str,
+    verdicts_path: str,
+    *,
+    bins: int = 10,
+    accuracy: int = 10_000,
+    metric: str = "psi",
+    threshold: float = 0.2,
+    update_baseline: bool = True,
+    trigger_available_now: bool = True,
+    on_batch: Callable[[int, float, bool], None] | None = None,
+):
+    """Continuous drift monitor for ``sketch='kll'`` configs — the
+    quantile-grid sibling of ``drift_monitor_stream``.
+
+    The stored KLL form (percentile_approx quantile points) is already
+    collapsed, so unlike the t-digest it cannot be re-merged as a
+    running sketch. What IS exactly mergeable is the bin-count frame
+    it induces: the bootstrap batch's KLL sketch fixes ``bins``
+    equal-mass bin EDGES (baseline quantiles at k/bins — the same
+    comparison contract as ``kll_drift``), and from then on the
+    running baseline is per-bin COUNTS on that frozen grid, which add
+    exactly (the same fixed-frame contract as
+    ``categorical_drift_monitor_stream`` and the windowed-drift grid).
+    Edges are frozen at bootstrap — a stream whose support migrates
+    far off the bootstrap grid should re-bootstrap (delete the
+    baseline) or use the t-digest monitor, whose support adapts.
+
+    Per micro-batch: count batch rows on the frozen grid (one JVM
+    conditional aggregate — bin of a value is 1 + #(edges < value)),
+    score PSI / KS against the running baseline counts (deterministic
+    bin-ordered folds), append one idempotent verdict row
+    ``(batch_id, n_rows, psi, ks, passed, replayed)``, then add the
+    batch's counts into the baseline guarded by ``last_batch_id``.
+    Replay semantics identical to the other monitors: committed
+    verdicts are kept; a crash-window rescore is flagged ``replayed``
+    (it self-compares against a baseline already containing the
+    batch)."""
+    from datapact_spark.operators.drift import _EPS  # noqa: PLC2701
+    from datapact_spark.operators.quantiles import (
+        KLL_POINTS_PER_BIN,
+        _kll_edges,
+        kll_sketch,
+    )
+
+    bl_column = f"{column}__kll_stream"
+
+    def _verdict_exists(batch_id: int) -> bool:
+        return _partition_has_parquet(spark, verdicts_path, batch_id)
+
+    def _bin_counts(batch_df: DataFrame, edges: list[float]) -> dict[int, int]:
+        c = F.col(column).cast("double")
+        b = F.lit(1)
+        for e in edges:
+            b = b + F.when(c > F.lit(e), 1).otherwise(0)
+        rows = (
+            batch_df.where(c.isNotNull())
+            .select(b.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )  # <= bins rows
+        return {int(r["bin"]): int(r["cnt"]) for r in rows}
+
+    def _score(p_cnt: dict[int, int], q_cnt: dict[int, int]) -> tuple[float, float]:
+        # tiny frames (<= bins entries) — deterministic bin-ordered
+        # folds, same psi arithmetic as the categorical monitor and
+        # the batch _psi_ks tail
+        import math
+
+        p_tot = sum(p_cnt.values()) or 1
+        q_tot = sum(q_cnt.values()) or 1
+        psi = ks = p_cdf = q_cdf = 0.0
+        for b in range(1, bins + 1):
+            p = p_cnt.get(b, 0) / float(p_tot)
+            q = q_cnt.get(b, 0) / float(q_tot)
+            psi += (p + _EPS - (q + _EPS)) * math.log((p + _EPS) / (q + _EPS))
+            p_cdf += p
+            q_cdf += q
+            ks = max(ks, abs(p_cdf - q_cdf))
+        return psi, ks
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        n_rows = batch_df.count()
+        if n_rows == 0:
+            return
+        replayed = False
+        if baselines.exists(task_key, bl_column):
+            base_rows = baselines.read(task_key, bl_column).collect()  # <= bins
+            last_seen = max((r["last_batch_id"] for r in base_rows), default=-1)
+            if batch_id <= last_seen:
+                if _verdict_exists(batch_id):
+                    return
+                replayed = True
+            edges = sorted(
+                r["edge_hi"] for r in base_rows if r["edge_hi"] is not None
+            )
+            base_counts = {r["bin"]: r["cnt"] for r in base_rows}
+            now_counts = _bin_counts(batch_df, edges)
+            psi, ks = _score(base_counts, now_counts)
+            passed = (psi if metric == "psi" else ks) <= threshold
+            if update_baseline and batch_id > last_seen:
+                edge_by_bin = {r["bin"]: r["edge_hi"] for r in base_rows}
+                merged = [
+                    (
+                        b,
+                        edge_by_bin.get(b),
+                        base_counts.get(b, 0) + now_counts.get(b, 0),
+                        batch_id,
+                    )
+                    for b in range(1, bins + 1)
+                ]
+                baselines.write(
+                    task_key, bl_column,
+                    spark.createDataFrame(
+                        merged,
+                        "bin int, edge_hi double, cnt long, last_batch_id long",
+                    ),
+                )
+        else:
+            psi, ks, passed = 0.0, 0.0, True  # bootstrap batch
+            sk = kll_sketch(batch_df, column, bins, accuracy)
+            edge_rows = _kll_edges(sk, bins, KLL_POINTS_PER_BIN).collect()
+            if edge_rows:  # empty when the column was entirely null
+                edges = sorted(float(r["__e"]) for r in edge_rows)
+                counts = _bin_counts(batch_df, edges)
+                boot = [
+                    (
+                        b,
+                        edges[b - 1] if b <= len(edges) else None,
+                        counts.get(b, 0),
+                        batch_id,
+                    )
+                    for b in range(1, bins + 1)
+                ]
+                baselines.write(
+                    task_key, bl_column,
+                    spark.createDataFrame(
+                        boot,
+                        "bin int, edge_hi double, cnt long, last_batch_id long",
+                    ),
                 )
         verdict = spark.createDataFrame(
             [(batch_id, n_rows, psi, ks, bool(passed), replayed)],

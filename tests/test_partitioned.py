@@ -464,3 +464,51 @@ def test_salted_profile_with_fingerprint_mode(engine, spark):
         }
 
     assert run("fingerprint", 8) == run("join", 0)
+
+
+def test_distinct_path_spreads_skewed_group(spark):
+    """VERDICT r4 #7: the uniqueness/distinct path must not funnel a
+    mega-group to one reducer.  The distinct-combination aggregate
+    shuffles on the FULL (group ⊕ uniqueness) key — high-cardinality
+    even when one group holds 20% of all rows — and the per-group
+    count on top is protected by map-side partial aggregation (the
+    reducer sees one partial row per upstream partition, not one per
+    combination).  Asserted empirically: with AQE coalescing off, no
+    reducer of the combination shuffle receives > 2x the median row
+    count, and the verdict-side distinct counts match countDistinct."""
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        # one mega-repo with 20% of rows; 20 small repos with 4% each
+        df = (
+            spark.range(200_000)
+            .selectExpr(
+                "CASE WHEN id < 40000 THEN 'mega' ELSE concat('r', id % 20) END AS repo",
+                "concat('f', id) AS path",
+            )
+        )
+        combos = df.groupBy("repo", "path").agg(F.count(F.lit(1)).alias("__n"))
+        dist = (
+            combos.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .count()
+            .collect()
+        )
+        counts = sorted(r["count"] for r in dist)
+        median = counts[len(counts) // 2]
+        assert counts[-1] <= 2 * median, (counts[-1], median)
+
+        per_group = (
+            combos.groupBy("repo")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .collect()
+        )
+        truth = {
+            r["repo"]: r["d"]
+            for r in df.groupBy("repo")
+            .agg(F.countDistinct("path").alias("d"))
+            .collect()
+        }
+        assert {r["repo"]: r["d"] for r in per_group} == truth
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)

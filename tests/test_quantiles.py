@@ -722,3 +722,139 @@ def test_approx_quantile_sketch_matches_exact_within_bound(spark, skewed_df):
     ).collect()
     assert {r["grp"] for r in grouped} == {0, 1, 2, 3}
     assert all(r["cnt"] == 25_000 for r in grouped)
+
+
+def test_tdigest_two_level_merge_exact_regime_identical(spark, tables):
+    """The salted sub-merge level (bounds the final per-group merge at
+    merge_salt_buckets rows) must be byte-identical to the one-level
+    merge in the exactness regime (delta/2 >= n: no compression fires
+    anywhere, every merge is concat+sort) — the regime the strict
+    tdigest_quantiles oracle runs in."""
+    from datapact_spark.operators.quantiles import tdigest_quantiles, tdigest_sketch
+
+    docs = tables["documents"].limit(500)
+    probs = [0.1, 0.25, 0.5, 0.9]
+    one = tdigest_quantiles(
+        tdigest_sketch(docs, "doc_id", delta=4000.0, merge_salt_buckets=1), probs
+    ).collect()
+    two = tdigest_quantiles(
+        tdigest_sketch(docs, "doc_id", delta=4000.0, merge_salt_buckets=32), probs
+    ).collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, two))
+
+
+def test_tdigest_two_level_merge_general_regime_accuracy(spark, tables):
+    """Compression regime (delta << n): the two-level digest is a
+    different-but-valid digest — quantile estimates stay within the
+    digest's rank-error envelope of the exact percentiles."""
+    from datapact_spark.operators.quantiles import tdigest_quantiles, tdigest_sketch
+
+    li = tables["lineitem"]
+    probs = [0.1, 0.5, 0.9]
+    dig = tdigest_sketch(li, "l_extendedprice", delta=100.0, merge_salt_buckets=16)
+    est = {
+        round(r["prob"], 2): r["quantile"]
+        for r in tdigest_quantiles(dig, probs).collect()
+    }
+    exact = li.selectExpr(
+        *[f"percentile(l_extendedprice, {p}) AS p{int(p*100)}" for p in probs]
+    ).collect()[0]
+    n = li.count()
+    ranks = {
+        p: li.where(F.col("l_extendedprice") <= est[p]).count() / n for p in probs
+    }
+    for p in probs:
+        assert abs(ranks[p] - p) < 0.05, (p, ranks[p], est[p], exact)
+
+
+def test_kll_drift_monitor_stream(spark, tmp_path):
+    """sketch='kll' streaming monitor: bootstrap freezes the KLL
+    equal-mass grid, in-distribution batch passes, drifted batch
+    fails; the running baseline is exact additive bin counts with the
+    same replay-honest semantics as the t-digest monitor."""
+    from datapact_spark.ledger import BaselineStore
+    from datapact_spark.streaming.incremental import kll_drift_monitor_stream
+
+    src_dir = str(tmp_path / "src")
+    base = spark.range(20_000).select(
+        (F.pmod(F.xxhash64("id"), F.lit(1000)) / 10.0).alias("v")
+    )
+    base.coalesce(1).write.mode("append").parquet(src_dir)
+    spark.range(20_000, 40_000).select(
+        (F.pmod(F.xxhash64("id"), F.lit(1000)) / 10.0).alias("v")
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+    spark.range(40_000, 60_000).select(
+        (F.pmod(F.xxhash64("id"), F.lit(1000)) / 10.0 + 200.0).alias("v")
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    baselines = BaselineStore(spark, str(tmp_path / "res"))
+    verdicts_path = str(tmp_path / "verdicts")
+    stream = (
+        spark.readStream.schema("v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = kll_drift_monitor_stream(
+        spark, stream, "v", baselines, "mon", str(tmp_path / "ckpt"),
+        verdicts_path, metric="ks", threshold=0.1,
+    )
+    q.awaitTermination(120)
+    verdicts = {
+        r["batch_id"]: r for r in spark.read.parquet(verdicts_path).collect()
+    }
+    assert len(verdicts) == 3
+    assert verdicts[0]["passed"] and verdicts[0]["ks"] == 0.0  # bootstrap
+    assert verdicts[1]["passed"] and verdicts[1]["ks"] < 0.05
+    assert not verdicts[2]["passed"] and verdicts[2]["ks"] > 0.5
+    snap = baselines.read("mon", "v__kll_stream").collect()
+    assert max(r["last_batch_id"] for r in snap) == 2
+    assert sum(r["cnt"] for r in snap) == 60_000
+    # the grid is frozen from bootstrap: bins-1 finite edges + 1 open
+    assert sum(1 for r in snap if r["edge_hi"] is None) == 1
+
+    # replay safety: restart on the same checkpoint — no duplicate
+    # verdicts, no double-fold
+    q2 = kll_drift_monitor_stream(
+        spark, stream, "v", baselines, "mon", str(tmp_path / "ckpt"),
+        verdicts_path, metric="ks", threshold=0.1,
+    )
+    q2.awaitTermination(60)
+    assert spark.read.parquet(verdicts_path).count() == 3
+    snap2 = baselines.read("mon", "v__kll_stream").collect()
+    assert sum(r["cnt"] for r in snap2) == 60_000
+
+    import os as _os
+    import shutil as _shutil
+
+    def _uncommit(batch: int) -> None:
+        for f in (str(batch), f".{batch}.crc"):
+            p = str(tmp_path / "ckpt" / "commits" / f)
+            if _os.path.exists(p):
+                _os.remove(p)
+
+    # forced replay with the verdict committed: original score kept
+    _uncommit(2)
+    q3 = kll_drift_monitor_stream(
+        spark, stream, "v", baselines, "mon", str(tmp_path / "ckpt"),
+        verdicts_path, metric="ks", threshold=0.1,
+    )
+    q3.awaitTermination(60)
+    kept = {r["batch_id"]: r for r in spark.read.parquet(verdicts_path).collect()}
+    assert len(kept) == 3
+    assert kept[2]["ks"] == verdicts[2]["ks"] and not kept[2]["replayed"]
+
+    # crash window: baseline folded but verdict missing — replay writes
+    # a flagged self-compared verdict and does not double-fold
+    _uncommit(2)
+    _shutil.rmtree(str(tmp_path / "verdicts" / "batch_id=2"))
+    q4 = kll_drift_monitor_stream(
+        spark, stream, "v", baselines, "mon", str(tmp_path / "ckpt"),
+        verdicts_path, metric="ks", threshold=0.1,
+    )
+    q4.awaitTermination(60)
+    redo = {r["batch_id"]: r for r in spark.read.parquet(verdicts_path).collect()}
+    assert len(redo) == 3 and redo[2]["replayed"]
+    assert redo[2]["ks"] < verdicts[2]["ks"]
+    snap3 = baselines.read("mon", "v__kll_stream").collect()
+    assert max(r["last_batch_id"] for r in snap3) == 2
+    assert sum(r["cnt"] for r in snap3) == 60_000
