@@ -597,6 +597,7 @@ def doc_duplication_score(
     vectorized: bool = False,
     mod_sample: int | None = None,
     carrier_strategy: str = "join",
+    broadcast_rep_max: int = 2_000_000,
 ) -> DataFrame:
     """Per-document verbatim-duplication score: the fraction of a
     document's ``k``-gram windows that also occur in >= ``min_docs``
@@ -647,6 +648,13 @@ def doc_duplication_score(
             .where(F.col("__n_docs") >= min_docs)
             .select("gram_hash", F.lit(True).alias("__shared"))
         )
+        # One cache-scan count picks the join strategy (gi is persisted,
+        # so this populates the cache the join needs anyway): when the
+        # >= min_docs gram set fits a broadcast, the big gi side never
+        # shuffles for the join at all; past the cap it stays a
+        # shuffled join, which AQE skew-splits.
+        if broadcast_rep_max and rep.count() <= broadcast_rep_max:
+            rep = F.broadcast(rep)
         scored = gi.join(rep, "gram_hash", "left").withColumn(
             "__shared", F.coalesce(F.col("__shared"), F.lit(False))
         )

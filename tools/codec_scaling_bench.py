@@ -1,0 +1,198 @@
+"""Two-parallelism scaling point for the COMPUTE-BOUND path: real
+multimodal codec decode (PNG zlib-inflate + unfilter + feature fold)
+over mapInPandas — zero shuffle, zero join, pure per-partition CPU.
+
+The validation/scan workloads in scaling_bench.py sit on this box's
+DRAM-bandwidth ceiling (~0.58 N→4N); this bench isolates the other
+envelope: a workload with no memory-bound scan amplification should
+scale at the measured all-core/turbo clock ceiling (~0.76-0.84).
+Same protocol as scaling_bench.py: taskset-pinned fresh JVM per level,
+interleaved A/B pairs, single-core calibration guard, min-of-runs.
+
+Usage:  python tools/codec_scaling_bench.py [--payloads 120000]
+        [--size 48] [--levels 8 32] [--runs 3]
+Prints one JSON line; paste into BENCH.md §2.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, %(repo)r)
+from datapact_spark.session import get_spark
+from datapact_spark.operators.codecs import media_feature_codec
+from datapact_spark.operators.multimodal import extract_features
+
+cores = int(sys.argv[1]); runs = int(sys.argv[2]); data_dir = sys.argv[3]
+warmup = int(sys.argv[4])
+local_dir = "/dev/shm/datapact_bench_local" if os.path.isdir("/dev/shm") else None
+conf = {
+    "spark.ui.enabled": "false",
+    # many small-ish row groups: make sure BOTH levels get enough input
+    # splits to fill their cores
+    "spark.sql.files.maxPartitionBytes": "16m",
+    "spark.driver.memory": os.environ.get("DATAPACT_DRIVER_MEM", "24g"),
+}
+if local_dir:
+    os.makedirs(local_dir, exist_ok=True)
+    conf["spark.local.dir"] = local_dir
+spark = get_spark(
+    app_name=f"codec-scaling-{cores}",
+    master=f"local[{cores}]",
+    shuffle_partitions=cores,
+    extra_conf=conf,
+)
+spark.sparkContext.setLogLevel("ERROR")
+media = spark.read.parquet(os.path.join(data_dir, "media"))
+times = []
+for i in range(runs + warmup):
+    t0 = time.monotonic()
+    feats = extract_features(media, feature_dim=4, codec=media_feature_codec(4))
+    feats.write.format("noop").mode("overwrite").save()
+    dt = time.monotonic() - t0
+    if i >= warmup:
+        times.append(dt)
+print(json.dumps({"cores": cores, "times": times}))
+spark.stop()
+"""
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--payloads", type=int, default=120_000)
+    ap.add_argument("--size", type=int, default=48, help="PNG side length px")
+    ap.add_argument("--levels", type=int, nargs=2, default=[8, 32])
+    ap.add_argument("--runs", type=int, default=3)
+    args = ap.parse_args()
+
+    data_dir = os.path.join(
+        tempfile.gettempdir(), f"datapact_codec_scaling_{args.payloads}_{args.size}"
+    )
+    if not os.path.exists(os.path.join(data_dir, "media", "_SUCCESS")):
+        sys.path.insert(0, REPO)
+        from datapact_spark.session import get_spark
+
+        spark = get_spark(
+            app_name="codec-scaling-gen", master="local[32]",
+            shuffle_partitions=64,
+            extra_conf={
+                "spark.ui.enabled": "false",
+                "spark.driver.memory": os.environ.get("DATAPACT_DRIVER_MEM", "24g"),
+            },
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        side = args.size
+
+        def build(it):
+            import numpy as np
+            import pandas as pd
+
+            from datapact_spark.operators.codecs import encode_png
+
+            for pdf in it:
+                out = []
+                for mid in pdf["id"]:
+                    mid = int(mid)
+                    # deterministic structured pixels (gradients + id
+                    # texture): compresses a few-fold, so the decode
+                    # does real inflate + unfilter work per payload
+                    y, x, c = np.mgrid[0:side, 0:side, 0:3]
+                    px = ((mid * 31 + y * 2 + x * 3 + 17 * c) % 256).astype(
+                        np.uint8
+                    )
+                    out.append((mid, "image", encode_png(px), "image/png"))
+                yield pd.DataFrame(
+                    out, columns=["media_id", "kind", "payload", "mime"]
+                )
+
+        (
+            spark.range(args.payloads)
+            .repartition(64)
+            .mapInPandas(
+                build,
+                schema="media_id long, kind string, payload binary, mime string",
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(data_dir, "media"))
+        )
+        spark.stop()
+
+    worker_py = WORKER % {"repo": REPO}
+
+    def calibrate() -> float:
+        t0 = time.monotonic()
+        x = 0
+        for i in range(3_000_000):
+            x += i * i
+        return 1.0 / (time.monotonic() - t0)
+
+    def run_level(cores: int, runs: int, warmup: int) -> dict:
+        cmd = [sys.executable, "-c", worker_py, str(cores), str(runs),
+               data_dir, str(warmup)]
+        if os.path.exists("/usr/bin/taskset"):
+            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+        out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+        if out.returncode != 0:
+            raise RuntimeError(f"worker failed:\n{out.stderr[-3000:]}")
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    lo, hi = args.levels
+    results = {c: [] for c in args.levels}
+    pair_eff, pair_speeds = [], []
+    base_speed = max(calibrate() for _ in range(3))
+    for i in range(args.runs):
+        speed_before = calibrate()
+        order = [lo, hi] if i % 2 == 0 else [hi, lo]
+        pair = {}
+        for cores in order:
+            r = run_level(cores, 2, 1)
+            results[cores].extend(r["times"])
+            pair[cores] = min(r["times"])
+        speed_after = calibrate()
+        clean = min(speed_before, speed_after) >= 0.85 * base_speed
+        pair_speeds.append(
+            {"before": round(speed_before / base_speed, 2),
+             "after": round(speed_after / base_speed, 2), "clean": clean}
+        )
+        if clean:
+            pair_eff.append((pair[lo] / pair[hi]) / (hi / lo))
+    if not pair_eff:
+        pair_eff = [(min(results[lo]) / min(results[hi])) / (hi / lo)]
+
+    t_lo, t_hi = min(results[lo]), min(results[hi])
+    print(
+        json.dumps(
+            {
+                "metric": "real-codec decode scaling (zero-shuffle compute path)",
+                "payloads": args.payloads,
+                "png_side_px": args.size,
+                f"best_sec_local[{lo}]": round(t_lo, 2),
+                f"best_sec_local[{hi}]": round(t_hi, 2),
+                f"payloads_per_sec_local[{lo}]": round(args.payloads / t_lo),
+                f"payloads_per_sec_local[{hi}]": round(args.payloads / t_hi),
+                "scaling_efficiency": round(
+                    (args.payloads / t_hi) / ((hi / lo) * (args.payloads / t_lo)), 3
+                ),
+                "pairwise_efficiencies": [round(e, 3) for e in pair_eff],
+                "median_pairwise_efficiency": round(statistics.median(pair_eff), 3),
+                "host_speed_calibration": pair_speeds,
+                "target": 0.8,
+                "all_times": {str(k): [round(x, 2) for x in v] for k, v in results.items()},
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
