@@ -312,6 +312,20 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprint(docs).select("doc_id", "fingerprint")
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition filters (dup-token mass,
+    top-token share, top-bigram share) — the standard quality gates a
+    training pipeline applies before dedup. STRICT oracle: every count
+    is exact and every fraction a single IEEE division, so DuckDB
+    recomputes the full feature row bitwise from the same tokenization.
+    In-repo (extended) board entry — the driver cap holds the active
+    board at 50."""
+    from datapact_spark.operators.textops import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_stats(docs).withColumnRenamed("id", "doc_id")
+
+
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting per language: docs, whitespace tokens, chars."""
     docs = _t(spark, sf_dir, "documents")
@@ -1556,10 +1570,19 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return retired
 
 
+def extended_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Oracle-backed queries ADDED after the active board hit the
+    driver's 50-entry cap — never on the driver board, strict-checked
+    by the in-repo parity sweep only."""
+    return {
+        "repetition_stats": q_repetition_stats,
+    }
+
+
 def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """ACTIVE + RETIRED — the full oracle-backed surface; what
-    tests/test_oracle_parity.py sweeps."""
-    return {**queries(), **retired_queries()}
+    """ACTIVE + RETIRED + EXTENDED — the full oracle-backed surface;
+    what tests/test_oracle_parity.py sweeps."""
+    return {**queries(), **retired_queries(), **extended_queries()}
 
 
 # ------------------------------------------------------------------ oracles
@@ -2549,16 +2572,57 @@ def _oracle_sql_all() -> dict[str, str]:
             FROM probs p JOIN ranked r USING (rn)
             ORDER BY prob
         """,
+        "repetition_stats": """
+            -- Gopher repetition filters recomputed from the same
+            -- whitespace tokenization; every count exact, every
+            -- fraction one IEEE division (engine-portable)
+            WITH t AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS toks
+              FROM documents),
+            u AS (
+              SELECT doc_id, tok, count(*) AS c
+              FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+              GROUP BY doc_id, tok),
+            us AS (
+              SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                     COUNT(*) AS n_distinct_tokens, MAX(c) AS top_tok
+              FROM u GROUP BY doc_id),
+            b AS (
+              SELECT doc_id, bg, count(*) AS c
+              FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                         range(1, len(toks)),
+                         i -> toks[i] || ' ' || toks[i + 1]
+                       )) AS bg
+                FROM t)
+              GROUP BY doc_id, bg),
+            bs AS (
+              SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bi,
+                     MAX(c) AS top_bi
+              FROM b GROUP BY doc_id)
+            SELECT us.doc_id,
+                   n_tokens,
+                   n_distinct_tokens,
+                   CAST(1 AS DOUBLE) -
+                     n_distinct_tokens / CAST(n_tokens AS DOUBLE)
+                     AS dup_token_frac,
+                   top_tok / CAST(n_tokens AS DOUBLE) AS top_token_frac,
+                   COALESCE(top_bi / CAST(n_bi AS DOUBLE),
+                            CAST(0 AS DOUBLE)) AS top_bigram_frac
+            FROM us LEFT JOIN bs USING (doc_id)
+            ORDER BY doc_id
+        """,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     """Oracles for the ACTIVE driver board only — mirrors ``queries()``
-    (the driver verifies at most 50 entries; retired twins live in
-    ``retired_oracle_sql()`` and stay covered by the in-repo sweep)."""
-    return {
-        k: v for k, v in _oracle_sql_all().items() if k not in RETIRED_QUERY_KEYS
-    }
+    (the driver verifies at most 50 entries; retired/extended twins
+    stay covered by the in-repo sweep)."""
+    active = set(queries())
+    return {k: v for k, v in _oracle_sql_all().items() if k in active}
 
 
 def retired_oracle_sql() -> dict[str, str]:

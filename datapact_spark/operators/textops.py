@@ -107,3 +107,73 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     hash reduces to this for whole-document granularity.)"""
     normalized = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     return df.withColumn("fingerprint", F.md5(normalized))
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style intra-document repetition features (Rae et al. 2021,
+    "Scaling Language Models", table A1 quality filters): per document
+
+    * ``n_tokens`` / ``n_distinct_tokens`` and ``dup_token_frac``
+      (1 − distinct/total) — the repeated-token mass;
+    * ``top_token_frac`` — the most frequent token's share;
+    * ``top_bigram_frac`` — the most frequent adjacent token pair's
+      share of all bigrams (0.0 for one-token documents).
+
+    Training pipelines drop documents past thresholds on these (e.g.
+    top-2-gram share > 0.2 ⇒ likely boilerplate/spam).
+
+    Plan shape (100-TB safe): tokens/bigrams explode to (doc, gram)
+    rows, ``groupBy(doc, gram)`` counts with map-side partials (a
+    million repeats of one token inside a document collapse before the
+    shuffle), then one ``groupBy(doc)`` fold whose reducer input is
+    bounded by distinct grams per doc. Bigrams come from
+    ``zip_with`` over the token array and its shifted self — the
+    lambda touches only its arguments, so nothing re-evaluates per
+    element (interpreted-HOF pitfall). All fractions are single IEEE
+    divisions — engine-portable for strict oracles."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("__toks"))
+
+    uni = (
+        base.select("id", F.explode("__toks").alias("g"))
+        .groupBy("id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.max("c").alias("__top_tok"),
+        )
+    )
+    bigrams = F.zip_with(
+        F.expr("slice(__toks, 1, size(__toks) - 1)"),
+        F.expr("slice(__toks, 2, size(__toks) - 1)"),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bi = (
+        base.select("id", F.explode(bigrams).alias("g"))
+        .groupBy("id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(F.sum("c").alias("__n_bi"), F.max("c").alias("__top_bi"))
+    )
+    return (
+        uni.join(bi, "id", "left")
+        .select(
+            "id",
+            "n_tokens",
+            "n_distinct_tokens",
+            (
+                F.lit(1.0)
+                - F.col("n_distinct_tokens") / F.col("n_tokens").cast("double")
+            ).alias("dup_token_frac"),
+            (F.col("__top_tok") / F.col("n_tokens").cast("double")).alias(
+                "top_token_frac"
+            ),
+            F.coalesce(
+                F.col("__top_bi") / F.col("__n_bi").cast("double"), F.lit(0.0)
+            ).alias("top_bigram_frac"),
+        )
+    )

@@ -644,3 +644,28 @@ class TestRound5Fixes:
             for r in embedding_near_dups(df, threshold=0.99, bits=None).collect()
         }
         assert (1000, 1001) in ids
+
+    def test_repetition_stats_known_values(self, spark):
+        from datapact_spark.operators.textops import repetition_stats
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a a b c"),      # 4 toks, 3 distinct, top tok a=2
+                (2, "x"),            # single token: no bigrams
+                (3, "y y y y"),      # fully repeated
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["id"]: r for r in repetition_stats(docs).collect()}
+        r1 = rows[1]
+        assert (r1["n_tokens"], r1["n_distinct_tokens"]) == (4, 3)
+        assert r1["dup_token_frac"] == 0.25
+        assert r1["top_token_frac"] == 0.5
+        assert r1["top_bigram_frac"] == 1 / 3  # "a a","a b","b c"
+        r2 = rows[2]
+        assert (r2["n_tokens"], r2["dup_token_frac"]) == (1, 0.0)
+        assert r2["top_bigram_frac"] == 0.0
+        r3 = rows[3]
+        assert r3["dup_token_frac"] == 0.75
+        assert r3["top_token_frac"] == 1.0
+        assert r3["top_bigram_frac"] == 1.0

@@ -90,10 +90,13 @@ def test_active_board_fits_driver_cap():
     active_q = entry_mod.queries()
     active_o = entry_mod.oracle_sql()
     retired_q = entry_mod.retired_queries()
+    extended_q = entry_mod.extended_queries()
     assert len(active_q) <= 50
     assert set(active_o) == set(active_q)
     assert set(active_q).isdisjoint(retired_q)
-    assert set(active_q) | set(retired_q) == set(QUERIES)
+    assert set(active_q).isdisjoint(extended_q)
+    assert set(retired_q).isdisjoint(extended_q)
+    assert set(active_q) | set(retired_q) | set(extended_q) == set(QUERIES)
     assert set(entry_mod.retired_oracle_sql()) == set(retired_q)
 
 
