@@ -58,6 +58,19 @@ def main(argv: list[str] | None = None) -> int:
     init_p = sub.add_parser("init", help="write a starter config")
     init_p.add_argument("--output", default="datapact.yml")
 
+    dash_p = sub.add_parser(
+        "dashboard",
+        help="build the executive dashboard payload (.lvdash.json) over a "
+        "results directory (ensure_dashboard_exists parity, minus the "
+        "workspace publish)",
+    )
+    dash_p.add_argument("--results-path", required=True)
+    dash_p.add_argument("--job-name", default="datapact_run")
+    dash_p.add_argument(
+        "--output", default=None,
+        help="directory for the .lvdash.json (default: <results-path>/dashboards)",
+    )
+
     args = parser.parse_args(argv)
 
     if args.command == "init":
@@ -73,6 +86,30 @@ def main(argv: list[str] | None = None) -> int:
     from datapact_spark.engine import DataPactEngine
     from datapact_spark.session import get_spark
     from datapact_spark.sources.loader import TableResolver
+
+    if args.command == "dashboard":
+        import os
+
+        from datapact_spark.dashboard import (
+            build_dashboard_spec,
+            dashboard_datasets,
+            register_results_views,
+            write_dashboard,
+        )
+        from datapact_spark.ledger import ResultsLedger
+
+        spark = get_spark()
+        ledger = ResultsLedger(spark, args.results_path)
+        views = register_results_views(spark, ledger)
+        # smoke the dataset SQL against the actual ledger before writing
+        for name, sql in dashboard_datasets(args.job_name).items():
+            spark.sql(sql).limit(1).collect()
+        spec = build_dashboard_spec(args.job_name)
+        out_dir = args.output or os.path.join(args.results_path, "dashboards")
+        out = write_dashboard(out_dir, spec)
+        print(f"registered views: {', '.join(views)}")
+        print(f"wrote {out}")
+        return 0
 
     config = load_config(args.config)
     spark = get_spark()

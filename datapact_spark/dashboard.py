@@ -1,0 +1,247 @@
+"""Executive dashboard spec builder — the engine-side counterpart of
+the reference's Lakeview dashboard publisher
+(`/root/reference/datapact/client.py:678-3660`, `ensure_dashboard_exists`).
+
+The reference renders ~7 widgets (KPI counters, run-summary donut,
+failure-rate-over-time line, top-failing bar, run-history table) over
+its Delta `run_history` + exec summary tables and publishes the
+`.lvdash.json` draft through the Databricks REST API. There is no
+workspace to publish to from a plain Spark deployment, so this module
+produces the portable part — a Lakeview-shaped dashboard payload
+(datasets with SQL, pages of positioned widgets) whose dataset SQL
+runs on THIS engine's ledger/exec parquet tables registered as views:
+
+* ``register_results_views(spark, ledger)`` — temp views
+  ``dp_run_history`` / ``dp_exec_run_summary`` /
+  ``dp_exec_domain_breakdown`` / … over the results directory;
+* ``dashboard_datasets(job_name)`` — the named SQL for every widget,
+  all answerable by ``spark.sql`` (and by DuckDB/any ANSI engine over
+  the same parquet);
+* ``build_dashboard_spec(job_name)`` — the full payload:
+  ``{datasets, pages:[{layout:[{widget, position}]}]}``, 6-column
+  grid, one widget per reference widget;
+* ``write_dashboard(path, spec)`` — serialize to
+  ``<name>.lvdash.json`` for import.
+
+Everything here is driver-side metadata construction — no data moves;
+the heavy lifting stays in the ledger queries the engine already
+materializes (`aggregate.py`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+#: view names registered over the results directory
+RESULT_VIEWS = (
+    "run_history",
+    "exec_run_summary",
+    "exec_domain_breakdown",
+    "exec_owner_breakdown",
+    "exec_priority_breakdown",
+)
+
+GRID_COLUMNS = 6
+
+
+def register_results_views(spark: SparkSession, ledger) -> list[str]:
+    """Expose the ledger + exec tables as ``dp_*`` temp views so the
+    dashboard dataset SQL (and any ad-hoc exploration) can run with
+    plain ``spark.sql``. Returns the registered view names."""
+    names = []
+    ledger.read().createOrReplaceTempView("dp_run_history")
+    names.append("dp_run_history")
+    for t in RESULT_VIEWS[1:]:
+        if os.path.exists(os.path.join(ledger.path, t)):
+            ledger.read_exec_table(t).createOrReplaceTempView(f"dp_{t}")
+            names.append(f"dp_{t}")
+    return names
+
+
+def dashboard_datasets(job_name: str) -> dict[str, str]:
+    """Widget-feeding SQL, keyed by dataset name. Mirrors the
+    reference's dataset inventory (client.py:783+: ds_kpi, donut,
+    trend, top-failing, history) but phrased over this engine's
+    ``dp_*`` views; every query is ANSI and engine-portable."""
+    job = job_name.replace("'", "''")
+    return {
+        "ds_kpi": f"""
+            WITH latest AS (
+              SELECT * FROM dp_exec_run_summary
+              WHERE job_name = '{job}'
+              ORDER BY run_id DESC LIMIT 1
+            )
+            SELECT total_tasks, failure_count, success_count,
+                   success_rate_percent, data_quality_score,
+                   critical_failures, potential_impact_usd,
+                   realized_impact_usd
+            FROM latest
+        """,
+        "ds_run_summary": f"""
+            SELECT CASE WHEN status = 'SUCCESS' THEN 'Passed'
+                        ELSE 'Failed' END AS outcome,
+                   COUNT(*) AS tasks
+            FROM dp_run_history
+            WHERE job_name = '{job}'
+              AND run_id = (SELECT MAX(run_id) FROM dp_run_history
+                            WHERE job_name = '{job}')
+            GROUP BY 1
+        """,
+        "ds_failure_trend": f"""
+            SELECT CAST(job_start_ts AS DATE) AS run_date,
+                   COUNT(*) AS total_tasks,
+                   SUM(CASE WHEN status = 'FAILURE' THEN 1 ELSE 0 END)
+                     AS failed_tasks,
+                   ROUND(SUM(CASE WHEN status = 'FAILURE' THEN 1 ELSE 0
+                             END) * 100.0 / COUNT(*), 2)
+                     AS failure_rate_percent
+            FROM dp_run_history
+            WHERE job_name = '{job}'
+            GROUP BY 1 ORDER BY 1
+        """,
+        "ds_top_failing": f"""
+            SELECT task_key,
+                   SUM(CASE WHEN status = 'FAILURE' THEN 1 ELSE 0 END)
+                     AS failures
+            FROM dp_run_history
+            WHERE job_name = '{job}'
+            GROUP BY task_key
+            HAVING SUM(CASE WHEN status = 'FAILURE' THEN 1 ELSE 0 END) > 0
+            ORDER BY failures DESC, task_key LIMIT 10
+        """,
+        "ds_domain_breakdown": f"""
+            SELECT business_domain, total_validations, failed_validations,
+                   success_rate_percent, realized_impact_usd
+            FROM dp_exec_domain_breakdown
+            WHERE job_name = '{job}'
+              AND run_id = (SELECT MAX(run_id)
+                            FROM dp_exec_domain_breakdown
+                            WHERE job_name = '{job}')
+            ORDER BY failed_validations DESC, business_domain
+        """,
+        "ds_run_history": f"""
+            SELECT run_id, task_key, status, business_domain,
+                   business_owner, business_priority,
+                   validation_begin_ts, validation_complete_ts,
+                   result_payload
+            FROM dp_run_history
+            WHERE job_name = '{job}'
+            ORDER BY run_id DESC, task_key
+        """,
+    }
+
+
+def _widget(
+    name: str,
+    widget_type: str,
+    dataset: str,
+    title: str,
+    x: int,
+    y: int,
+    width: int,
+    height: int,
+    encodings: dict[str, Any] | None = None,
+) -> dict[str, Any]:
+    return {
+        "widget": {
+            "name": name,
+            "queries": [
+                {
+                    "name": f"{name}_query",
+                    "query": {"datasetName": dataset, "disaggregated": False},
+                }
+            ],
+            "spec": {
+                "version": 2,
+                "widgetType": widget_type,
+                "frame": {"title": title, "showTitle": True},
+                "encodings": encodings or {},
+            },
+        },
+        "position": {"x": x, "y": y, "width": width, "height": height},
+    }
+
+
+def build_dashboard_spec(job_name: str) -> dict[str, Any]:
+    """The full dashboard payload: the reference's widget inventory
+    (3 KPI counters, donut, line, bar, table — client.py docstring
+    "Dashboard Components") positioned on a 6-column grid."""
+    ds = dashboard_datasets(job_name)
+    datasets = [
+        {
+            "name": name,
+            "displayName": name.removeprefix("ds_").replace("_", " ").title(),
+            "queryLines": [sql.strip()],
+        }
+        for name, sql in ds.items()
+    ]
+    layout = [
+        _widget(
+            "counter_total", "counter", "ds_kpi",
+            "Total Tasks Executed", 0, 0, 2, 3,
+            {"value": {"fieldName": "total_tasks"}},
+        ),
+        _widget(
+            "counter_failed", "counter", "ds_kpi",
+            "Failed Tasks", 2, 0, 2, 3,
+            {"value": {"fieldName": "failure_count"}},
+        ),
+        _widget(
+            "counter_success_rate", "counter", "ds_kpi",
+            "Success Rate", 4, 0, 2, 3,
+            {"value": {"fieldName": "success_rate_percent",
+                       "format": {"type": "number", "suffix": "%"}}},
+        ),
+        _widget(
+            "donut_run_summary", "pie", "ds_run_summary",
+            "Run Summary", 0, 3, 2, 5,
+            {"angle": {"fieldName": "tasks"},
+             "color": {"fieldName": "outcome"}},
+        ),
+        _widget(
+            "line_failure_trend", "line", "ds_failure_trend",
+            "Failure Rate Over Time", 2, 3, 4, 5,
+            {"x": {"fieldName": "run_date"},
+             "y": {"fieldName": "failure_rate_percent"}},
+        ),
+        _widget(
+            "bar_top_failing", "bar", "ds_top_failing",
+            "Top Failing Tasks", 0, 8, 3, 5,
+            {"x": {"fieldName": "failures"},
+             "y": {"fieldName": "task_key"}},
+        ),
+        _widget(
+            "table_domain_breakdown", "table", "ds_domain_breakdown",
+            "Domain Breakdown", 3, 8, 3, 5,
+        ),
+        _widget(
+            "table_run_history", "table", "ds_run_history",
+            "Detailed Run History", 0, 13, 6, 6,
+        ),
+    ]
+    display = f"DataPact_Results_{job_name.replace(' ', '_').replace(':', '')}"
+    return {
+        "displayName": display,
+        "datasets": datasets,
+        "pages": [
+            {
+                "name": "overview",
+                "displayName": "Overview",
+                "layout": layout,
+            }
+        ],
+    }
+
+
+def write_dashboard(path: str, spec: dict[str, Any]) -> str:
+    """Serialize the payload to ``<displayName>.lvdash.json`` under
+    ``path``; returns the file path."""
+    os.makedirs(path, exist_ok=True)
+    out = os.path.join(path, f"{spec['displayName']}.lvdash.json")
+    with open(out, "w") as fh:
+        json.dump(spec, fh, indent=2)
+    return out

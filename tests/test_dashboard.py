@@ -1,0 +1,123 @@
+"""Dashboard spec builder: every dataset query must RUN on the
+engine's own ledger views and feed the widget fields it claims; the
+payload must be a well-formed 6-column-grid page."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from datapact_spark.config import DataPactConfig, ValidationTask
+from datapact_spark.dashboard import (
+    GRID_COLUMNS,
+    build_dashboard_spec,
+    dashboard_datasets,
+    register_results_views,
+    write_dashboard,
+)
+from datapact_spark.engine import DataPactEngine
+from datapact_spark.sources.loader import TableResolver
+
+
+def _run_engine(spark, tables, tmp_path):
+    resolver = TableResolver(spark)
+    resolver.register("orders", tables["orders"])
+    # a failing task too, so failure widgets have data
+    resolver.register(
+        "orders_sample", tables["orders"].where(F.col("o_orderkey") % 10 != 0)
+    )
+    engine = DataPactEngine(spark, resolver, results_path=str(tmp_path / "res"))
+    config = DataPactConfig(
+        validations=[
+            ValidationTask(
+                task_key="orders_ok",
+                source="orders",
+                target="orders",
+                primary_keys=["o_orderkey"],
+                count_tolerance=0.0,
+                business_domain="Sales",
+            ),
+            ValidationTask(
+                task_key="orders_fail",
+                source="orders",
+                target="orders_sample",
+                primary_keys=["o_orderkey"],
+                count_tolerance=0.0,
+                business_domain="Sales",
+            ),
+        ]
+    )
+    result = engine.run(config, job_name="dash job", raise_on_failure=False)
+    assert not result.passed  # the sampled target must fail count
+    return engine
+
+
+def test_dashboard_datasets_run_on_ledger(spark, tables, tmp_path):
+    engine = _run_engine(spark, tables, tmp_path)
+    views = register_results_views(spark, engine.ledger)
+    assert "dp_run_history" in views and "dp_exec_run_summary" in views
+
+    rows = {
+        name: spark.sql(sql).collect()
+        for name, sql in dashboard_datasets("dash job").items()
+    }
+    kpi = rows["ds_kpi"][0]
+    assert kpi["total_tasks"] == 2 and kpi["failure_count"] == 1
+    outcome = {r["outcome"]: r["tasks"] for r in rows["ds_run_summary"]}
+    assert outcome == {"Passed": 1, "Failed": 1}
+    assert rows["ds_failure_trend"][0]["failed_tasks"] == 1
+    assert [r["task_key"] for r in rows["ds_top_failing"]] == ["orders_fail"]
+    assert rows["ds_domain_breakdown"][0]["business_domain"] == "Sales"
+    assert len(rows["ds_run_history"]) == 2
+
+
+def test_dashboard_spec_well_formed(spark, tables, tmp_path):
+    spec = build_dashboard_spec("dash job")
+    ds_names = {d["name"] for d in spec["datasets"]}
+    assert ds_names == set(dashboard_datasets("dash job"))
+    layout = spec["pages"][0]["layout"]
+    # the reference's widget inventory: 3 counters, pie, line, bar,
+    # 2 tables (domain breakdown + run history)
+    kinds = [w["widget"]["spec"]["widgetType"] for w in layout]
+    assert kinds.count("counter") == 3
+    for k in ("pie", "line", "bar"):
+        assert k in kinds
+    assert kinds.count("table") == 2
+    for w in layout:
+        # every widget references a defined dataset and fits the grid
+        assert w["widget"]["queries"][0]["query"]["datasetName"] in ds_names
+        p = w["position"]
+        assert 0 <= p["x"] and p["x"] + p["width"] <= GRID_COLUMNS
+        assert p["height"] > 0
+
+    out = write_dashboard(str(tmp_path / "dash"), spec)
+    assert out.endswith("DataPact_Results_dash_job.lvdash.json")
+    with open(out) as fh:
+        assert json.load(fh)["displayName"] == spec["displayName"]
+
+
+def test_dashboard_job_name_quoting(spark, tables, tmp_path):
+    # single quotes in the job name must not break the dataset SQL
+    sql = dashboard_datasets("bob's job")["ds_kpi"]
+    assert "bob''s job" in sql
+
+
+def test_dashboard_cli_subcommand(spark, tables, tmp_path, capsys):
+    from datapact_spark.cli import main
+
+    engine = _run_engine(spark, tables, tmp_path)
+    rc = main(
+        [
+            "dashboard",
+            "--results-path", str(tmp_path / "res"),
+            "--job-name", "dash job",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "dp_run_history" in out
+    path = os.path.join(
+        str(tmp_path / "res"), "dashboards",
+        "DataPact_Results_dash_job.lvdash.json",
+    )
+    assert os.path.exists(path)

@@ -212,22 +212,30 @@ def test_lsh_bucket_cap_avoids_window_shuffle(spark):
     assert "LeftAnti" in plan
 
 
-def test_tdigest_sketch_shuffles_only_centroid_partials(spark, lineitem_path):
-    """The t-digest two-level plan must shuffle the mapInPandas partial
-    digests, never raw rows: the (single) Exchange sits ABOVE the
-    partial MapInPandas, and the raw column is pruned to the sketched
-    one at the scan."""
+@pytest.mark.parametrize("salt,n_exchanges", [(32, 2), (1, 1)])
+def test_tdigest_sketch_shuffles_only_centroid_partials(
+    spark, lineitem_path, salt, n_exchanges
+):
+    """The t-digest plan must shuffle the mapInPandas partial digests,
+    never raw rows: every Exchange sits ABOVE the partial MapInPandas,
+    and the raw column is pruned to the sketched one at the scan. With
+    the default salted sub-merge there are two compact exchanges
+    (partials → per-salt merge → final); merge_salt_buckets=1 collapses
+    to one."""
     from datapact_spark.operators.quantiles import tdigest_sketch
 
-    df = tdigest_sketch(spark.read.parquet(lineitem_path), "l_extendedprice")
+    df = tdigest_sketch(
+        spark.read.parquet(lineitem_path), "l_extendedprice",
+        merge_salt_buckets=salt,
+    )
     plan = _explain(df)
     tree = plan.split("\n\n")[0]
-    assert tree.count("Exchange") == 1, tree
+    assert tree.count("Exchange") == n_exchanges, tree
     # scan reads only the sketched column
     assert "ReadSchema: struct<l_extendedprice" in plan
     # formatted trees print root-first, so the Exchange line sits ABOVE
     # the partial-stage MapInPandas it consumes: raw rows are compressed
-    # to centroid partials BEFORE the only shuffle
+    # to centroid partials BEFORE any shuffle
     assert tree.index("Exchange") < tree.index("MapInPandas"), tree
 
 
