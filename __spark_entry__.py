@@ -326,6 +326,45 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(docs).withColumnRenamed("id", "doc_id")
 
 
+QUOTA_BUDGETS = {"en": 20_000, "de": 6_000, "fr": 0}
+SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted training-mix sampling (per-stratum expectation-
+    based quota via a portable id hash — no per-stratum window, so a
+    mega-stratum cannot pin a task), reported as the per-stratum mix
+    summary. STRICT oracle: the fraction is one guarded division, the
+    membership test one multiply+compare on the md5-prefix hash both
+    engines compute bit-identically, and all masses are exact counts."""
+    from datapact_spark.operators.sampling import quota_sample_summary
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return quota_sample_summary(docs, QUOTA_BUDGETS, group_col="lang").orderBy(
+        "lang"
+    )
+
+
+def q_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test assignment by hash-bucket interval
+    (the property randomSplit lacks: adding documents never reshuffles
+    existing assignments). STRICT oracle: membership is pinned by
+    summing the member ids per split — DuckDB reproduces the portable
+    hash, the interval boundaries, and the sums exactly."""
+    from datapact_spark.operators.sampling import deterministic_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return (
+        deterministic_split(docs, SPLIT_WEIGHTS)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("split")
+    )
+
+
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting per language: docs, whitespace tokens, chars."""
     docs = _t(spark, sf_dir, "documents")
@@ -1576,6 +1615,8 @@ def extended_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     by the in-repo parity sweep only."""
     return {
         "repetition_stats": q_repetition_stats,
+        "quota_sample": q_quota_sample,
+        "deterministic_split": q_deterministic_split,
     }
 
 
@@ -2613,6 +2654,63 @@ def _oracle_sql_all() -> dict[str, str]:
                             CAST(0 AS DOUBLE)) AS top_bigram_frac
             FROM us LEFT JOIN bs USING (doc_id)
             ORDER BY doc_id
+        """,
+        "quota_sample": f"""
+            -- expectation-based token-budget quota: fraction = one
+            -- guarded division, membership = portable md5-prefix hash
+            -- bucket < fraction * 1e6 (identical IEEE ops both engines)
+            WITH d AS (
+              SELECT doc_id, lang,
+                     len(string_split_regex(trim(text), '\\s+')) AS toks,
+                     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                          AS BIGINT) % 1000000 AS bucket
+              FROM documents),
+            base AS (
+              SELECT lang, COUNT(*) AS total_docs,
+                     CAST(SUM(toks) AS BIGINT) AS total_tokens
+              FROM d GROUP BY lang),
+            bud(lang, budget) AS (
+              VALUES {", ".join(f"('{k}', {v})" for k, v in QUOTA_BUDGETS.items())}
+            ),
+            frac AS (
+              SELECT base.lang, total_docs, total_tokens,
+                     COALESCE(budget, 0) AS budget,
+                     LEAST(CAST(1 AS DOUBLE),
+                           COALESCE(budget, 0) /
+                             CAST(total_tokens AS DOUBLE)) AS fraction
+              FROM base LEFT JOIN bud USING (lang)),
+            samp AS (
+              SELECT d.lang, COUNT(*) AS sampled_docs,
+                     CAST(SUM(toks) AS BIGINT) AS sampled_tokens
+              FROM d JOIN frac USING (lang)
+              WHERE bucket < fraction * 1000000
+              GROUP BY d.lang)
+            SELECT f.lang, total_docs, total_tokens, budget, fraction,
+                   COALESCE(sampled_docs, 0) AS sampled_docs,
+                   COALESCE(sampled_tokens, 0) AS sampled_tokens
+            FROM frac f LEFT JOIN samp USING (lang)
+            ORDER BY lang
+        """,
+        "deterministic_split": f"""
+            -- hash-interval split assignment; membership pinned by the
+            -- per-split id sums
+            WITH b AS (
+              SELECT doc_id,
+                     CAST('0x' || substr(
+                       md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 15)
+                       AS BIGINT) % 1000000 AS bucket
+              FROM documents),
+            labeled AS (
+              SELECT doc_id,
+                     CASE
+                       WHEN bucket < {int(0.9 * 1_000_000)} THEN 'train'
+                       WHEN bucket < {int(0.95 * 1_000_000)} THEN 'val'
+                       ELSE 'test'
+                     END AS split
+              FROM b)
+            SELECT split, COUNT(*) AS n_docs,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_sum
+            FROM labeled GROUP BY split ORDER BY split
         """,
     }
 

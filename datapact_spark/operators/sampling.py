@@ -1,0 +1,156 @@
+"""Deterministic corpus-sampling operators for training-mix
+construction — the step after cleaning/dedup where a pipeline draws a
+token-budgeted mix per (language, source, …) stratum and splits it
+into train/validation/test.
+
+Scale design: NO per-group windows (a window over a mega-stratum pins
+one task — the same cliff the carrier-count join fix removed from
+substring dedup). Quota sampling is expectation-based, the way
+production mixers do it: one aggregate computes per-stratum token
+totals (#strata rows), the sampling fraction ``budget/total`` joins
+back as a broadcast, and membership is a pure per-row hash test —
+fully parallel, no shuffle of the corpus beyond the totals partials.
+
+Determinism/portability: membership uses the engine-portable md5-
+prefix hash (same construction as the portable simhash token hash), so
+an independent ANSI engine reproduces the exact sample — strict-oracle
+material, and re-running the pipeline yields the identical mix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: denominator of the membership test — hash buckets per unit fraction
+QUOTA_BUCKETS = 1_000_000
+
+
+def portable_id_hash(col: Column | str) -> Column:
+    """Engine-portable 60-bit non-negative hash of an id column:
+    ``conv(substr(md5(id), 1, 15), 16, 10)`` — DuckDB spells it
+    ``CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15) AS BIGINT)``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def quota_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budgeted stratified sample: for each ``group_col`` value
+    with a budget, keep a deterministic pseudo-random subset of
+    documents whose expected token mass equals the budget
+    (fraction = ``min(1, budget / stratum_total)``; membership =
+    ``portable_id_hash(id) % 1e6 < fraction * 1e6``). Strata without a
+    budget entry are dropped (budget 0). Returns the sampled rows with
+    ``__fraction`` attached.
+
+    Expectation-based rather than exact-cutoff: an exact cutoff needs a
+    per-stratum ordered cumulative sum — a single-task window per
+    stratum, which does not survive a mega-stratum. The sampling error
+    of the expected mass is O(1/sqrt(docs sampled)) — negligible at any
+    scale where the distinction matters."""
+    tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    budget_map = F.create_map(
+        *[x for k, v in budgets.items() for x in (F.lit(k), F.lit(int(v)))]
+    )
+    totals = (
+        df.groupBy(group_col)
+        .agg(F.sum(tokens).alias("__total_tokens"))
+        .withColumn("__budget", F.coalesce(budget_map[F.col(group_col)], F.lit(0)))
+        .withColumn(
+            "__fraction",
+            F.least(
+                F.lit(1.0), F.col("__budget") / F.col("__total_tokens").cast("double")
+            ),
+        )
+        .select(group_col, "__fraction")
+    )
+    bucket = F.pmod(portable_id_hash(id_col), F.lit(QUOTA_BUCKETS))
+    return (
+        df.join(F.broadcast(totals), group_col)
+        .where(bucket < F.col("__fraction") * QUOTA_BUCKETS)
+    )
+
+
+def quota_sample_summary(
+    df: DataFrame,
+    budgets: dict[str, int],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stratum accounting of ``quota_sample``: (group, total_docs,
+    total_tokens, budget, fraction, sampled_docs, sampled_tokens) —
+    the mix report a pipeline logs next to the sampled output."""
+    tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    sampled = quota_sample(df, budgets, group_col, id_col, text_col)
+    budget_map = F.create_map(
+        *[x for k, v in budgets.items() for x in (F.lit(k), F.lit(int(v)))]
+    )
+    base = (
+        df.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("total_docs"),
+            F.sum(tokens).alias("total_tokens"),
+        )
+        .withColumn("budget", F.coalesce(budget_map[F.col(group_col)], F.lit(0)))
+        .withColumn(
+            "fraction",
+            F.least(
+                F.lit(1.0), F.col("budget") / F.col("total_tokens").cast("double")
+            ),
+        )
+    )
+    samp = sampled.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("sampled_docs"),
+        F.sum(tokens).alias("sampled_tokens"),
+    )
+    return (
+        base.join(samp, group_col, "left")
+        .select(
+            group_col,
+            "total_docs",
+            "total_tokens",
+            "budget",
+            "fraction",
+            F.coalesce("sampled_docs", F.lit(0)).alias("sampled_docs"),
+            F.coalesce("sampled_tokens", F.lit(0)).alias("sampled_tokens"),
+        )
+    )
+
+
+def deterministic_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Reproducible train/validation/test assignment: each row gets a
+    ``split`` label by where its portable hash bucket falls in the
+    cumulative weight intervals. Pure projection — no shuffle, no
+    state; the same (id, salt) always lands in the same split, so
+    incremental corpus additions never reshuffle existing assignments
+    (the property random ``randomSplit`` lacks)."""
+    total = float(sum(weights.values()))
+    bucket = F.pmod(
+        portable_id_hash(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))),
+        F.lit(QUOTA_BUCKETS),
+    )
+    expr = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w / total
+        # round, not truncate: float accumulation puts 0.9+0.05 at
+        # 0.9500000000000001 and sum-normalization can land epsilon
+        # BELOW the decimal boundary — int() would shift the interval
+        cond = bucket < F.lit(int(round(acc * QUOTA_BUCKETS)))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)

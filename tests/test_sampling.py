@@ -1,0 +1,94 @@
+"""Training-mix sampling operators: token-budget quota sampling and
+deterministic splits — correctness, determinism, and the no-window
+plan shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datapact_spark.operators.sampling import (
+    deterministic_split,
+    quota_sample,
+    quota_sample_summary,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # two strata: 'big' with ~100k tokens, 'small' with ~10k
+    return spark.range(2_000).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 2 = 0 THEN 'big' ELSE 'small' END AS lang",
+        # 50-token docs for 'big' (1000 docs), 10-token for 'small'
+        "CASE WHEN id % 2 = 0 THEN repeat('w ', 50) ELSE repeat('w ', 10) END AS text",
+    )
+
+
+def test_quota_sample_hits_budget_in_expectation(spark, corpus):
+    budgets = {"big": 10_000, "small": 1_000_000}
+    summary = {
+        r["lang"]: r
+        for r in quota_sample_summary(corpus, budgets, group_col="lang").collect()
+    }
+    big = summary["big"]
+    # repeat('w ', 50) = 50 'w's + trailing space trimmed → 50 tokens
+    assert big["total_tokens"] == 1000 * 50
+    assert big["fraction"] == pytest.approx(10_000 / 50_000)
+    # expectation-based: sampled mass within 40% of budget on 1000 docs
+    assert 0.6 * 10_000 <= big["sampled_tokens"] <= 1.4 * 10_000
+    # budget above stratum mass: fraction caps at 1.0, everything kept
+    small = summary["small"]
+    assert small["fraction"] == 1.0
+    assert small["sampled_docs"] == small["total_docs"] == 1000
+
+
+def test_quota_sample_zero_budget_drops_stratum(spark, corpus):
+    rows = quota_sample(corpus, {"big": 5_000}, group_col="lang").collect()
+    assert rows and all(r["lang"] == "big" for r in rows)
+
+
+def test_quota_sample_deterministic(spark, corpus):
+    budgets = {"big": 10_000, "small": 2_000}
+    a = sorted(r["doc_id"] for r in quota_sample(corpus, budgets).collect())
+    b = sorted(r["doc_id"] for r in quota_sample(corpus, budgets).collect())
+    assert a == b and a
+
+
+def test_quota_sample_no_window_in_plan(spark, corpus):
+    """The scale contract: no per-stratum window, the stratum totals
+    join back as a broadcast."""
+    df = quota_sample(corpus, {"big": 5_000}, group_col="lang")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_deterministic_split_proportions_and_stability(spark, corpus):
+    w = {"train": 0.9, "val": 0.05, "test": 0.05}
+    labeled = deterministic_split(corpus, w)
+    counts = {r["split"]: r["n"] for r in labeled.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] / 2000 == pytest.approx(0.9, abs=0.05)
+
+    # adding rows never reshuffles existing assignments
+    first = {r["doc_id"]: r["split"] for r in labeled.collect()}
+    grown = spark.range(3_000).selectExpr(
+        "id AS doc_id", "'x' AS lang", "'w w' AS text"
+    )
+    second = {
+        r["doc_id"]: r["split"]
+        for r in deterministic_split(grown, w).collect()
+    }
+    assert all(second[k] == v for k, v in first.items())
+
+
+def test_deterministic_split_weight_normalization(spark, corpus):
+    # unnormalized weights (sum 2.0) give the same assignment as the
+    # normalized equivalents
+    a = {r["doc_id"]: r["split"] for r in deterministic_split(
+        corpus, {"train": 1.8, "val": 0.1, "test": 0.1}).collect()}
+    b = {r["doc_id"]: r["split"] for r in deterministic_split(
+        corpus, {"train": 0.9, "val": 0.05, "test": 0.05}).collect()}
+    assert a == b
