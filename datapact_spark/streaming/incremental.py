@@ -119,6 +119,37 @@ _SESSION_STATE_SCHEMA = (
 )
 
 
+def streaming_exact_dedup(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str = "24 hours",
+) -> DataFrame:
+    """Ingestion-time exact dedup: drop any document whose normalized
+    content fingerprint (``textops.doc_fingerprint``: md5 of the
+    lowercased, whitespace-collapsed text) was already seen.
+
+    With ``ts_col`` the duplicate state is BOUNDED:
+    ``dropDuplicatesWithinWatermark`` keeps a fingerprint only until
+    the watermark passes it, so state size tracks the dedup horizon
+    (e.g. "suppress re-crawls within 24 h"), not corpus history — the
+    only shape that survives an unbounded crawl stream. Without
+    ``ts_col`` it falls back to exact-forever semantics
+    (``dropDuplicates`` — state grows with distinct fingerprints;
+    small/finite streams only).
+
+    The state store keys on the 32-char fingerprint, not the document
+    text, so per-key state is O(1) regardless of document size."""
+    from datapact_spark.operators.textops import doc_fingerprint
+
+    fp = doc_fingerprint(stream_df, text_col=text_col)
+    if ts_col is not None:
+        return fp.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["fingerprint"]
+        )
+    return fp.dropDuplicates(["fingerprint"])
+
+
 def stateful_sessionize(
     stream_df: DataFrame,
     user_col: str = "user_id",

@@ -350,3 +350,52 @@ def test_windowed_drift_profile_and_scores(spark, tmp_path):
     drifted = scores[t0 + dt.timedelta(hours=1)]
     assert clean["ks"] < 0.02 and clean["psi"] < 0.05
     assert drifted["ks"] > 0.4 and drifted["psi"] > 1.0
+
+
+def test_streaming_exact_dedup_cross_batch(spark, tmp_path):
+    """Duplicates are suppressed ACROSS micro-batches (fingerprint
+    state persists), whitespace/case variants collapse to one survivor,
+    and the bounded-state watermark path keeps the same answer when
+    every event is inside the horizon."""
+    import os
+
+    from datapact_spark.streaming.incremental import streaming_exact_dedup
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    b0 = spark.createDataFrame(
+        [
+            (1, "Hello  World", "2026-01-01 10:00:00"),
+            (2, "unique alpha", "2026-01-01 10:01:00"),
+        ],
+        "doc_id long, text string, ts string",
+    ).selectExpr("doc_id", "text", "CAST(ts AS TIMESTAMP) AS ts")
+    b1 = spark.createDataFrame(
+        [
+            (3, "hello world", "2026-01-01 10:02:00"),   # dup of 1 (norm)
+            (4, "unique beta", "2026-01-01 10:03:00"),
+        ],
+        "doc_id long, text string, ts string",
+    ).selectExpr("doc_id", "text", "CAST(ts AS TIMESTAMP) AS ts")
+    b0.coalesce(1).write.mode("append").parquet(src_dir)
+    b1.coalesce(1).write.mode("append").parquet(src_dir)
+
+    for ts_col in (None, "ts"):
+        stream = (
+            spark.readStream.schema("doc_id long, text string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        out_dir = str(tmp_path / f"out_{ts_col}")
+        q = (
+            streaming_exact_dedup(stream, ts_col=ts_col, watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{ts_col}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.read.parquet(out_dir).collect()
+        ids = sorted(r["doc_id"] for r in rows)
+        assert ids == [1, 2, 4], (ts_col, ids)  # doc 3 suppressed
