@@ -331,13 +331,26 @@ def corpus_fingerprint(corpus: DataFrame, id_col: str = "vec_id") -> tuple[int, 
     return int(row["n"]), int(row["h"] if row["h"] is not None else 0)
 
 
+def derive_ivf_nlist(n_rows: int, floor: int = 8, cap: int = 65_536) -> int:
+    """Standard IVF coarse-quantizer sizing: ``nlist ≈ sqrt(n)``
+    balances the assignment cost (n·nlist GEMM) against probe cost
+    (nprobe·n/nlist rows re-ranked) — both O(n·sqrt(n)) at the
+    optimum. Clamped to [floor, cap]; cap bounds the driver-side
+    centroid collect."""
+    import math
+
+    if n_rows <= 1:
+        return floor
+    return max(floor, min(cap, int(round(math.sqrt(n_rows)))))
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    nlist: int = 32,
+    nlist: int | None = 32,
     nprobe: int = 4,
     iters: int = 2,
     sample_fraction: float | None = None,
@@ -371,7 +384,12 @@ def ivf_topk(
     the index meta at build time; a mismatch (or an index written
     before meta existed) triggers an automatic rebuild instead of
     silently serving stale neighbors. The default stays zero-cost on
-    the serve path."""
+    the serve path.
+
+    ``nlist=None`` derives the list count from a corpus count via the
+    standard ``sqrt(n)`` rule (``derive_ivf_nlist``) — one
+    column-pruned aggregate scan, skipped when an existing index is
+    being served (the stored assignment already fixes the lists)."""
     if index_store is not None and index_name is not None:
         fp: tuple[int, int] | None = None
         build = rebuild or not index_store.exists(index_name)
@@ -384,6 +402,8 @@ def ivf_topk(
             ):
                 build = True
         if build:
+            if nlist is None:
+                nlist = derive_ivf_nlist(corpus.count())
             cents = train_ivf_centroids(
                 corpus, nlist, id_col, vec_col, iters, sample_fraction, seed
             )
@@ -397,6 +417,8 @@ def ivf_topk(
             )
         cents, assigned = index_store.read(index_name)
     else:
+        if nlist is None:
+            nlist = derive_ivf_nlist(corpus.count())
         cents = train_ivf_centroids(
             corpus, nlist, id_col, vec_col, iters, sample_fraction, seed
         )

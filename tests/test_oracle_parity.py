@@ -307,3 +307,16 @@ def test_ivf_index_freshness_probe(spark, tmp_path):
         check_freshness=True, **kw,
     ).collect()
     assert store.read_meta("f") is not None
+
+
+def test_ivf_auto_nlist(spark):
+    """nlist=None derives sqrt(n) (clamped) and the query still runs;
+    the rule itself is unit-checked at the measured anchor points."""
+    from datapact_spark.operators.similarity import derive_ivf_nlist, ivf_topk
+
+    assert derive_ivf_nlist(1_000_000) == 1000
+    assert derive_ivf_nlist(10) == 8        # floor
+    assert derive_ivf_nlist(1 << 40) == 65_536  # cap bounds the collect
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    out = ivf_topk(emb, emb.where("vec_id < 2"), k=3, nlist=None, nprobe=4)
+    assert out.count() > 0
