@@ -326,6 +326,23 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(docs).withColumnRenamed("id", "doc_id")
 
 
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: char-20-gram overlap of every
+    training doc against a synthetic eval set (120-char excerpts of
+    every 97th doc — guaranteed contamination against the source, and
+    incidental boilerplate hits elsewhere). STRICT oracle: DuckDB
+    recomputes both sides' literal gram strings and the distinct-gram
+    overlap counts; the score is one IEEE division."""
+    from datapact_spark.operators.dedup import contamination_check
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    evals = docs.where(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"),
+        F.substring("text", 10, 120).alias("text"),
+    )
+    return contamination_check(docs, evals, k=20, min_shared=5)
+
+
 QUOTA_BUDGETS = {"en": 20_000, "de": 6_000, "fr": 0}
 SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
 
@@ -1617,6 +1634,7 @@ def extended_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "quota_sample": q_quota_sample,
         "deterministic_split": q_deterministic_split,
+        "contamination_check": q_contamination_check,
     }
 
 
@@ -2711,6 +2729,35 @@ def _oracle_sql_all() -> dict[str, str]:
             SELECT split, COUNT(*) AS n_docs,
                    CAST(SUM(doc_id) AS BIGINT) AS id_sum
             FROM labeled GROUP BY split ORDER BY split
+        """,
+        "contamination_check": """
+            -- literal gram strings both sides (hash-agnostic overlap);
+            -- eval docs = 120-char excerpts of every 97th doc, re-keyed
+            WITH tg AS (
+              SELECT DISTINCT doc_id AS train_id, substr(text, p.p, 20) AS gram
+              FROM documents,
+                   LATERAL (SELECT unnest(generate_series(1,
+                     GREATEST(length(text) - 19, 0))) AS p) p),
+            ev AS (
+              SELECT doc_id + 5000000 AS doc_id,
+                     substr(text, 10, 120) AS text
+              FROM documents WHERE doc_id % 97 = 0),
+            eg AS (
+              SELECT DISTINCT doc_id AS eval_id, substr(text, p.p, 20) AS gram
+              FROM ev,
+                   LATERAL (SELECT unnest(generate_series(1,
+                     GREATEST(length(text) - 19, 0))) AS p) p),
+            tot AS (SELECT eval_id, COUNT(*) AS eval_grams FROM eg GROUP BY eval_id),
+            pairs AS (
+              SELECT train_id, eval_id, COUNT(*) AS shared_grams
+              FROM tg JOIN eg USING (gram)
+              GROUP BY train_id, eval_id
+              HAVING COUNT(*) >= 5)
+            SELECT train_id, eval_id, shared_grams, eval_grams,
+                   shared_grams / CAST(eval_grams AS DOUBLE)
+                     AS contamination_score
+            FROM pairs JOIN tot USING (eval_id)
+            ORDER BY train_id, eval_id
         """,
     }
 

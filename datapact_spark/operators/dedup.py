@@ -676,3 +676,63 @@ def doc_duplication_score(
             "dup_score"
         ),
     )
+
+
+def contamination_check(
+    train: DataFrame,
+    evals: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    stride: int = 1,
+    portable: bool = False,
+    vectorized: bool = False,
+    mod_sample: int | None = None,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark-decontamination check: for every (training doc, eval
+    doc) pair sharing >= ``min_shared`` distinct char ``k``-grams,
+    report (train_id, eval_id, shared_grams, eval_grams,
+    contamination_score) where the score is the fraction of the EVAL
+    document's distinct grams found verbatim in that training document
+    — the standard n-gram-overlap contamination test a training
+    pipeline runs against held-out benchmarks before a data release.
+
+    Plan shape (100-TB train side, benchmark-sized eval side): both
+    sides reduce to distinct (id, gram_hash) pairs; the eval side is
+    tiny by construction (a benchmark), so the train grams
+    BROADCAST-join against it — the training corpus is never shuffled;
+    the only exchange carries the matched (train_id, eval_id) pairs,
+    which the per-pair aggregate map-side combines. The eval-gram
+    totals join on at the end (broadcast, #eval-docs rows).
+    ``mod_sample`` applies the same content-anchored (winnowing-style)
+    gram sampling to BOTH sides, so a shared span is still detected
+    alignment-independently at ~1/m of the volume."""
+    tg = (
+        _grams(train, id_col, text_col, k, stride, portable, vectorized, mod_sample)
+        .select(F.col("id").alias("train_id"), "gram_hash")
+        .dropDuplicates(["train_id", "gram_hash"])
+    )
+    eg = (
+        _grams(evals, id_col, text_col, k, stride, portable, vectorized, mod_sample)
+        .select(F.col("id").alias("eval_id"), "gram_hash")
+        .dropDuplicates(["eval_id", "gram_hash"])
+    )
+    eval_totals = eg.groupBy("eval_id").agg(
+        F.count(F.lit(1)).alias("eval_grams")
+    )
+    pairs = (
+        tg.join(F.broadcast(eg), "gram_hash")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+        .where(F.col("shared_grams") >= min_shared)
+    )
+    return pairs.join(F.broadcast(eval_totals), "eval_id").select(
+        "train_id",
+        "eval_id",
+        "shared_grams",
+        "eval_grams",
+        (
+            F.col("shared_grams") / F.col("eval_grams").cast("double")
+        ).alias("contamination_score"),
+    )

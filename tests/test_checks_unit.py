@@ -669,3 +669,48 @@ class TestRound5Fixes:
         assert r3["dup_token_frac"] == 0.75
         assert r3["top_token_frac"] == 1.0
         assert r3["top_bigram_frac"] == 1.0
+
+    def test_contamination_check_finds_injected_excerpt(self, spark):
+        from datapact_spark.operators.dedup import contamination_check
+
+        train = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog repeatedly today"),
+                (2, "completely unrelated training content with different words"),
+            ],
+            "doc_id long, text string",
+        )
+        evals = spark.createDataFrame(
+            # eval 100 = verbatim span of train 1; eval 200 = novel
+            [
+                (100, "quick brown fox jumps over the lazy"),
+                (200, "totally novel benchmark question nothing shared"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {
+            (r["train_id"], r["eval_id"]): r
+            for r in contamination_check(train, evals, k=20).collect()
+        }
+        hit = rows[(1, 100)]
+        # every gram of the eval excerpt appears in train doc 1
+        assert hit["contamination_score"] == 1.0
+        assert hit["shared_grams"] == hit["eval_grams"]
+        assert not any(e == 200 for (_, e) in rows)
+
+    def test_contamination_check_broadcasts_eval_side(self, spark):
+        """The training corpus must never shuffle for the gram join —
+        the (small) eval gram set broadcasts."""
+        from datapact_spark.operators.dedup import contamination_check
+
+        train = spark.range(100).selectExpr(
+            "id AS doc_id", "concat('prefix shared content block ', id) AS text"
+        )
+        evals = train.where("doc_id = 3").selectExpr(
+            "doc_id + 1000 AS doc_id", "text"
+        )
+        df = contamination_check(train, evals, k=20)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "BroadcastHashJoin" in plan
