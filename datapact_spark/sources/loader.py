@@ -33,6 +33,33 @@ SF_TABLES = (
 )
 
 
+def parse_iceberg_ref(spec: str) -> tuple[str, dict[str, str]]:
+    """Parse an ``iceberg:`` table ref into (table, reader options).
+
+    ``iceberg:db.tbl`` — current snapshot;
+    ``iceberg:db.tbl@snapshot=12345`` — a pinned snapshot id
+    (``snapshot-id`` reader option);
+    ``iceberg:db.tbl@as-of=2026-01-01T00:00:00`` — time travel
+    (``as-of-timestamp``, millis or ISO accepted by the runtime).
+
+    Snapshot refs are what make Iceberg the north-star source: a
+    validation task can compare a table AGAINST ITS OWN earlier
+    snapshot (source = pinned, target = current) with no second copy
+    of the data."""
+    name, _, opt = spec.partition("@")
+    if not name:
+        raise ValueError(f"empty iceberg table ref: 'iceberg:{spec}'")
+    if not opt:
+        return name, {}
+    key, sep, val = opt.partition("=")
+    key_map = {"snapshot": "snapshot-id", "as-of": "as-of-timestamp"}
+    if key not in key_map or not sep or not val:
+        raise ValueError(
+            f"iceberg ref option must be snapshot=<id> or as-of=<ts>, got {opt!r}"
+        )
+    return name, {key_map[key]: val}
+
+
 class TableResolver:
     """Maps config table refs to DataFrames."""
 
@@ -41,6 +68,26 @@ class TableResolver:
         self.base_dir = base_dir
         self._registry: dict[str, DataFrame] = {}
         self._paths: dict[str, str] = {}
+
+    def _read_iceberg(self, spec: str) -> DataFrame:
+        name, options = parse_iceberg_ref(spec)
+        reader = self.spark.read.format("iceberg")
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        try:
+            return reader.table(name)
+        except Exception as e:  # noqa: BLE001
+            if "DATA_SOURCE_NOT_FOUND" in str(e) or "TABLE_OR_VIEW_NOT_FOUND" in str(e):
+                raise RuntimeError(
+                    f"cannot resolve iceberg table {name!r}: either the "
+                    "iceberg-spark-runtime jar + catalog config "
+                    "(spark.sql.catalog.*) are missing from this cluster, "
+                    "or the table does not exist in the configured "
+                    "catalog. Drop the 'iceberg:' prefix to resolve "
+                    "through the session catalog / parquet fallback "
+                    "(snapshot/as-of options are iceberg-only)."
+                ) from e
+            raise
 
     def register(self, name: str, df_or_path: DataFrame | str) -> None:
         if isinstance(df_or_path, str):
@@ -51,6 +98,8 @@ class TableResolver:
     def resolve(self, ref: str) -> DataFrame:
         if ref in self._registry:
             return self._registry[ref]
+        if ref.startswith("iceberg:"):
+            return self._read_iceberg(ref[len("iceberg:"):])
         if ref in self._paths:
             return self._read_path(self._paths[ref])
         # bare name under base_dir (sandbox layout: <dir>/<name>.parquet)

@@ -714,3 +714,25 @@ class TestRound5Fixes:
             df._jdf.queryExecution(), "formatted"
         )
         assert "BroadcastHashJoin" in plan
+
+    def test_iceberg_ref_parsing_and_gating(self, spark):
+        """iceberg: refs parse to the right reader options; in this
+        sandbox (no iceberg runtime jar) resolution fails with an
+        actionable classpath message, not a raw Py4J error."""
+        from datapact_spark.sources.loader import TableResolver, parse_iceberg_ref
+
+        assert parse_iceberg_ref("db.t") == ("db.t", {})
+        assert parse_iceberg_ref("db.t@snapshot=99") == (
+            "db.t", {"snapshot-id": "99"}
+        )
+        assert parse_iceberg_ref("c.db.t@as-of=2026-01-01T00:00:00") == (
+            "c.db.t", {"as-of-timestamp": "2026-01-01T00:00:00"}
+        )
+        with pytest.raises(ValueError, match="snapshot=<id> or as-of"):
+            parse_iceberg_ref("db.t@limit=5")
+        with pytest.raises(ValueError, match="empty iceberg"):
+            parse_iceberg_ref("@snapshot=1")
+
+        r = TableResolver(spark)
+        with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+            r.resolve("iceberg:db.t@snapshot=99")
