@@ -343,6 +343,20 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_check(docs, evals, k=20, min_shared=5)
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (context-length prep) —
+    map-only Column plan (sequence → posexplode → slice), zero
+    shuffles. STRICT oracle: DuckDB rebuilds every chunk's text from
+    the same split/stride/slice arithmetic; all outputs are exact
+    strings/counts."""
+    from datapact_spark.operators.textops import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(docs, max_tokens=40, overlap=8).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
 QUOTA_BUDGETS = {"en": 20_000, "de": 6_000, "fr": 0}
 SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
 
@@ -1635,6 +1649,7 @@ def extended_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_sample": q_quota_sample,
         "deterministic_split": q_deterministic_split,
         "contamination_check": q_contamination_check,
+        "chunk_documents": q_chunk_documents,
     }
 
 
@@ -2758,6 +2773,25 @@ def _oracle_sql_all() -> dict[str, str]:
                      AS contamination_score
             FROM pairs JOIN tot USING (eval_id)
             ORDER BY train_id, eval_id
+        """,
+        "chunk_documents": """
+            -- same split / stride-32 starts / 40-token slice arithmetic;
+            -- DuckDB list slicing is 1-based inclusive and clamps, so
+            -- toks[s+1 : s+40] == Spark slice(toks, s+1, 40)
+            WITH t AS (
+              SELECT doc_id,
+                     string_split_regex(trim(text), '\\s+') AS toks
+              FROM documents),
+            s AS (
+              SELECT doc_id, toks,
+                     unnest(range(0, GREATEST(len(toks), 1), 32)) AS st
+              FROM t)
+            SELECT doc_id,
+                   CAST(st // 32 AS INT) AS chunk_id,
+                   CAST(len(toks[st + 1 : st + 40]) AS INT) AS chunk_tokens,
+                   array_to_string(toks[st + 1 : st + 40], ' ') AS chunk_text
+            FROM s
+            ORDER BY doc_id, chunk_id
         """,
     }
 

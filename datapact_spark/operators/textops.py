@@ -177,3 +177,45 @@ def repetition_stats(
             ).alias("top_bigram_frac"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split documents into overlapping token windows — the standard
+    context-length preparation step before tokenization/packing:
+    (id, chunk_id, chunk_tokens, chunk_text) with chunks starting every
+    ``max_tokens - overlap`` tokens, each carrying up to ``max_tokens``
+    whitespace tokens; consecutive chunks share ``overlap`` tokens so
+    no span is ever split across a hard boundary.
+
+    Pure Column plan: token array → ``sequence`` of chunk starts →
+    ``posexplode`` → ``slice`` + ``array_join``. Zero shuffles, zero
+    Python — chunking 100 TB is a map-only job. Output rows ≈
+    n_tokens / (max_tokens - overlap) per document."""
+    if overlap >= max_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be < max_tokens ({max_tokens})"
+        )
+    stride = max_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(
+        F.col(id_col).alias("id"), toks.alias("__toks"), F.size(toks).alias("__n")
+    )
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("__n") - 1, F.lit(0)), F.lit(stride)
+    )
+    exploded = base.select(
+        "id", "__toks", F.posexplode(starts).alias("chunk_id", "__start")
+    )
+    chunk = F.slice(F.col("__toks"), F.col("__start") + 1, F.lit(max_tokens))
+    return exploded.select(
+        "id",
+        "chunk_id",
+        F.size(chunk).alias("chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

@@ -736,3 +736,28 @@ class TestRound5Fixes:
         r = TableResolver(spark)
         with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
             r.resolve("iceberg:db.t@snapshot=99")
+
+    def test_chunk_documents_known_values(self, spark):
+        from datapact_spark.operators.textops import chunk_documents
+
+        docs = spark.createDataFrame(
+            [(1, " ".join(f"t{i}" for i in range(10))), (2, "single")],
+            "doc_id long, text string",
+        )
+        rows = sorted(
+            (r["id"], r["chunk_id"], r["chunk_tokens"], r["chunk_text"])
+            for r in chunk_documents(docs, max_tokens=4, overlap=1).collect()
+        )
+        # doc 1: 10 tokens, stride 3 -> starts 0,3,6,9
+        d1 = [r for r in rows if r[0] == 1]
+        assert [r[1] for r in d1] == [0, 1, 2, 3]
+        assert d1[0][3] == "t0 t1 t2 t3"
+        assert d1[1][3] == "t3 t4 t5 t6"       # 1-token overlap
+        assert d1[3] == (1, 3, 1, "t9")        # clipped tail
+        # every token appears in some chunk
+        covered = {t for r in d1 for t in r[3].split()}
+        assert covered == {f"t{i}" for i in range(10)}
+        assert [r for r in rows if r[0] == 2] == [(2, 0, 1, "single")]
+
+        with pytest.raises(ValueError, match="overlap"):
+            chunk_documents(docs, max_tokens=4, overlap=4)
