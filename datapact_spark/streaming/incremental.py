@@ -540,7 +540,14 @@ def kll_drift_monitor_stream(
             )
             base_counts = {r["bin"]: r["cnt"] for r in base_rows}
             now_counts = _bin_counts(batch_df, edges)
-            psi, ks = _score(base_counts, now_counts)
+            if now_counts:
+                psi, ks = _score(base_counts, now_counts)
+            else:
+                # batch whose column is entirely null: no mass to
+                # compare — vacuous pass (scoring empty counts against
+                # the baseline would read as max drift), matching the
+                # t-digest monitor's treatment of an empty batch digest
+                psi, ks = 0.0, 0.0
             passed = (psi if metric == "psi" else ks) <= threshold
             if update_baseline and batch_id > last_seen:
                 edge_by_bin = {r["bin"]: r["edge_hi"] for r in base_rows}

@@ -858,3 +858,39 @@ def test_kll_drift_monitor_stream(spark, tmp_path):
     snap3 = baselines.read("mon", "v__kll_stream").collect()
     assert max(r["last_batch_id"] for r in snap3) == 2
     assert sum(r["cnt"] for r in snap3) == 60_000
+
+
+def test_kll_monitor_all_null_batch_vacuous_pass(spark, tmp_path):
+    """A post-bootstrap batch whose column is entirely null must pass
+    vacuously (no mass to compare) and still fold harmlessly — the
+    t-digest monitor's contract for empty batch digests."""
+    from datapact_spark.ledger import BaselineStore
+    from datapact_spark.streaming.incremental import kll_drift_monitor_stream
+
+    src_dir = str(tmp_path / "src")
+    spark.range(5_000).select(
+        (F.col("id") % 100).cast("double").alias("v")
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+    spark.range(100).select(
+        F.lit(None).cast("double").alias("v")
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    baselines = BaselineStore(spark, str(tmp_path / "res"))
+    stream = (
+        spark.readStream.schema("v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = kll_drift_monitor_stream(
+        spark, stream, "v", baselines, "mon_null", str(tmp_path / "ckpt"),
+        str(tmp_path / "verdicts"), metric="ks", threshold=0.1,
+    )
+    q.awaitTermination(120)
+    verdicts = {
+        r["batch_id"]: r
+        for r in spark.read.parquet(str(tmp_path / "verdicts")).collect()
+    }
+    assert verdicts[1]["passed"] and verdicts[1]["ks"] == 0.0
+    snap = baselines.read("mon_null", "v__kll_stream").collect()
+    assert sum(r["cnt"] for r in snap) == 5_000  # nothing spurious folded
+    assert max(r["last_batch_id"] for r in snap) == 1  # replay guard advanced
