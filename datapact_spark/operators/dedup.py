@@ -698,21 +698,21 @@ def contamination_check(
     — the standard n-gram-overlap contamination test a training
     pipeline runs against held-out benchmarks before a data release.
 
-    Plan shape (100-TB train side, benchmark-sized eval side): both
-    sides reduce to distinct (id, gram_hash) pairs; the eval side is
-    tiny by construction (a benchmark), so the train grams
-    BROADCAST-join against it — the training corpus is never shuffled;
-    the only exchange carries the matched (train_id, eval_id) pairs,
-    which the per-pair aggregate map-side combines. The eval-gram
+    Plan shape (100-TB train side, benchmark-sized eval side): the
+    eval side is tiny by construction (a benchmark), so its distinct
+    gram set BROADCAST-joins against the RAW train gram stream — the
+    training corpus is never shuffled, not even for dedup: distinct
+    shared grams are counted AFTER the (map-only) join, where the only
+    exchange carries matched (train_id, eval_id, gram) triples —
+    bounded by the train∩eval overlap, not the corpus — with map-side
+    partials collapsing repeated occurrences first. The eval-gram
     totals join on at the end (broadcast, #eval-docs rows).
     ``mod_sample`` applies the same content-anchored (winnowing-style)
     gram sampling to BOTH sides, so a shared span is still detected
     alignment-independently at ~1/m of the volume."""
-    tg = (
-        _grams(train, id_col, text_col, k, stride, portable, vectorized, mod_sample)
-        .select(F.col("id").alias("train_id"), "gram_hash")
-        .dropDuplicates(["train_id", "gram_hash"])
-    )
+    tg = _grams(
+        train, id_col, text_col, k, stride, portable, vectorized, mod_sample
+    ).select(F.col("id").alias("train_id"), "gram_hash")
     eg = (
         _grams(evals, id_col, text_col, k, stride, portable, vectorized, mod_sample)
         .select(F.col("id").alias("eval_id"), "gram_hash")
@@ -723,6 +723,11 @@ def contamination_check(
     )
     pairs = (
         tg.join(F.broadcast(eg), "gram_hash")
+        # count DISTINCT shared grams per pair without ever shuffling
+        # the train side: collapse repeated occurrences first (partials
+        # absorb them), then count the surviving triples
+        .groupBy("train_id", "eval_id", "gram_hash")
+        .agg(F.lit(1))
         .groupBy("train_id", "eval_id")
         .agg(F.count(F.lit(1)).alias("shared_grams"))
         .where(F.col("shared_grams") >= min_shared)
