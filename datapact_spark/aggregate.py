@@ -230,3 +230,56 @@ def check_status_counts(ledger: DataFrame) -> DataFrame:
     return exploded.select("run_id", "check_type", status).groupBy(
         "run_id", "check_type", "check_status"
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def run_delta(ledger: DataFrame, run_a: int | None = None, run_b: int | None = None) -> DataFrame:
+    """Run-to-run regression report: per task, the status transition
+    between two runs — the actionable view on top of the trend charts
+    (which only show rates). Transitions:
+
+    * ``REGRESSED``   — passed in the earlier run, fails now;
+    * ``FIXED``       — failed before, passes now;
+    * ``STILL_FAILING`` / ``STILL_PASSING`` — unchanged;
+    * ``NEW`` / ``REMOVED`` — task appeared in only one of the runs.
+
+    Defaults to the two most recent run_ids in the ledger. Both run
+    slices are partition-pruned reads (run_id is the ledger partition
+    key); the join is per-task (#tasks rows)."""
+    if run_a is None or run_b is None:
+        runs = [
+            r["run_id"]
+            for r in ledger.select("run_id")
+            .distinct()
+            .orderBy(F.col("run_id").desc())
+            .limit(2)
+            .collect()
+        ]
+        if len(runs) < 2:
+            raise ValueError("run_delta needs two runs in the ledger")
+        run_b, run_a = runs[0], runs[1]
+    a = ledger.where(F.col("run_id") == run_a).select(
+        "task_key", F.col("status").alias("prev_status")
+    )
+    b = ledger.where(F.col("run_id") == run_b).select(
+        "task_key", F.col("status").alias("curr_status")
+    )
+    ok = F.lit("SUCCESS")
+    transition = (
+        F.when(F.col("prev_status").isNull(), "NEW")
+        .when(F.col("curr_status").isNull(), "REMOVED")
+        .when((F.col("prev_status") == ok) & (F.col("curr_status") != ok), "REGRESSED")
+        .when((F.col("prev_status") != ok) & (F.col("curr_status") == ok), "FIXED")
+        .when(F.col("curr_status") != ok, "STILL_FAILING")
+        .otherwise("STILL_PASSING")
+    )
+    return (
+        a.join(b, "task_key", "full_outer")
+        .select(
+            "task_key",
+            F.lit(run_a).alias("prev_run_id"),
+            F.lit(run_b).alias("curr_run_id"),
+            "prev_status",
+            "curr_status",
+            transition.alias("transition"),
+        )
+    )

@@ -71,6 +71,18 @@ def main(argv: list[str] | None = None) -> int:
         help="directory for the .lvdash.json (default: <results-path>/dashboards)",
     )
 
+    hist_p = sub.add_parser(
+        "history",
+        help="recent runs + per-task status transitions from a results "
+        "directory ledger",
+    )
+    hist_p.add_argument("--results-path", required=True)
+    hist_p.add_argument("--runs", type=int, default=5, help="runs to summarize")
+    hist_p.add_argument(
+        "--delta", action="store_true",
+        help="also print per-task transitions between the two latest runs",
+    )
+
     args = parser.parse_args(argv)
 
     if args.command == "init":
@@ -86,6 +98,49 @@ def main(argv: list[str] | None = None) -> int:
     from datapact_spark.engine import DataPactEngine
     from datapact_spark.session import get_spark
     from datapact_spark.sources.loader import TableResolver
+
+    if args.command == "history":
+        from pyspark.sql import functions as F
+
+        from datapact_spark import aggregate as agg
+        from datapact_spark.ledger import ResultsLedger
+
+        spark = get_spark()
+        ledger = ResultsLedger(spark, args.results_path).read()
+        summary = (
+            ledger.groupBy("run_id", "job_name")
+            .agg(
+                F.count(F.lit(1)).alias("tasks"),
+                F.sum(
+                    F.when(F.col("status") != "SUCCESS", 1).otherwise(0)
+                ).alias("failed"),
+                F.max("validation_complete_ts").alias("finished_at"),
+            )
+            .orderBy(F.col("run_id").desc())
+            .limit(args.runs)
+            .collect()
+        )
+        if not summary:
+            print("no runs recorded", file=sys.stderr)
+            return 1
+        for r in summary:
+            print(
+                f"run {r['run_id']}  job={r['job_name']}  tasks={r['tasks']}  "
+                f"failed={r['failed']}  finished={r['finished_at']}"
+            )
+        if args.delta:
+            try:
+                rows = agg.run_delta(ledger).orderBy("task_key").collect()
+            except ValueError as e:
+                print(f"delta unavailable: {e}", file=sys.stderr)
+                return 0
+            print("--- delta (two latest runs) ---")
+            for r in rows:
+                print(
+                    f"{r['task_key']}: {r['transition']} "
+                    f"({r['prev_status']} -> {r['curr_status']})"
+                )
+        return 0
 
     if args.command == "dashboard":
         import os

@@ -92,3 +92,60 @@ def test_latest_per_task_window(spark, ledger):
     latest = agg.latest_per_task(doubled)
     assert latest.count() == 3
     assert latest.where("status <> 'SUCCESS'").count() == 0
+
+
+def test_run_delta_transitions(spark):
+    from datapact_spark.aggregate import run_delta
+
+    rows = [
+        # (task_key, status, run_id)
+        ("a", "SUCCESS", 1), ("a", "FAILURE", 2),   # REGRESSED
+        ("b", "FAILURE", 1), ("b", "SUCCESS", 2),   # FIXED
+        ("c", "FAILURE", 1), ("c", "FAILURE", 2),   # STILL_FAILING
+        ("d", "SUCCESS", 1), ("d", "SUCCESS", 2),   # STILL_PASSING
+        ("e", "SUCCESS", 2),                        # NEW
+        ("f", "SUCCESS", 1),                        # REMOVED
+    ]
+    ledger = spark.createDataFrame(rows, "task_key string, status string, run_id long")
+    out = {r["task_key"]: r["transition"] for r in run_delta(ledger).collect()}
+    assert out == {
+        "a": "REGRESSED", "b": "FIXED", "c": "STILL_FAILING",
+        "d": "STILL_PASSING", "e": "NEW", "f": "REMOVED",
+    }
+    # explicit run pair: reversed direction flips the verdicts
+    rev = {r["task_key"]: r["transition"]
+           for r in run_delta(ledger, run_a=2, run_b=1).collect()}
+    assert rev["a"] == "FIXED" and rev["b"] == "REGRESSED"
+
+    import pytest as _pt
+    single = ledger.where("run_id = 1")
+    with _pt.raises(ValueError, match="two runs"):
+        run_delta(single)
+
+
+def test_history_cli(spark, tables, tmp_path, capsys):
+    from datapact_spark.cli import main
+    from datapact_spark.config import DataPactConfig, ValidationTask
+    from datapact_spark.engine import DataPactEngine
+    from datapact_spark.sources.loader import TableResolver
+
+    resolver = TableResolver(spark)
+    resolver.register("orders", tables["orders"])
+    resolver.register(
+        "orders_sample", tables["orders"].where("o_orderkey % 10 != 0")
+    )
+    engine = DataPactEngine(spark, resolver, results_path=str(tmp_path / "res"))
+    ok = DataPactConfig(validations=[ValidationTask(
+        task_key="t", source="orders", target="orders",
+        primary_keys=["o_orderkey"], count_tolerance=0.0)])
+    bad = DataPactConfig(validations=[ValidationTask(
+        task_key="t", source="orders", target="orders_sample",
+        primary_keys=["o_orderkey"], count_tolerance=0.0)])
+    engine.run(ok, job_name="j", run_id=1)
+    engine.run(bad, job_name="j", run_id=2, raise_on_failure=False)
+
+    rc = main(["history", "--results-path", str(tmp_path / "res"), "--delta"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "run 2" in out and "failed=1" in out
+    assert "t: REGRESSED (SUCCESS -> FAILURE)" in out
