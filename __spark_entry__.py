@@ -357,6 +357,29 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup clusters: the dedup_exact pair set (injected
+    exact copies at doc_id+1e6 for doc_id%7==0) plus bridge edges
+    joining doc_id and doc_id+7 for doc_id%70==0 — so min labels must
+    propagate ACROSS pairs (a 4-node component per bridge: two docs
+    plus both their copies). STRICT oracle: DuckDB computes the same
+    components with a recursive-CTE reachability closure; both label
+    by component-minimum id."""
+    from datapact_spark.operators.dedup import dup_clusters, exact_duplicates
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dupes = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    pairs = exact_duplicates(docs.unionByName(dupes)).select(
+        F.col("keep_id").alias("id_a"), F.col("dup_id").alias("id_b")
+    )
+    bridges = docs.where(F.col("doc_id") % 70 == 0).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 7).alias("id_b")
+    )
+    return dup_clusters(pairs.unionByName(bridges)).orderBy("id")
+
+
 QUOTA_BUDGETS = {"en": 20_000, "de": 6_000, "fr": 0}
 SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
 
@@ -1650,6 +1673,7 @@ def extended_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_split": q_deterministic_split,
         "contamination_check": q_contamination_check,
         "chunk_documents": q_chunk_documents,
+        "dup_clusters": q_dup_clusters,
     }
 
 
@@ -2792,6 +2816,43 @@ def _oracle_sql_all() -> dict[str, str]:
                    array_to_string(toks[st + 1 : st + 40], ' ') AS chunk_text
             FROM s
             ORDER BY doc_id, chunk_id
+        """,
+        "dup_clusters": """
+            -- connected components by recursive reachability closure;
+            -- label = component-minimum id, same contract as the
+            -- engine's min-label propagation fixpoint
+            WITH RECURSIVE
+            input AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text
+              FROM documents WHERE doc_id % 7 = 0),
+            fp AS (
+              SELECT doc_id AS dup_id,
+                     md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                       AS fingerprint
+              FROM input),
+            keepers AS (
+              SELECT fingerprint, MIN(dup_id) AS keep_id
+              FROM fp GROUP BY fingerprint),
+            pairs AS (
+              SELECT k.keep_id AS id_a, f.dup_id AS id_b
+              FROM fp f JOIN keepers k USING (fingerprint)
+              WHERE f.dup_id <> k.keep_id
+              UNION ALL
+              SELECT doc_id AS id_a, doc_id + 7 AS id_b
+              FROM documents WHERE doc_id % 70 = 0),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b AS src, id_a AS dst FROM pairs),
+            reach(id, label) AS (
+              SELECT DISTINCT src, src FROM edges
+              UNION
+              SELECT e.dst, r.label
+              FROM reach r JOIN edges e ON r.id = e.src)
+            SELECT id, MIN(label) AS cluster_id
+            FROM reach GROUP BY id ORDER BY id
         """,
     }
 

@@ -741,3 +741,84 @@ def contamination_check(
             F.col("shared_grams") / F.col("eval_grams").cast("double")
         ).alias("contamination_score"),
     )
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Transitive duplicate clusters from pairwise matches: connected
+    components over the (id_a, id_b) edge set, labeled by each
+    component's minimum id — the step that turns MinHash/SimHash/
+    substring PAIR output into keep/drop decisions (keep the label
+    row, drop the rest), since near-dup relations are not transitive
+    pair-by-pair (A~B, B~C but A≁C still means one cluster).
+
+    Output: (id, cluster_id) for every id appearing in ``pairs``.
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes the minimum label in its closed neighborhood; a fixpoint is
+    a valid component labeling, reached in O(component diameter)
+    rounds (dedup clusters are shallow: near-universal templates get
+    capped upstream by the bucket caps, so diameters are small).
+    Each round is one groupBy over the (undirected) edge relation plus
+    a broadcast-eligible label join — no driver-side graph, edges
+    never collected. The label frame is persisted per round and the
+    loop stops early when a round changes nothing (one count per
+    round, O(iterations) jobs). Raises if ``max_iterations`` rounds
+    do not converge (pathological diameter — raise the cap)."""
+    from pyspark.storagelevel import StorageLevel
+
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("cluster_id")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    for _ in range(max_iterations):
+        # min neighbor label per node (neighbors' current labels)
+        neigh = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("cluster_id").alias("nl")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nl").alias("min_neigh"))
+            .select(F.col("src").alias("id"), "min_neigh")
+        )
+        updated = (
+            labels.join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("min_neigh"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .where(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = updated
+        if changed == 0:
+            edges.unpersist()
+            return labels
+    raise RuntimeError(
+        f"dup_clusters did not converge in {max_iterations} rounds — "
+        "component diameter exceeds the cap; raise max_iterations"
+    )

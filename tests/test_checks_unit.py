@@ -761,3 +761,25 @@ class TestRound5Fixes:
 
         with pytest.raises(ValueError, match="overlap"):
             chunk_documents(docs, max_tokens=4, overlap=4)
+
+    def test_dup_clusters_transitive_chain(self, spark):
+        from datapact_spark.operators.dedup import dup_clusters
+
+        # chain 1-2-3-4 + separate pair 10-11: two components
+        pairs = spark.createDataFrame(
+            [(2, 1), (2, 3), (4, 3), (10, 11)], "id_a long, id_b long"
+        )
+        out = {r["id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+        assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    def test_dup_clusters_convergence_cap(self, spark):
+        from datapact_spark.operators.dedup import dup_clusters
+
+        # a path of length 6 needs >1 round; cap=1 must raise
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(6, 0, -1)], "id_a long, id_b long"
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            dup_clusters(pairs, max_iterations=1)
+        out = {r["id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+        assert set(out.values()) == {1} and len(out) == 7
