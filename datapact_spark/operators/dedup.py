@@ -822,3 +822,19 @@ def dup_clusters(
         f"dup_clusters did not converge in {max_iterations} rounds — "
         "component diameter exceeds the cap; raise max_iterations"
     )
+
+
+def apply_dedup(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize dedup decisions: keep every row whose id is either
+    unmatched (no duplicate found) or its cluster's label (the
+    component-minimum id from ``dup_clusters``). One broadcast-eligible
+    join against the (small — only matched ids) cluster relation; the
+    corpus is never shuffled."""
+    drop = clusters.where(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(F.broadcast(drop), id_col, "left_anti")

@@ -783,3 +783,19 @@ class TestRound5Fixes:
             dup_clusters(pairs, max_iterations=1)
         out = {r["id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
         assert set(out.values()) == {1} and len(out) == 7
+
+    def test_apply_dedup_keeps_labels_and_unmatched(self, spark):
+        from datapact_spark.operators.dedup import apply_dedup, dup_clusters
+
+        docs = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(1, 7)], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+        )
+        kept = sorted(
+            r["doc_id"]
+            for r in apply_dedup(docs, dup_clusters(pairs)).collect()
+        )
+        # cluster {1,2,3} keeps 1; {5,6} keeps 5; 4 was never matched
+        assert kept == [1, 4, 5]
