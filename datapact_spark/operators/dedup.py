@@ -767,9 +767,17 @@ def dup_clusters(
     a broadcast-eligible label join — no driver-side graph, edges
     never collected. The label frame is persisted per round and the
     loop stops early when a round changes nothing (one count per
-    round, O(iterations) jobs). Raises if ``max_iterations`` rounds
-    do not converge (pathological diameter — raise the cap)."""
+    round, O(iterations) jobs); every ``checkpoint_every`` rounds the
+    label lineage is truncated with ``localCheckpoint`` so the logical
+    plan does not grow by one join per iteration (iterative-join plans
+    otherwise blow up the analyzer long before the data hurts).
+    Raises if ``max_iterations`` rounds do not converge (pathological
+    diameter — raise the cap). The RETURNED frame stays persisted (its
+    lineage is the whole iteration chain; unpersisting would re-run
+    every round per downstream action) — ``unpersist()`` it when done."""
     from pyspark.storagelevel import StorageLevel
+
+    checkpoint_every = 5
 
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -783,7 +791,7 @@ def dup_clusters(
         "id", F.col("id").alias("cluster_id")
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         # min neighbor label per node (neighbors' current labels)
         neigh = (
             edges.join(
@@ -807,6 +815,8 @@ def dup_clusters(
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        if (it + 1) % checkpoint_every == 0:
+            updated = updated.localCheckpoint(eager=True)
         changed = (
             updated.alias("u")
             .join(labels.alias("l"), "id")
@@ -818,6 +828,8 @@ def dup_clusters(
         if changed == 0:
             edges.unpersist()
             return labels
+    edges.unpersist()
+    labels.unpersist()
     raise RuntimeError(
         f"dup_clusters did not converge in {max_iterations} rounds — "
         "component diameter exceeds the cap; raise max_iterations"

@@ -799,3 +799,14 @@ class TestRound5Fixes:
         )
         # cluster {1,2,3} keeps 1; {5,6} keeps 5; 4 was never matched
         assert kept == [1, 4, 5]
+
+    def test_dup_clusters_long_chain_past_checkpoint(self, spark):
+        """A 16-hop path needs > checkpoint_every rounds — exercises the
+        lineage-truncation path and still converges to one component."""
+        from datapact_spark.operators.dedup import dup_clusters
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(16)], "id_a long, id_b long"
+        )
+        out = {r["id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+        assert set(out.values()) == {0} and len(out) == 17
