@@ -219,3 +219,44 @@ def chunk_documents(
         F.size(chunk).alias("chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+# PII/secret detectors over source-code/text corpora. Patterns are kept
+# inside the RE2-compatible subset (no backrefs/lookaround) so an ANSI
+# engine reproduces the counts exactly for oracle checks.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "aws_key": r"AKIA[0-9A-Z]{16}",
+    "hex_secret": r"\b[0-9a-f]{32,}\b",
+}
+
+
+def pii_scan(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-row PII/secret hit counts (one column per ``PII_PATTERNS``
+    entry, ``n_<kind>``, plus ``pii_total``) — the scan a pipeline runs
+    before releasing or training on a corpus. Pure regexp projections,
+    zero shuffles; a release gate is ``WHERE pii_total > 0``."""
+    t = F.col(text_col)
+    counts = {
+        kind: F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))).cast("long")
+        for kind, pat in PII_PATTERNS.items()
+    }
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    return df.select(
+        "*",
+        *[c.alias(f"n_{kind}") for kind, c in counts.items()],
+        total.alias("pii_total"),
+    )
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace every PII/secret match with ``<KIND>`` placeholders
+    (``<EMAIL>``, ``<IPV4>``, …) in ``text_col`` — the redaction twin
+    of ``pii_scan``; same patterns, map-only."""
+    t = F.col(text_col)
+    for kind, pat in PII_PATTERNS.items():
+        t = F.regexp_replace(t, pat, f"<{kind.upper()}>")
+    return df.withColumn(text_col, t)
