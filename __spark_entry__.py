@@ -414,6 +414,61 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_code_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-code quality gates (The Stack / StarCoder preprocessing):
+    line-shape stats + alphanumeric fraction + keep verdict, over
+    documents plus injected code-shaped rows that exercise each gate.
+    STRICT oracle: every metric is integer arithmetic or a single IEEE
+    division, bitwise-portable to DuckDB."""
+    from datapact_spark.operators.textops import code_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = spark.createDataFrame(
+        [
+            (9_100_001, "def f(x):\n    return x + 1\n"),
+            (9_100_002, "x" * 1200),  # max_line_len gate
+            (9_100_003, "### " + "- " * 120 + "\nok"),  # low alnum_frac
+            (9_100_004, None),
+        ],
+        "doc_id long, text string",
+    )
+    return (
+        code_stats(docs.unionByName(injected))
+        .select(
+            "doc_id", "n_lines", "max_line_len", "avg_line_len",
+            "alnum_frac", "code_keep",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (The Stack-style license-header
+    dedup): lines carried verbatim by >= 3 docs are stripped, text is
+    rebuilt in order, and the md5 of the rebuilt text pins the exact
+    reconstruction. STRICT oracle: DuckDB recomputes line frequencies
+    from string_split + index lambdas and string_agg(ORDER BY idx)."""
+    from datapact_spark.operators.dedup import strip_boilerplate
+
+    header = "// Copyright 2026 Example Corp\n// SPDX-License-Identifier: MIT"
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = spark.createDataFrame(
+        [
+            (9_200_001, f"{header}\nalpha body one"),
+            (9_200_002, f"{header}\nbeta body two\n\nmore beta"),
+            (9_200_003, f"{header}\ngamma body three"),
+            (9_200_004, "no header here\njust content"),
+        ],
+        "doc_id long, text string",
+    )
+    out = strip_boilerplate(docs.unionByName(injected), min_docs=3)
+    return out.select(
+        "doc_id", "n_lines", "n_boiler",
+        F.md5("cleaned_text").alias("cleaned_md5"),
+        F.length("cleaned_text").cast("long").alias("cleaned_len"),
+    ).orderBy("doc_id")
+
+
 QUOTA_BUDGETS = {"en": 20_000, "de": 6_000, "fr": 0}
 SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
 
@@ -1709,6 +1764,8 @@ def extended_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "dup_clusters": q_dup_clusters,
         "pii_scan": q_pii_scan,
+        "code_stats": q_code_stats,
+        "strip_boilerplate": q_strip_boilerplate,
     }
 
 
@@ -2930,6 +2987,81 @@ def _oracle_sql_all() -> dict[str, str]:
             FROM scanned s JOIN red r USING (doc_id)
             WHERE n_email + n_ipv4 + n_aws_key + n_hex_secret > 0
             ORDER BY s.doc_id
+        """,
+        "code_stats": """
+            WITH all_docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT * FROM (VALUES
+                (9100001, 'def f(x):' || chr(10) || '    return x + 1' || chr(10)),
+                (9100002, repeat('x', 1200)),
+                (9100003, '### ' || repeat('- ', 120) || chr(10) || 'ok'),
+                (9100004, NULL)
+              ) AS v(doc_id, text)),
+            m AS (
+              SELECT doc_id,
+                CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+                CAST(list_max(list_transform(string_split(text, chr(10)),
+                  s -> length(s))) AS BIGINT) AS max_line_len,
+                CAST(length(text) AS BIGINT) AS total,
+                CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+                  AS BIGINT) AS alnum
+              FROM all_docs)
+            SELECT doc_id, n_lines, max_line_len,
+              (total - (n_lines - 1)) / CAST(n_lines AS DOUBLE)
+                AS avg_line_len,
+              alnum / CAST(nullif(total, 0) AS DOUBLE) AS alnum_frac,
+              COALESCE(max_line_len <= 1000
+                AND (total - (n_lines - 1)) / CAST(n_lines AS DOUBLE) <= 100.0
+                AND alnum / CAST(nullif(total, 0) AS DOUBLE) >= 0.25,
+                FALSE) AS code_keep
+            FROM m ORDER BY doc_id
+        """,
+        "strip_boilerplate": """
+            WITH all_docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT * FROM (VALUES
+                (9200001, '// Copyright 2026 Example Corp' || chr(10) ||
+                  '// SPDX-License-Identifier: MIT' || chr(10) || 'alpha body one'),
+                (9200002, '// Copyright 2026 Example Corp' || chr(10) ||
+                  '// SPDX-License-Identifier: MIT' || chr(10) || 'beta body two' ||
+                  chr(10) || chr(10) || 'more beta'),
+                (9200003, '// Copyright 2026 Example Corp' || chr(10) ||
+                  '// SPDX-License-Identifier: MIT' || chr(10) || 'gamma body three'),
+                (9200004, 'no header here' || chr(10) || 'just content')
+              ) AS v(doc_id, text)),
+            lines AS (
+              SELECT doc_id, u.line AS line, u.idx AS idx
+              FROM (SELECT doc_id,
+                      unnest(list_transform(string_split(text, chr(10)),
+                        (s, i) -> {'line': s, 'idx': i})) AS u
+                    FROM all_docs)),
+            boiler AS (
+              SELECT line FROM lines WHERE trim(line) <> ''
+              GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 3),
+            kept AS (
+              SELECT l.doc_id, l.line, l.idx FROM lines l
+              ANTI JOIN boiler b ON l.line = b.line),
+            rebuilt AS (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY idx) AS cleaned,
+                     COUNT(*) AS n_kept
+              FROM kept GROUP BY doc_id),
+            totals AS (
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines
+              FROM lines GROUP BY doc_id)
+            SELECT d.doc_id, t.n_lines,
+                   t.n_lines - CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_boiler,
+                   CASE WHEN t.n_lines IS NOT NULL
+                        THEN md5(COALESCE(r.cleaned, '')) END AS cleaned_md5,
+                   CASE WHEN t.n_lines IS NOT NULL
+                        THEN CAST(length(COALESCE(r.cleaned, '')) AS BIGINT)
+                   END AS cleaned_len
+            FROM (SELECT doc_id FROM all_docs) d
+            LEFT JOIN totals t USING (doc_id)
+            LEFT JOIN rebuilt r USING (doc_id)
+            ORDER BY d.doc_id
         """,
     }
 

@@ -850,3 +850,95 @@ def apply_dedup(
         F.col("id").alias(id_col)
     )
     return df.join(F.broadcast(drop), id_col, "left_anti")
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Find boilerplate LINES — exact lines (license headers, generated
+    banners, framework imports) carried verbatim by >= ``min_docs``
+    distinct documents. The Stack-style line-level dedup signal for
+    source-code corpora.
+
+    Returns ``(line_hash, line, n_docs)``. Blank lines (whitespace-only)
+    are never boilerplate. Scale shape: documents are line-exploded
+    map-side, then ONE shuffle on the 128-bit md5 of the line (never the
+    raw line bytes — a license header is ~1 KB, its hash is 32 bytes);
+    count_distinct(doc) does per-partition partial dedup so a universal
+    line does not funnel raw rows to one reducer.
+    """
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("__idx", "line"),
+    ).where(F.trim("line") != "")
+    return (
+        lines.groupBy(F.md5("line").alias("line_hash"))
+        .agg(
+            F.first("line").alias("line"),
+            F.count_distinct("__id").alias("n_docs"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    boiler: DataFrame | None = None,
+) -> DataFrame:
+    """Remove boilerplate lines from every document and reconstruct the
+    cleaned text (line order preserved, blank lines kept). Pass a
+    precomputed ``boilerplate_lines`` output via ``boiler`` to reuse the
+    corpus scan; otherwise it is derived at ``min_docs``.
+
+    Returns ``(id, n_lines, n_boiler, cleaned_text)``; documents whose
+    every line is boilerplate survive with ``cleaned_text = ''``, and
+    null-text documents pass through with nulls.
+
+    Scale shape: explode -> left_anti hash-join against the boilerplate
+    hash set (broadcast when small) -> one groupBy(id) rebuild via
+    sort_array(collect_list(struct(idx, line))). The rebuild shuffles
+    (id, line) pairs once; no window over the skewed line key.
+    """
+    if boiler is None:
+        boiler = boilerplate_lines(df, id_col, text_col, min_docs)
+    hashes = boiler.select("line_hash")
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("__idx", "line"),
+    )
+    kept = lines.join(
+        hashes.withColumnRenamed("line_hash", "__bh"),
+        F.md5(lines["line"]) == F.col("__bh"),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("__idx", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("cleaned_text"),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_lines",
+            (F.col("n_lines") - F.coalesce("__kept", F.lit(0))).alias("n_boiler"),
+            F.when(
+                F.col("n_lines").isNotNull(),
+                F.coalesce("cleaned_text", F.lit("")),
+            ).alias("cleaned_text"),
+        )
+    )

@@ -260,3 +260,39 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     for kind, pat in PII_PATTERNS.items():
         t = F.regexp_replace(t, pat, f"<{kind.upper()}>")
     return df.withColumn(text_col, t)
+
+
+def code_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document source-code quality stats (The Stack / StarCoder
+    preprocessing gates): line count, max line length, mean line length,
+    alphanumeric fraction, plus a boolean ``code_keep`` verdict
+    (``max_line_len <= 1000 AND avg_line_len <= 100 AND
+    alnum_frac >= 0.25``). Pure Column projections, zero shuffle.
+
+    Portability: ``avg_line_len`` is derived as
+    ``(len - (n_lines - 1)) / n_lines`` (line-length sum equals total
+    length minus separators) — a single IEEE division, bitwise-portable
+    to an ANSI oracle; ``alnum_frac`` likewise.
+    """
+    t = F.col(text_col)
+    lines = F.split(t, "\n", -1)
+    n_lines = F.size(lines).cast("long")
+    total = F.length(t).cast("long")
+    alnum = F.length(F.regexp_replace(t, "[^A-Za-z0-9]", "")).cast("long")
+    max_line = F.array_max(F.transform(lines, F.length)).cast("long")
+    avg_line = (
+        (total - (n_lines - F.lit(1))).cast("double")
+        / F.nullif(n_lines, F.lit(0)).cast("double")
+    )
+    alnum_frac = alnum.cast("double") / F.nullif(total, F.lit(0)).cast("double")
+    return df.select(
+        "*",
+        n_lines.alias("n_lines"),
+        max_line.alias("max_line_len"),
+        avg_line.alias("avg_line_len"),
+        alnum_frac.alias("alnum_frac"),
+        F.coalesce(
+            (max_line <= 1000) & (avg_line <= 100.0) & (alnum_frac >= 0.25),
+            F.lit(False),
+        ).alias("code_keep"),
+    )

@@ -836,3 +836,54 @@ class TestRound5Fixes:
         assert red[2] == "<AWS_KEY> then <HEX_SECRET>"
         assert red[3] == docs.collect()[2]["text"] or "no secrets" in red[3]
         assert red[4] is None
+
+    def test_code_stats_known_values(self, spark):
+        from datapact_spark.operators.textops import code_stats
+
+        docs = spark.createDataFrame(
+            [
+                (1, "ab\ncdef"),          # 2 lines, max 4, avg (7-1)/2=3.0
+                (2, "x" * 1200),          # long-line gate fails
+                (3, "-- -- -- -- --"),    # alnum_frac 0 -> gate fails
+                (4, None),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in code_stats(docs).collect()}
+        assert (rows[1]["n_lines"], rows[1]["max_line_len"]) == (2, 4)
+        assert rows[1]["avg_line_len"] == 3.0
+        assert rows[1]["alnum_frac"] == 6 / 7
+        assert rows[1]["code_keep"] is True
+        assert rows[2]["code_keep"] is False and rows[2]["max_line_len"] == 1200
+        assert rows[3]["alnum_frac"] == 0.0 and rows[3]["code_keep"] is False
+        assert rows[4]["n_lines"] is None and rows[4]["code_keep"] is False
+
+    def test_boilerplate_strip_known_values(self, spark):
+        from datapact_spark.operators.dedup import (
+            boilerplate_lines,
+            strip_boilerplate,
+        )
+
+        hdr = "// (c) corp"
+        docs = spark.createDataFrame(
+            [
+                (1, f"{hdr}\nalpha"),
+                (2, f"{hdr}\nbeta\n\ngamma"),
+                (3, f"{hdr}\n{hdr}"),     # doc of only boilerplate
+                (4, "unique\nlines"),
+                (5, None),
+            ],
+            "doc_id long, text string",
+        )
+        boiler = {r["line"]: r["n_docs"] for r in boilerplate_lines(docs).collect()}
+        # blank lines never count; only the header is shared
+        assert boiler == {hdr: 3}
+
+        out = {r["doc_id"]: r for r in strip_boilerplate(docs).collect()}
+        assert (out[1]["n_lines"], out[1]["n_boiler"]) == (2, 1)
+        assert out[1]["cleaned_text"] == "alpha"
+        # blank line survives, order preserved
+        assert out[2]["cleaned_text"] == "beta\n\ngamma"
+        assert out[3]["cleaned_text"] == "" and out[3]["n_boiler"] == 2
+        assert out[4]["n_boiler"] == 0 and out[4]["cleaned_text"] == "unique\nlines"
+        assert out[5]["n_lines"] is None and out[5]["cleaned_text"] is None
