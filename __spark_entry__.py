@@ -357,6 +357,25 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (chunk → fixed context windows): chunks shard by
+    the portable id hash, a per-shard prefix sum assigns each chunk to
+    the sequence where its offset starts, and the per-sequence fill
+    report is returned. STRICT oracle: DuckDB reproduces the chunking,
+    the md5-prefix shard hash, the windowed prefix sum and the
+    single-division fill exactly."""
+    from datapact_spark.operators.textops import (
+        chunk_documents,
+        pack_sequences,
+        pack_summary,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = chunk_documents(docs, max_tokens=40, overlap=8)
+    packed = pack_sequences(chunks, context_len=128, shards=8)
+    return pack_summary(packed, context_len=128).orderBy("shard", "seq_in_shard")
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive dedup clusters: the dedup_exact pair set (injected
     exact copies at doc_id+1e6 for doc_id%7==0) plus bridge edges
@@ -1766,6 +1785,7 @@ def extended_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": q_pii_scan,
         "code_stats": q_code_stats,
         "strip_boilerplate": q_strip_boilerplate,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -3062,6 +3082,45 @@ def _oracle_sql_all() -> dict[str, str]:
             LEFT JOIN totals t USING (doc_id)
             LEFT JOIN rebuilt r USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "pack_sequences": """
+            -- chunking arithmetic identical to the chunk_documents
+            -- oracle (stride 32, 40-token slices); shard = portable
+            -- 60-bit md5-prefix hash of the doc id mod 8; sequence
+            -- assignment = per-shard prefix sum over (doc, chunk)
+            WITH t AS (
+              SELECT doc_id,
+                     string_split_regex(trim(text), '\\s+') AS toks
+              FROM documents),
+            s AS (
+              SELECT doc_id, toks,
+                     unnest(range(0, GREATEST(len(toks), 1), 32)) AS st
+              FROM t),
+            chunks AS (
+              SELECT doc_id,
+                     CAST(st // 32 AS INT) AS chunk_id,
+                     CAST(len(toks[st + 1 : st + 40]) AS INT) AS chunk_tokens
+              FROM s),
+            sharded AS (
+              SELECT *,
+                CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) % 8 AS shard
+              FROM chunks),
+            packed AS (
+              SELECT shard, chunk_tokens,
+                (CAST(SUM(chunk_tokens) OVER (PARTITION BY shard
+                   ORDER BY doc_id, chunk_id ROWS UNBOUNDED PRECEDING)
+                   AS BIGINT)
+                 - chunk_tokens) // 128 AS seq_in_shard
+              FROM sharded)
+            SELECT shard, seq_in_shard,
+                   COUNT(*) AS n_chunks,
+                   CAST(SUM(chunk_tokens) AS BIGINT) AS seq_tokens,
+                   CAST(SUM(chunk_tokens) AS BIGINT) / CAST(128 AS DOUBLE)
+                     AS fill
+            FROM packed
+            GROUP BY shard, seq_in_shard
+            ORDER BY shard, seq_in_shard
         """,
     }
 

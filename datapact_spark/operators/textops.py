@@ -296,3 +296,72 @@ def code_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.lit(False),
         ).alias("code_keep"),
     )
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    id_col: str = "id",
+    chunk_col: str = "chunk_id",
+    tokens_col: str = "chunk_tokens",
+    context_len: int = 2048,
+    shards: int = 64,
+) -> DataFrame:
+    """Greedy contiguous sequence packing — the training-prep step after
+    ``chunk_documents``: lay chunks end-to-end and cut fixed
+    ``context_len``-token sequences. Each chunk lands in the sequence
+    where its running offset starts (a chunk may straddle the boundary;
+    the trainer truncates/carries the tail), which makes the assignment
+    a pure prefix-sum — deterministic and engine-portable.
+
+    Scale shape: chunks shard by the portable id hash (``shards`` sized
+    so one shard's chunk list fits a task — at 100 TB raise it; shards
+    are hash-balanced so no mega-key), ONE window per shard computes the
+    running token sum; no global ordering, no driver collect.
+
+    Returns the input plus ``shard``, ``seq_in_shard`` (the packed
+    sequence index within the shard) and ``seq_offset`` (the chunk's
+    token offset inside its sequence).
+    """
+    from pyspark.sql import Window
+
+    if context_len <= 0:
+        raise ValueError("context_len must be positive")
+    from datapact_spark.operators.sampling import portable_id_hash
+
+    shard = F.pmod(portable_id_hash(id_col), F.lit(shards))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col, chunk_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = chunks.withColumn("shard", shard).withColumn(
+        "__end", F.sum(tokens_col).over(w).cast("long")
+    )
+    start = F.col("__end") - F.col(tokens_col)
+    return (
+        out.withColumn("seq_in_shard", F.floor(start / F.lit(context_len)))
+        .withColumn(
+            "seq_offset", (start - F.col("seq_in_shard") * context_len).cast("long")
+        )
+        .drop("__end")
+    )
+
+
+def pack_summary(
+    packed: DataFrame,
+    tokens_col: str = "chunk_tokens",
+    context_len: int = 2048,
+) -> DataFrame:
+    """Per-sequence fill report over ``pack_sequences`` output:
+    ``(shard, seq_in_shard, n_chunks, seq_tokens, fill)`` where ``fill``
+    is the single-division token utilization vs ``context_len``."""
+    return (
+        packed.groupBy("shard", "seq_in_shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(tokens_col).cast("long").alias("seq_tokens"),
+        )
+        .withColumn(
+            "fill", F.col("seq_tokens") / F.lit(float(context_len))
+        )
+    )

@@ -887,3 +887,29 @@ class TestRound5Fixes:
         assert out[3]["cleaned_text"] == "" and out[3]["n_boiler"] == 2
         assert out[4]["n_boiler"] == 0 and out[4]["cleaned_text"] == "unique\nlines"
         assert out[5]["n_lines"] is None and out[5]["cleaned_text"] is None
+
+    def test_pack_sequences_known_values(self, spark):
+        from datapact_spark.operators.textops import pack_sequences, pack_summary
+
+        chunks = spark.createDataFrame(
+            [(1, 0, 4), (1, 1, 4), (2, 0, 5), (2, 1, 3), (3, 0, 6)],
+            "id long, chunk_id int, chunk_tokens int",
+        )
+        packed = pack_sequences(chunks, context_len=10, shards=1)
+        rows = {
+            (r["id"], r["chunk_id"]): (r["seq_in_shard"], r["seq_offset"])
+            for r in packed.collect()
+        }
+        # cumulative starts 0,4,8,13,16 -> seqs 0,0,0,1,1
+        assert rows == {
+            (1, 0): (0, 0), (1, 1): (0, 4), (2, 0): (0, 8),
+            (2, 1): (1, 3), (3, 0): (1, 6),
+        }
+        summ = {
+            r["seq_in_shard"]: (r["n_chunks"], r["seq_tokens"], r["fill"])
+            for r in pack_summary(packed, context_len=10).collect()
+        }
+        assert summ == {0: (3, 13, 1.3), 1: (2, 9, 0.9)}
+
+        with pytest.raises(ValueError, match="context_len"):
+            pack_sequences(chunks, context_len=0)
