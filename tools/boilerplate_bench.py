@@ -1,0 +1,100 @@
+"""Scale evidence for line-level boilerplate dedup
+(`operators/dedup.py: boilerplate_lines / strip_boilerplate`).
+
+The worst case at corpus scale is a UNIVERSAL line (a license header in
+every file): its carrier count must not funnel O(corpus) rows into one
+reducer. The plan absorbs it map-side — per input partition, the
+(line_hash, doc) partial aggregate collapses the universal line to one
+row before the only exchange — so a skewed corpus should run at the
+same speed as an unskewed one. This bench measures exactly that
+differential: the same 8-line-per-doc corpus with and without a
+2-line header shared by EVERY document.
+
+Usage:  python tools/boilerplate_bench.py [--docs 1000000] [--cores 32]
+Prints one JSON line; paste into BENCH.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def corpus(spark, n_docs: int, universal_header: bool):
+    from pyspark.sql import functions as F
+
+    i = F.col("id")
+    body = [
+        # moderately-shared lines (1k carriers each) + unique lines
+        F.concat(F.lit("import common_"), (i % 1000).cast("string")),
+        F.concat(F.lit("from pkg_"), (i % 5000).cast("string"), F.lit(" import x")),
+        F.concat(F.lit("def handler_"), i.cast("string"), F.lit("(req):")),
+        F.concat(F.lit("    return process("), i.cast("string"), F.lit(")")),
+        F.lit(""),
+        F.concat(F.lit("# unique trailer "), F.md5(i.cast("string"))),
+    ]
+    header = (
+        [F.lit("// Copyright 2026 Example Corp"), F.lit("// SPDX: MIT")]
+        if universal_header
+        else [
+            F.concat(F.lit("// Copyright site_"), (i % 100_000).cast("string")),
+            F.concat(F.lit("// SPDX variant "), (i % 100_000).cast("string")),
+        ]
+    )
+    return spark.range(n_docs).select(
+        i.alias("doc_id"), F.concat_ws("\n", *(header + body)).alias("text")
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=1_000_000)
+    ap.add_argument("--cores", type=int, default=32)
+    ap.add_argument("--min-docs", type=int, default=100)
+    ap.add_argument("--runs", type=int, default=3)
+    args = ap.parse_args()
+
+    from datapact_spark.session import get_spark
+    from datapact_spark.operators.dedup import strip_boilerplate
+
+    spark = get_spark(
+        app_name="boilerplate-bench",
+        master=f"local[{args.cores}]",
+        shuffle_partitions=args.cores * 2,
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    out: dict = {
+        "metric": "strip_boilerplate docs/sec, universal-header skew differential",
+        "docs": args.docs,
+        "cores": args.cores,
+        "min_docs": args.min_docs,
+    }
+    for label, universal in (("skewed", True), ("unskewed", False)):
+        df = corpus(spark, args.docs, universal)
+        times = []
+        for _ in range(args.runs):
+            t0 = time.monotonic()
+            strip_boilerplate(df, min_docs=args.min_docs).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            times.append(time.monotonic() - t0)
+        best = min(times)
+        out[label] = {
+            "best_s": round(best, 2),
+            "all_s": [round(t, 2) for t in times],
+            "docs_per_s": round(args.docs / best),
+        }
+    out["skew_penalty"] = round(
+        out["skewed"]["best_s"] / out["unskewed"]["best_s"], 3
+    )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
