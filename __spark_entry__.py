@@ -376,6 +376,102 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_summary(packed, context_len=128).orderBy("shard", "seq_in_shard")
 
 
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep pipeline, every stage the engine's
+    own operator: strip boilerplate lines (min_docs=3) → redact PII →
+    exact dedup (min-id per normalized fingerprint) → deterministic
+    90/5/5 split → context-window chunking → sequence packing. Returns
+    one row per stage with the row count AND a commutative
+    sum-of-portable-id-hashes pin, so the oracle confirms not just how
+    many rows survived each stage but WHICH rows. STRICT oracle: every
+    stage is deterministic and engine-portable (md5 hashes, integer
+    arithmetic, regexp in the RE2 subset).
+
+    Production note: each stage here re-derives its prefix (fine at
+    oracle scale); a real run materializes stage boundaries to parquet
+    (see ``apply_dedup`` / the partitioned-verdict ledger patterns).
+    """
+    from datapact_spark.operators.dedup import strip_boilerplate
+    from datapact_spark.operators.sampling import (
+        deterministic_split,
+        portable_id_hash,
+    )
+    from datapact_spark.operators.textops import (
+        chunk_documents,
+        pack_sequences,
+        pack_summary,
+        redact_pii,
+    )
+
+    header = "// Copyright 2026 Example Corp\n// SPDX-License-Identifier: MIT"
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = spark.createDataFrame(
+        [
+            (9_200_001, f"{header}\nalpha body one"),
+            (9_200_002, f"{header}\nbeta body two\n\nmore beta"),
+            (9_200_003, f"{header}\ngamma body three"),
+            (9_200_004, header),  # fully boilerplate -> dropped at stage 2
+            (9_200_005, "alpha body one"),  # exact dup of 1's cleaned text
+            (9_200_006, "contact a@b.io now"),  # redaction-induced dup pair:
+            (9_200_007, "contact c@d.org now"),  # both become 'contact <EMAIL> now'
+        ],
+        "doc_id long, text string",
+    )
+    raw = docs.unionByName(injected)
+
+    cleaned = (
+        strip_boilerplate(raw, min_docs=3)
+        .where(F.col("cleaned_text") != "")
+        .select("doc_id", F.col("cleaned_text").alias("text"))
+    )
+    red = redact_pii(cleaned)
+    fp = red.withColumn(
+        "f", F.md5(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")))
+    )
+    keepers = fp.groupBy("f").agg(F.min("doc_id").alias("doc_id"))
+    deduped = fp.join(keepers, ["f", "doc_id"]).select("doc_id", "text")
+    train = deterministic_split(
+        deduped, {"train": 0.9, "val": 0.05, "test": 0.05}
+    ).where(F.col("split") == "train")
+    chunks = chunk_documents(train, max_tokens=40, overlap=8)
+    seqs = pack_summary(
+        pack_sequences(chunks, context_len=128, shards=4), context_len=128
+    )
+
+    def stage(name: str, df: DataFrame, key) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(portable_id_hash(key).cast("decimal(38,0)"))
+            .cast("string")
+            .alias("id_hash_sum"),
+        ).select(F.lit(name).alias("stage"), "n_rows", "id_hash_sum")
+
+    did = F.col("doc_id").cast("string")
+    return (
+        stage("1_raw", raw, did)
+        .unionByName(stage("2_cleaned", cleaned, did))
+        .unionByName(stage("3_deduped", deduped, did))
+        .unionByName(stage("4_train", train, did))
+        .unionByName(
+            stage(
+                "5_chunks",
+                chunks,
+                F.concat_ws(":", F.col("id").cast("string"), F.col("chunk_id")),
+            )
+        )
+        .unionByName(
+            stage(
+                "6_sequences",
+                seqs,
+                F.concat_ws(
+                    ":", F.col("shard").cast("string"), F.col("seq_in_shard")
+                ),
+            )
+        )
+        .orderBy("stage")
+    )
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive dedup clusters: the dedup_exact pair set (injected
     exact copies at doc_id+1e6 for doc_id%7==0) plus bridge edges
@@ -1786,6 +1882,7 @@ def extended_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_stats": q_code_stats,
         "strip_boilerplate": q_strip_boilerplate,
         "pack_sequences": q_pack_sequences,
+        "corpus_pipeline": q_corpus_pipeline,
     }
 
 
@@ -3121,6 +3218,121 @@ def _oracle_sql_all() -> dict[str, str]:
             FROM packed
             GROUP BY shard, seq_in_shard
             ORDER BY shard, seq_in_shard
+        """,
+        "corpus_pipeline": """
+            -- full prep pipeline: strip boilerplate -> redact PII ->
+            -- exact dedup -> 90/5/5 split -> chunk -> pack; each stage
+            -- pinned by count + commutative sum of 60-bit md5-prefix
+            -- id hashes (HUGEINT sum rendered as VARCHAR on both sides)
+            WITH raw AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT * FROM (VALUES
+                (9200001, '// Copyright 2026 Example Corp' || chr(10) ||
+                  '// SPDX-License-Identifier: MIT' || chr(10) || 'alpha body one'),
+                (9200002, '// Copyright 2026 Example Corp' || chr(10) ||
+                  '// SPDX-License-Identifier: MIT' || chr(10) || 'beta body two' ||
+                  chr(10) || chr(10) || 'more beta'),
+                (9200003, '// Copyright 2026 Example Corp' || chr(10) ||
+                  '// SPDX-License-Identifier: MIT' || chr(10) || 'gamma body three'),
+                (9200004, '// Copyright 2026 Example Corp' || chr(10) ||
+                  '// SPDX-License-Identifier: MIT'),
+                (9200005, 'alpha body one'),
+                (9200006, 'contact a@b.io now'),
+                (9200007, 'contact c@d.org now')
+              ) AS v(doc_id, text)),
+            lns AS (
+              SELECT doc_id, u.line AS line, u.idx AS idx
+              FROM (SELECT doc_id,
+                      unnest(list_transform(string_split(text, chr(10)),
+                        (s, i) -> {'line': s, 'idx': i})) AS u
+                    FROM raw)),
+            boiler AS (
+              SELECT line FROM lns WHERE trim(line) <> ''
+              GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 3),
+            kept AS (
+              SELECT l.doc_id, l.line, l.idx FROM lns l
+              ANTI JOIN boiler b ON l.line = b.line),
+            cleaned AS (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY idx) AS text
+              FROM kept GROUP BY doc_id
+              HAVING string_agg(line, chr(10) ORDER BY idx) <> ''),
+            red AS (
+              SELECT doc_id,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g'),
+                      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                      '<IPV4>', 'g'),
+                    'AKIA[0-9A-Z]{16}', '<AWS_KEY>', 'g'),
+                  '\\b[0-9a-f]{32,}\\b', '<HEX_SECRET>', 'g') AS text
+              FROM cleaned),
+            fp AS (
+              SELECT doc_id, text,
+                md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS f
+              FROM red),
+            keepers AS (SELECT f, MIN(doc_id) AS doc_id FROM fp GROUP BY f),
+            deduped AS (
+              SELECT k.doc_id, f2.text
+              FROM keepers k JOIN fp f2 ON f2.f = k.f AND f2.doc_id = k.doc_id),
+            train AS (
+              SELECT doc_id, text FROM deduped
+              WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'),
+                1, 15) AS BIGINT) % 1000000 < 900000),
+            tk AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+              FROM train),
+            st AS (
+              SELECT doc_id, toks,
+                     unnest(range(0, GREATEST(len(toks), 1), 32)) AS s
+              FROM tk),
+            chunks AS (
+              SELECT doc_id AS id, CAST(s // 32 AS INT) AS chunk_id,
+                     CAST(len(toks[s + 1 : s + 40]) AS INT) AS chunk_tokens
+              FROM st),
+            sharded AS (
+              SELECT *, CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15)
+                AS BIGINT) % 4 AS shard
+              FROM chunks),
+            packed AS (
+              SELECT shard,
+                (CAST(SUM(chunk_tokens) OVER (PARTITION BY shard
+                   ORDER BY id, chunk_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 - chunk_tokens) // 128 AS seq_in_shard
+              FROM sharded),
+            seqs AS (
+              SELECT shard, seq_in_shard FROM packed
+              GROUP BY shard, seq_in_shard)
+            SELECT '1_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(SUM(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                AS BIGINT)) AS VARCHAR) AS id_hash_sum FROM raw
+            UNION ALL
+            SELECT '2_cleaned', CAST(COUNT(*) AS BIGINT),
+              CAST(SUM(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                AS BIGINT)) AS VARCHAR) FROM cleaned
+            UNION ALL
+            SELECT '3_deduped', CAST(COUNT(*) AS BIGINT),
+              CAST(SUM(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                AS BIGINT)) AS VARCHAR) FROM deduped
+            UNION ALL
+            SELECT '4_train', CAST(COUNT(*) AS BIGINT),
+              CAST(SUM(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                AS BIGINT)) AS VARCHAR) FROM train
+            UNION ALL
+            SELECT '5_chunks', CAST(COUNT(*) AS BIGINT),
+              CAST(SUM(CAST('0x' || substr(md5(CAST(id AS VARCHAR) || ':' ||
+                CAST(chunk_id AS VARCHAR)), 1, 15) AS BIGINT)) AS VARCHAR)
+              FROM chunks
+            UNION ALL
+            SELECT '6_sequences', CAST(COUNT(*) AS BIGINT),
+              CAST(SUM(CAST('0x' || substr(md5(CAST(shard AS VARCHAR) || ':' ||
+                CAST(seq_in_shard AS VARCHAR)), 1, 15) AS BIGINT)) AS VARCHAR)
+              FROM seqs
+            ORDER BY stage
         """,
     }
 
