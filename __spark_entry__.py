@@ -424,7 +424,12 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cleaned_text") != "")
         .select("doc_id", F.col("cleaned_text").alias("text"))
     )
-    red = redact_pii(cleaned)
+    # materialize the expensive stage boundary once — the six stage
+    # aggregates below otherwise re-derive the strip for every branch,
+    # and a lazy persist would be raced by the sibling branches of the
+    # union, so force it eagerly
+    red = redact_pii(cleaned).persist()
+    red.count()
     fp = red.withColumn(
         "f", F.md5(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")))
     )
@@ -433,7 +438,8 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = deterministic_split(
         deduped, {"train": 0.9, "val": 0.05, "test": 0.05}
     ).where(F.col("split") == "train")
-    chunks = chunk_documents(train, max_tokens=40, overlap=8)
+    chunks = chunk_documents(train, max_tokens=40, overlap=8).persist()
+    chunks.count()
     seqs = pack_summary(
         pack_sequences(chunks, context_len=128, shards=4), context_len=128
     )
@@ -449,7 +455,9 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     did = F.col("doc_id").cast("string")
     return (
         stage("1_raw", raw, did)
-        .unionByName(stage("2_cleaned", cleaned, did))
+        # redaction never drops rows, so the cleaned-stage count/hash
+        # can read the cached post-redaction relation
+        .unionByName(stage("2_cleaned", red, did))
         .unionByName(stage("3_deduped", deduped, did))
         .unionByName(stage("4_train", train, did))
         .unionByName(
@@ -1781,17 +1789,25 @@ def q_range_join_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Retired from the ACTIVE driver board (the driver verifies at most 50
 # entries per round; r4 showed entries past #50 are silently dropped).
-# These four are redundant with still-active entries — doc_fingerprint's
+# All are redundant with still-active entries — doc_fingerprint's
 # md5 content fingerprint is exercised by dedup_exact, quality_score's
-# ratio projections by text_token_stats, and the owner/priority
-# breakdowns are the same A9 rollup shape as the active domain_breakdown
-# — but they remain fully oracle-checked in-repo: queries_all() feeds
+# ratio projections by text_token_stats, the owner/priority breakdowns
+# are the same A9 rollup shape as the active domain_breakdown,
+# status_labels' CASE projection is exercised by genie_current_status,
+# dense_rank_recency's window ranking by latest_per_task, and
+# interval_overlap's theta join by range_join_validity — but they
+# remain fully oracle-checked in-repo: queries_all() feeds
 # tests/test_oracle_parity.py, which sweeps ACTIVE + RETIRED every run.
+# NONE of their backing operators changed in r5, so their last driver
+# rows are not stale.
 RETIRED_QUERY_KEYS = (
     "doc_fingerprint",
     "quality_score",
     "owner_breakdown",
     "priority_breakdown",
+    "status_labels",
+    "dense_rank_recency",
+    "interval_overlap",
 )
 
 
@@ -1818,10 +1834,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_per_task": q_latest_per_task,
         "top_failing": q_top_failing,
         "filtered_validation": q_filtered_validation,
-        "interval_overlap": q_interval_overlap,
-        "dense_rank_recency": q_dense_rank_recency,
+        "pii_scan": q_pii_scan,
+        "strip_boilerplate": q_strip_boilerplate,
         "percentile_runtimes": q_percentile_runtimes,
-        "status_labels": q_status_labels,
+        "corpus_pipeline": q_corpus_pipeline,
         "dataset_fingerprint": q_dataset_fingerprint,
         "simhash_pairs": q_simhash_pairs,
         "lsh_topk": q_lsh_topk,
@@ -1862,6 +1878,9 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "owner_breakdown": q_owner_breakdown,
         "priority_breakdown": q_priority_breakdown,
+        "status_labels": q_status_labels,
+        "dense_rank_recency": q_dense_rank_recency,
+        "interval_overlap": q_interval_overlap,
     }
     assert set(retired) == set(RETIRED_QUERY_KEYS)
     return retired
@@ -1878,11 +1897,8 @@ def extended_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": q_contamination_check,
         "chunk_documents": q_chunk_documents,
         "dup_clusters": q_dup_clusters,
-        "pii_scan": q_pii_scan,
         "code_stats": q_code_stats,
-        "strip_boilerplate": q_strip_boilerplate,
         "pack_sequences": q_pack_sequences,
-        "corpus_pipeline": q_corpus_pipeline,
     }
 
 
