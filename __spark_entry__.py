@@ -326,6 +326,31 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(docs).withColumnRenamed("id", "doc_id")
 
 
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 distinguishing terms by a TF-IDF-style score
+    ``(tf / doc_freq) * n_docs``. STRICT oracle: counts are exact and
+    the score is one IEEE division then one multiplication in a fixed
+    order (no ``ln()``, which diverges by 1 ulp across libm builds) —
+    DuckDB recomputes it bitwise from the same tokenization. Ties break
+    on term asc, so the top-3 cut is deterministic. In-repo (extended)
+    board entry — the driver cap holds the active board at 50."""
+    from datapact_spark.operators.textops import tfidf_terms
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_terms(docs, top_n=3)
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head (top-100 terms by occurrence count, with
+    document frequencies) — the seed table a BPE/WordPiece tokenizer
+    trainer consumes. STRICT oracle: exact counts, deterministic
+    boundary (ties break on term asc). In-repo (extended) entry."""
+    from datapact_spark.operators.textops import vocab_topk
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return vocab_topk(docs, k=100)
+
+
 def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: char-20-gram overlap of every
     training doc against a synthetic eval set (120-char excerpts of
@@ -1899,6 +1924,8 @@ def extended_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": q_dup_clusters,
         "code_stats": q_code_stats,
         "pack_sequences": q_pack_sequences,
+        "tfidf_terms": q_tfidf_terms,
+        "vocab_topk": q_vocab_topk,
     }
 
 
@@ -2936,6 +2963,56 @@ def _oracle_sql_all() -> dict[str, str]:
                             CAST(0 AS DOUBLE)) AS top_bigram_frac
             FROM us LEFT JOIN bs USING (doc_id)
             ORDER BY doc_id
+        """,
+        "tfidf_terms": """
+            -- TF-IDF-style top terms recomputed from the same
+            -- tokenization; score = (tf/doc_freq)*n_docs — one IEEE
+            -- division then one multiplication, fixed order, no ln()
+            WITH tk AS (
+              SELECT doc_id, term FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(trim(text)),
+                                                 '\\s+')) AS term
+                FROM documents)
+              WHERE term <> ''),
+            tf AS (
+              SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM tk GROUP BY doc_id, term),
+            dfreq AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS doc_freq
+              FROM tf GROUP BY term),
+            nd AS (
+              SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+              FROM tf),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf, dfreq.doc_freq,
+                     (CAST(tf.tf AS DOUBLE) / dfreq.doc_freq) * nd.n_docs
+                       AS score
+              FROM tf JOIN dfreq USING (term) CROSS JOIN nd),
+            r AS (
+              SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY score DESC, term ASC) AS term_rank
+              FROM scored)
+            SELECT doc_id, term, tf, doc_freq, score,
+                   CAST(term_rank AS INT) AS term_rank
+            FROM r WHERE term_rank <= 3
+            ORDER BY doc_id, term_rank
+        """,
+        "vocab_topk": """
+            -- corpus vocabulary head: exact counts, deterministic
+            -- boundary (freq DESC, term ASC)
+            WITH tk AS (
+              SELECT doc_id, term FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(trim(text)),
+                                                 '\\s+')) AS term
+                FROM documents)
+              WHERE term <> '')
+            SELECT term, CAST(count(*) AS BIGINT) AS freq,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+            FROM tk GROUP BY term
+            ORDER BY freq DESC, term ASC LIMIT 100
         """,
         "quota_sample": f"""
             -- expectation-based token-budget quota: fraction = one

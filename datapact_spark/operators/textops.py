@@ -365,3 +365,98 @@ def pack_summary(
             "fill", F.col("seq_tokens") / F.lit(float(context_len))
         )
     )
+
+
+def _regex_terms(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Lower-cased whitespace terms, one row per occurrence —
+    the shared tokenization of the corpus-statistics operators
+    (identical to ``repetition_stats``'s so their outputs compose)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    ).where(F.col("term") != "")
+
+
+def tfidf_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 3,
+) -> DataFrame:
+    """Per-document top-``top_n`` distinguishing terms by a TF-IDF-style
+    score, ``(tf / doc_freq) * n_docs`` — rarer-in-corpus terms score
+    higher. The score deliberately avoids ``ln()`` (not bitwise
+    portable across engines): one IEEE division then one
+    multiplication, evaluated in exactly that order, reproduces
+    bit-for-bit in any IEEE-754 engine. Ties break on ``term`` asc.
+
+    Scale shape: one (doc, term) groupBy with map-side combine is the
+    only big shuffle. The tf aggregate is MATERIALIZED once
+    (persist + eager count): Catalyst rewrites the doc-frequency and
+    ``n_docs`` branches as distinct-aggregates (dropping the count
+    column), so their exchanges stop being canonically equal to tf's
+    and exchange reuse never fires — without the persist each branch
+    re-scans and re-tokenizes the corpus (measured: 3 scans). A
+    window-by-term would avoid the join but pins every carrier row of
+    a universal term ("the") on one reducer — the same skew cliff the
+    carrier-count dedup fix removed — so the broadcast join on the
+    (vocabulary-sized, sublinear) doc-freq relation is the scale-safe
+    shape. The final window partitions per doc_id, bounded by a single
+    document's vocabulary. The cached tf relation (aggregated, far
+    smaller than the token stream) stays pinned for the session;
+    callers running many corpora can ``spark.catalog.clearCache()``.
+    """
+    toks = _regex_terms(df, text_col, id_col)
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    tf.count()
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = tf.agg(F.count_distinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            (F.col("tf").cast("double") / F.col("doc_freq"))
+            * F.col("n_docs"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .where(F.col("term_rank") <= top_n)
+        .select("doc_id", "term", "tf", "doc_freq", "score", "term_rank")
+    )
+
+
+def vocab_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 100,
+) -> DataFrame:
+    """Corpus vocabulary head: the ``k`` most frequent terms with
+    occurrence and document frequencies — the seed table a tokenizer
+    trainer (BPE/WordPiece) consumes. Deterministic: ties at the
+    ``k`` boundary break on ``term`` asc.
+
+    Scale shape: term groupBy with map-side partials (count +
+    count_distinct both partial-aggregate), then ``TakeOrderedAndProject``
+    keeps only ``k`` rows per partition before the driver merge — no
+    global sort materializes.
+    """
+    toks = _regex_terms(df, text_col, id_col)
+    counts = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.count_distinct("doc_id").alias("doc_freq"),
+    )
+    return counts.orderBy(F.desc("freq"), F.asc("term")).limit(k)
