@@ -351,6 +351,143 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_topk(docs, k=100)
 
 
+_CODE_EXTS = ["py", "java", "go", "rs", "cpp", "js", "sql", "scala"]
+_CODE_LICS = ["MIT", "Apache-2.0", "GPL-3.0"]
+_CODE_PY_M1 = ["os", "sys", "json"]
+_CODE_PY_M2 = ["numpy", "collections", "itertools", "re"]
+
+
+def _code_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive a (repo, path, commit, lang, content) code table — the
+    north-star input shape — deterministically from ``documents`` so a
+    DuckDB oracle can rebuild the identical relation. Injections (all
+    on doc_id residues, mutually composable): vendored paths (%13),
+    generated banners (%17), SPDX/keyword license headers (%7 / %11),
+    per-lang import statements (%5), normalized-clone bodies (%19),
+    and path↔lang mismatches (%101)."""
+    d = F.col("doc_id")
+    ext = F.element_at(
+        F.array(*[F.lit(e) for e in _CODE_EXTS]), (d % 8).cast("int") + 1
+    )
+    lang = F.when(
+        d % 101 == 0, F.when(ext == "py", F.lit("go")).otherwise(F.lit("py"))
+    ).otherwise(ext)
+    lic = F.when(
+        d % 7 == 0,
+        F.concat(
+            F.lit("// SPDX-License-Identifier: "),
+            F.element_at(
+                F.array(*[F.lit(x) for x in _CODE_LICS]), (d % 3).cast("int") + 1
+            ),
+            F.lit("\n"),
+        ),
+    ).when(d % 11 == 0, F.lit("// MIT License\n")).otherwise(F.lit(""))
+    gen = F.when(d % 17 == 0, F.lit("// @generated DO NOT EDIT\n")).otherwise(
+        F.lit("")
+    )
+    m1 = F.element_at(
+        F.array(*[F.lit(x) for x in _CODE_PY_M1]), (d % 3).cast("int") + 1
+    )
+    m2 = F.element_at(
+        F.array(*[F.lit(x) for x in _CODE_PY_M2]), (d % 4).cast("int") + 1
+    )
+    imports = F.when(
+        d % 5 == 0,
+        F.when(ext == "py", F.concat(F.lit("import "), m1, F.lit("\nfrom "), m2, F.lit(" import thing\n")))
+        .when(ext == "java", F.concat(F.lit("import java.util.List;\nimport com.example."), m1, F.lit(";\n")))
+        .when(ext == "cpp", F.lit('#include <vector>\n#include "local.h"\n'))
+        .when(ext == "js", F.lit('const x = require("lodash");\n'))
+        .when(ext == "rs", F.lit("use serde;\nuse std::io;\n"))
+        .otherwise(F.lit("")),
+    ).otherwise(F.lit(""))
+    content = F.when(
+        d % 19 == 0,
+        F.concat(
+            F.lit("def clone():   /* v"),
+            d.cast("string"),
+            F.lit(" */  return 42"),
+            F.when(d % 2 == 0, F.lit("\n")).otherwise(F.lit("  \n")),
+        ),
+    ).otherwise(F.concat(lic, gen, imports, F.col("text")))
+    path = F.concat(
+        F.when(d % 13 == 0, F.lit("vendor/")).otherwise(F.lit("")),
+        F.lit("src/"),
+        d.cast("string"),
+        F.lit("."),
+        ext,
+    )
+    return _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("repo_"), (d % 37).cast("string")).alias("repo"),
+        path.alias("path"),
+        F.md5(F.concat(F.lit("c"), d.cast("string"))).alias("commit"),
+        lang.alias("lang"),
+        content.alias("content"),
+    )
+
+
+def q_repo_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vendored/generated-file detection + per-repo hygiene rollup over
+    the derived code table (The Stack's path/marker filters). Map-only
+    flags, groupBy(repo) with O(1) group state — partial aggregation
+    absorbs mega-repo skew. STRICT oracle: LIKE-marker parity, integer
+    counts, single-IEEE-division fractions. In-repo (extended) entry."""
+    from datapact_spark.operators.codeops import code_hygiene, repo_hygiene_rollup
+
+    return repo_hygiene_rollup(code_hygiene(_code_table(spark, sf_dir))).orderBy(
+        "repo"
+    )
+
+
+def q_license_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-repo license summary (SPDX tag extraction + header-keyword
+    fallback → dominant license, conflict flag). Content never
+    shuffles — only (repo, license) partials. STRICT oracle: the SPDX
+    regex is RE2-compatible and max(struct(n, license)) equals
+    ORDER BY n DESC, license DESC LIMIT 1. In-repo (extended) entry."""
+    from datapact_spark.operators.codeops import license_rollup
+
+    return license_rollup(_code_table(spark, sf_dir)).orderBy("repo")
+
+
+def q_import_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level dependency ranking: per-lang regexp import
+    extraction (chained CASE of regexp_extract_all — map-only) →
+    explode → compact (lang, module) counts → top-10 window over the
+    aggregated relation. STRICT oracle: every pattern verified
+    bitwise-identical between Java regex and DuckDB RE2. In-repo
+    (extended) entry."""
+    from datapact_spark.operators.codeops import top_imports
+
+    return top_imports(_code_table(spark, sf_dir), k=10).orderBy("lang", "rank")
+
+
+def q_code_clones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-1/2 clone detection: comment-stripped whitespace-normalized
+    content hashing → groupBy(norm_hash) duplicate groups with
+    cross-repo flags (never a self-join; shuffle carries only compact
+    keys). Injected clone bodies differ in comments/whitespace only and
+    must collapse to one group. STRICT oracle: DuckDB reproduces the
+    normalization with regexp_replace(..., 'g'). In-repo (extended)
+    entry."""
+    from datapact_spark.operators.codeops import clone_groups
+
+    return clone_groups(_code_table(spark, sf_dir), min_files=2).orderBy(
+        "norm_hash"
+    )
+
+
+def q_ext_lang_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-constraint validation on the code table itself: path
+    extension must agree with the lang column (stats → verdict row per
+    lang, the engine's check shape). The %101 injection guarantees
+    mismatches; tolerance 0 fails those langs. STRICT oracle: CASE
+    mapping + integer counts + one IEEE division. In-repo (extended)
+    entry."""
+    from datapact_spark.operators.codeops import ext_lang_check
+
+    return ext_lang_check(_code_table(spark, sf_dir), tolerance=0.0).orderBy("lang")
+
+
 def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: char-20-gram overlap of every
     training doc against a synthetic eval set (120-char excerpts of
@@ -1926,6 +2063,11 @@ def extended_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "tfidf_terms": q_tfidf_terms,
         "vocab_topk": q_vocab_topk,
+        "repo_hygiene": q_repo_hygiene,
+        "license_rollup": q_license_rollup,
+        "import_graph": q_import_graph,
+        "code_clones": q_code_clones,
+        "ext_lang_check": q_ext_lang_check,
     }
 
 
@@ -1936,6 +2078,57 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # ------------------------------------------------------------------ oracles
+# DuckDB twin of _code_table(): derives the (repo, path, commit, lang,
+# content) north-star code table from `documents`, byte-identical to the
+# Spark derivation (verified by the strict value-hash of every consumer).
+_CODE_TABLE_SQL = """
+            WITH base AS (
+              SELECT doc_id, text,
+                (['py','java','go','rs','cpp','js','sql','scala'])[CAST(doc_id % 8 AS INT) + 1] AS ext
+              FROM documents),
+            pieces AS (
+              SELECT doc_id, text, ext,
+                CASE WHEN doc_id % 7 = 0 THEN '// SPDX-License-Identifier: ' ||
+                       (['MIT','Apache-2.0','GPL-3.0'])[CAST(doc_id % 3 AS INT) + 1] || chr(10)
+                     WHEN doc_id % 11 = 0 THEN '// MIT License' || chr(10)
+                     ELSE '' END AS lic,
+                CASE WHEN doc_id % 17 = 0 THEN '// @generated DO NOT EDIT' || chr(10)
+                     ELSE '' END AS gen,
+                CASE WHEN doc_id % 5 = 0 THEN
+                  CASE ext
+                    WHEN 'py' THEN 'import ' ||
+                      (['os','sys','json'])[CAST(doc_id % 3 AS INT) + 1] || chr(10) ||
+                      'from ' ||
+                      (['numpy','collections','itertools','re'])[CAST(doc_id % 4 AS INT) + 1] ||
+                      ' import thing' || chr(10)
+                    WHEN 'java' THEN 'import java.util.List;' || chr(10) ||
+                      'import com.example.' ||
+                      (['os','sys','json'])[CAST(doc_id % 3 AS INT) + 1] || ';' || chr(10)
+                    WHEN 'cpp' THEN '#include <vector>' || chr(10) ||
+                      '#include "local.h"' || chr(10)
+                    WHEN 'js' THEN 'const x = require("lodash");' || chr(10)
+                    WHEN 'rs' THEN 'use serde;' || chr(10) || 'use std::io;' || chr(10)
+                    ELSE '' END
+                  ELSE '' END AS imp
+              FROM base),
+            code AS (
+              SELECT
+                'repo_' || CAST(doc_id % 37 AS VARCHAR) AS repo,
+                (CASE WHEN doc_id % 13 = 0 THEN 'vendor/' ELSE '' END)
+                  || 'src/' || CAST(doc_id AS VARCHAR) || '.' || ext AS path,
+                md5('c' || CAST(doc_id AS VARCHAR)) AS "commit",
+                CASE WHEN doc_id % 101 = 0
+                     THEN CASE WHEN ext = 'py' THEN 'go' ELSE 'py' END
+                     ELSE ext END AS lang,
+                CASE WHEN doc_id % 19 = 0
+                     THEN 'def clone():   /* v' || CAST(doc_id AS VARCHAR) ||
+                          ' */  return 42' ||
+                          CASE WHEN doc_id % 2 = 0 THEN chr(10)
+                               ELSE '  ' || chr(10) END
+                     ELSE lic || gen || imp || text END AS content
+              FROM pieces)"""
+
+
 def _oracle_sql_all() -> dict[str, str]:
     lang_markers = {
         "en": ["the", "and", "of", "is", "a"],
@@ -3426,6 +3619,126 @@ def _oracle_sql_all() -> dict[str, str]:
                 CAST(seq_in_shard AS VARCHAR)), 1, 15) AS BIGINT)) AS VARCHAR)
               FROM seqs
             ORDER BY stage
+        """,
+        "repo_hygiene": _CODE_TABLE_SQL + """,
+            flags AS (
+              SELECT repo,
+                (path LIKE '%node_modules/%' OR path LIKE '%vendor/%'
+                  OR path LIKE '%third_party/%' OR path LIKE '%dist/%'
+                  OR path LIKE '%.min.%') AS is_vendored,
+                (substr(content, 1, 400) LIKE '%DO NOT EDIT%'
+                  OR substr(content, 1, 400) LIKE '%@generated%'
+                  OR substr(content, 1, 400) LIKE '%Code generated by%'
+                  OR substr(content, 1, 400) LIKE '%Autogenerated%') AS is_generated
+              FROM code)
+            SELECT repo,
+              CAST(COUNT(*) AS BIGINT) AS n_files,
+              CAST(SUM(CASE WHEN is_vendored THEN 1 ELSE 0 END) AS BIGINT) AS n_vendored,
+              CAST(SUM(CASE WHEN is_generated THEN 1 ELSE 0 END) AS BIGINT) AS n_generated,
+              CAST(SUM(CASE WHEN NOT is_vendored AND NOT is_generated THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+              CAST(SUM(CASE WHEN is_vendored THEN 1 ELSE 0 END) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE) AS vendored_frac,
+              CAST(SUM(CASE WHEN NOT is_vendored AND NOT is_generated THEN 1 ELSE 0 END) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE) AS keep_frac
+            FROM flags GROUP BY repo ORDER BY repo
+        """,
+        "license_rollup": _CODE_TABLE_SQL + """,
+            lic_file AS (
+              SELECT repo,
+                CASE WHEN coalesce(regexp_extract(substr(content, 1, 1000),
+                       'SPDX-License-Identifier: ([A-Za-z0-9.+-]+)', 1), '') <> ''
+                       THEN regexp_extract(substr(content, 1, 1000),
+                         'SPDX-License-Identifier: ([A-Za-z0-9.+-]+)', 1)
+                     WHEN substr(content, 1, 1000) LIKE '%GNU General Public License%' THEN 'GPL'
+                     WHEN substr(content, 1, 1000) LIKE '%Apache License%' THEN 'Apache'
+                     WHEN substr(content, 1, 1000) LIKE '%MIT License%' THEN 'MIT'
+                     WHEN substr(content, 1, 1000) LIKE '%BSD License%' THEN 'BSD'
+                     WHEN substr(content, 1, 1000) LIKE '%Mozilla Public License%' THEN 'MPL'
+                     ELSE NULL END AS license
+              FROM code),
+            per_lic AS (
+              SELECT repo, license, CAST(COUNT(*) AS BIGINT) AS n
+              FROM lic_file WHERE license IS NOT NULL GROUP BY repo, license),
+            ranked AS (
+              SELECT repo, license, n,
+                row_number() OVER (PARTITION BY repo ORDER BY n DESC, license DESC) AS rn
+              FROM per_lic),
+            agg AS (
+              SELECT repo, CAST(SUM(n) AS BIGINT) AS n_licensed_files,
+                CAST(COUNT(*) AS BIGINT) AS n_distinct_licenses
+              FROM per_lic GROUP BY repo)
+            SELECT a.repo, a.n_licensed_files, a.n_distinct_licenses,
+              r.license AS dominant_license,
+              a.n_distinct_licenses > 1 AS license_conflict
+            FROM agg a JOIN ranked r ON a.repo = r.repo AND r.rn = 1
+            ORDER BY a.repo
+        """,
+        "import_graph": _CODE_TABLE_SQL + """,
+            imps AS (
+              SELECT lang,
+                CASE lang
+                  WHEN 'py' THEN regexp_extract_all(content,
+                    '(?m)^[ \t]*(?:from|import)[ \t]+([A-Za-z_][A-Za-z0-9_]*)', 1)
+                  WHEN 'go' THEN regexp_extract_all(content,
+                    '(?m)^[ \t]*import[ \t]+"([A-Za-z0-9_/.-]+)"', 1)
+                  WHEN 'java' THEN regexp_extract_all(content,
+                    '(?m)^[ \t]*import[ \t]+(?:static[ \t]+)?([A-Za-z_][A-Za-z0-9_.]*)', 1)
+                  WHEN 'scala' THEN regexp_extract_all(content,
+                    '(?m)^[ \t]*import[ \t]+([A-Za-z_][A-Za-z0-9_.]*)', 1)
+                  WHEN 'js' THEN regexp_extract_all(content,
+                    '(?:require\\(|from[ \t]+)[''"]([A-Za-z0-9_@/.-]+)[''"]', 1)
+                  WHEN 'rs' THEN regexp_extract_all(content,
+                    '(?m)^[ \t]*use[ \t]+([A-Za-z_][A-Za-z0-9_]*)', 1)
+                  WHEN 'cpp' THEN regexp_extract_all(content,
+                    '(?m)^[ \t]*#include[ \t]*[<"]([A-Za-z0-9_/.]+)[>"]', 1)
+                  ELSE [] END AS ms
+              FROM code),
+            mods AS (SELECT lang, unnest(ms) AS module FROM imps),
+            counts AS (
+              SELECT lang, module, CAST(COUNT(*) AS BIGINT) AS n_files
+              FROM mods GROUP BY lang, module)
+            SELECT lang, module, n_files, "rank" FROM (
+              SELECT *, CAST(row_number() OVER (
+                PARTITION BY lang ORDER BY n_files DESC, module ASC) AS INT) AS "rank"
+              FROM counts)
+            WHERE "rank" <= 10 ORDER BY lang, "rank"
+        """,
+        "code_clones": _CODE_TABLE_SQL + """,
+            normed AS (
+              SELECT md5(trim(regexp_replace(regexp_replace(regexp_replace(content,
+                  '(?s)/\\*.*?\\*/', ' ', 'g'),
+                  '(?m)(//|#)[^\n]*', ' ', 'g'),
+                  '[ \t\r\n]+', ' ', 'g'))) AS norm_hash,
+                repo, path
+              FROM code)
+            SELECT norm_hash,
+              CAST(COUNT(*) AS BIGINT) AS n_files,
+              CAST(COUNT(DISTINCT repo) AS BIGINT) AS n_repos,
+              COUNT(DISTINCT repo) > 1 AS cross_repo,
+              MIN(repo || '/' || path) AS exemplar
+            FROM normed GROUP BY norm_hash
+            HAVING COUNT(*) >= 2 ORDER BY norm_hash
+        """,
+        "ext_lang_check": _CODE_TABLE_SQL + """,
+            checked AS (
+              SELECT lang,
+                CASE lower(coalesce(regexp_extract(path, '\\.([A-Za-z0-9]+)$', 1), ''))
+                  WHEN 'py' THEN 'py' WHEN 'java' THEN 'java'
+                  WHEN 'scala' THEN 'scala' WHEN 'go' THEN 'go'
+                  WHEN 'rs' THEN 'rs' WHEN 'cpp' THEN 'cpp'
+                  WHEN 'cc' THEN 'cpp' WHEN 'h' THEN 'cpp'
+                  WHEN 'js' THEN 'js' WHEN 'ts' THEN 'js'
+                  WHEN 'sql' THEN 'sql' ELSE NULL END AS expected
+              FROM code)
+            SELECT lang,
+              CAST(COUNT(*) AS BIGINT) AS n_files,
+              CAST(SUM(CASE WHEN expected IS NOT NULL AND expected <> lang THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+              CAST(SUM(CASE WHEN expected IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unknown_ext,
+              CAST(SUM(CASE WHEN expected IS NOT NULL AND expected <> lang THEN 1 ELSE 0 END) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE) AS mismatch_rate,
+              (CAST(SUM(CASE WHEN expected IS NOT NULL AND expected <> lang THEN 1 ELSE 0 END) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE)) <= 0.0 AS passed
+            FROM checked GROUP BY lang ORDER BY lang
         """,
     }
 

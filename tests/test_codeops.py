@@ -1,0 +1,183 @@
+"""Unit tests for the source-code corpus operators (operators/codeops.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datapact_spark.operators.codeops import (
+    clone_groups,
+    code_hygiene,
+    detect_license,
+    ext_lang_check,
+    extract_imports,
+    license_rollup,
+    normalize_code,
+    repo_hygiene_rollup,
+    top_imports,
+)
+
+
+@pytest.fixture(scope="module")
+def code_df(spark):
+    rows = [
+        # repo, path, commit, lang, content
+        ("r1", "src/a.py", "c1", "py",
+         "import os\nfrom collections import deque\nx = 1  # trailing\n"),
+        ("r1", "vendor/lib/b.py", "c2", "py", "import sys\n"),
+        ("r1", "src/c.js", "c3", "js",
+         'const a = require("lodash");\nimport b from "@scope/pkg";'),
+        ("r2", "src/d.java", "c4", "java",
+         "// @generated DO NOT EDIT\nimport java.util.List;\nimport static a.b.C;"),
+        ("r2", "src/e.cpp", "c5", "cpp",
+         '#include <stdio.h>\n#include "local.h"\nint main() { return 0; }'),
+        ("r2", "src/f.py", "c6", "go", "package-mismatch"),  # lang != ext
+        ("r3", "src/g.rs", "c7", "rs", "use serde;\nuse std::io;\nfn main() {}"),
+        ("r3", "build/dist/h.min.js", "c8", "js", "var x=1;"),
+        ("r3", "src/i.py", "c9", "py", None),  # null content
+    ]
+    return spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+
+
+def test_hygiene_flags(spark, code_df):
+    out = {r["path"]: r for r in code_hygiene(code_df).collect()}
+    assert out["vendor/lib/b.py"]["is_vendored"]
+    assert out["build/dist/h.min.js"]["is_vendored"]
+    assert not out["src/a.py"]["is_vendored"]
+    assert out["src/d.java"]["is_generated"]
+    assert not out["src/e.cpp"]["is_generated"]
+    assert out["src/a.py"]["hygiene_keep"]
+    assert not out["src/d.java"]["hygiene_keep"]
+    # null content: generated flag is NULL, keep is NULL (not claimed kept)
+    assert out["src/i.py"]["is_generated"] is None
+    assert out["src/i.py"]["hygiene_keep"] is None
+
+
+def test_repo_hygiene_rollup_counts(spark, code_df):
+    out = {r["repo"]: r for r in
+           repo_hygiene_rollup(code_hygiene(code_df)).collect()}
+    assert out["r1"]["n_files"] == 3
+    assert out["r1"]["n_vendored"] == 1
+    assert out["r2"]["n_generated"] == 1
+    assert out["r3"]["n_files"] == 3
+    # the null-content row counts toward n_files but not n_keep
+    assert out["r3"]["n_keep"] == 1
+    assert out["r1"]["vendored_frac"] == pytest.approx(1 / 3)
+
+
+def test_license_detection_priority(spark):
+    rows = [
+        (1, "// SPDX-License-Identifier: Apache-2.0\nMIT License mentioned too"),
+        (2, "preamble\nMIT License\nbody"),
+        (3, "This is under the GNU General Public License and MIT License"),
+        (4, "no license at all"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id int, content string")
+    out = {r["id"]: r["lic"] for r in
+           df.select("id", detect_license("content").alias("lic")).collect()}
+    assert out[1] == "Apache-2.0"  # SPDX tag beats keywords
+    assert out[2] == "MIT"
+    assert out[3] == "GPL"  # keyword priority order
+    assert out[4] is None
+    assert out[5] is None
+
+
+def test_license_rollup_dominant_and_conflict(spark):
+    rows = [
+        ("r1", "a", "MIT License"),
+        ("r1", "b", "MIT License"),
+        ("r1", "c", "Apache License"),
+        ("r2", "d", "BSD License"),
+        ("r3", "e", "nothing"),
+    ]
+    df = spark.createDataFrame(rows, "repo string, path string, content string")
+    out = {r["repo"]: r for r in license_rollup(df).collect()}
+    assert out["r1"]["dominant_license"] == "MIT"
+    assert out["r1"]["license_conflict"]
+    assert out["r1"]["n_licensed_files"] == 3
+    assert out["r2"]["dominant_license"] == "BSD"
+    assert not out["r2"]["license_conflict"]
+    assert "r3" not in out  # no licensed files -> no row
+
+
+def test_extract_imports_per_lang(spark, code_df):
+    out = {r["path"]: r["imports"] and list(r["imports"])
+           for r in extract_imports(code_df).collect()}
+    assert out["src/i.py"] is None  # NULL content -> NULL imports
+    assert out["src/a.py"] == ["os", "collections"]
+    assert out["src/c.js"] == ["lodash", "@scope/pkg"]
+    assert out["src/d.java"] == ["java.util.List", "a.b.C"]
+    assert out["src/e.cpp"] == ["stdio.h", "local.h"]
+    assert out["src/g.rs"] == ["serde", "std"]
+    # lang mismatch row dispatches on the lang COLUMN (go), finds nothing
+    assert out["src/f.py"] == []
+
+
+def test_top_imports_ranking_and_ties(spark):
+    rows = [
+        ("r", f"f{i}.py", "py", "import os\nimport sys\n") for i in range(3)
+    ] + [("r", "g.py", "py", "import os\n")]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, lang string, content string"
+    )
+    out = top_imports(df, k=2).collect()
+    assert [(r["module"], r["n_files"], r["rank"]) for r in out] == [
+        ("os", 4, 1), ("sys", 3, 2),
+    ]
+
+
+def test_normalize_code_invariance(spark):
+    variants = [
+        "def f(x):  return x  // tail comment",
+        "def f(x):\n\treturn x\n/* block\nspanning */",
+        "   def f(x): return x   # py comment",
+    ]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(variants)],
+                               "id int, content string")
+    out = df.select(normalize_code("content").alias("n")).distinct().collect()
+    assert len(out) == 1
+    assert out[0]["n"] == "def f(x): return x"
+
+
+def test_clone_groups_cross_repo(spark):
+    body = "int add(int a, int b) { return a + b; }"
+    rows = [
+        ("r1", "a.c", body + " // v1"),
+        ("r2", "b.c", "  " + body + "\n/* v2 */"),
+        ("r1", "c.c", "int sub(int a, int b) { return a - b; }"),
+    ]
+    df = spark.createDataFrame(rows, "repo string, path string, content string")
+    out = clone_groups(df, min_files=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_files"] == 2 and r["n_repos"] == 2 and r["cross_repo"]
+    assert r["exemplar"] == "r1/a.c"
+
+
+def test_clone_groups_plan_is_aggregate_no_join(spark, code_df):
+    plan = clone_groups(code_df)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    # count_distinct(repo) expands to the standard two-level aggregate:
+    # a (norm_hash, repo) dedup exchange, then the norm_hash exchange.
+    # Both carry only compact keys — content is hashed map-side.
+    assert plan.count("Exchange hashpartitioning") == 2
+    import re
+
+    assert re.search(r"hashpartitioning\(norm_hash#\d+, repo#\d+", plan)
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "content" not in line
+
+
+def test_ext_lang_check_verdicts(spark, code_df):
+    out = {r["lang"]: r for r in ext_lang_check(code_df).collect()}
+    # the go-labeled file with .py extension is the only mismatch
+    assert out["go"]["n_mismatched"] == 1
+    assert not out["go"]["passed"]
+    assert out["py"]["n_mismatched"] == 0
+    assert out["py"]["passed"]
+    # unknown extension (no dot suffix in map) counted, never mismatched
+    df = code_df.withColumn("path", F.lit("README"))
+    out2 = ext_lang_check(df).agg(F.sum("n_unknown_ext")).collect()[0][0]
+    assert out2 == 9
