@@ -344,7 +344,7 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary head (top-100 terms by occurrence count, with
     document frequencies) — the seed table a BPE/WordPiece tokenizer
     trainer consumes. STRICT oracle: exact counts, deterministic
-    boundary (ties break on term asc). In-repo (extended) entry."""
+    boundary (ties break on term asc). ACTIVE driver entry (late-r5 rotation)."""
     from datapact_spark.operators.textops import vocab_topk
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -430,7 +430,7 @@ def q_repo_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
     the derived code table (The Stack's path/marker filters). Map-only
     flags, groupBy(repo) with O(1) group state — partial aggregation
     absorbs mega-repo skew. STRICT oracle: LIKE-marker parity, integer
-    counts, single-IEEE-division fractions. In-repo (extended) entry."""
+    counts, single-IEEE-division fractions. ACTIVE driver entry (late-r5 rotation)."""
     from datapact_spark.operators.codeops import code_hygiene, repo_hygiene_rollup
 
     return repo_hygiene_rollup(code_hygiene(_code_table(spark, sf_dir))).orderBy(
@@ -443,7 +443,7 @@ def q_license_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fallback → dominant license, conflict flag). Content never
     shuffles — only (repo, license) partials. STRICT oracle: the SPDX
     regex is RE2-compatible and max(struct(n, license)) equals
-    ORDER BY n DESC, license DESC LIMIT 1. In-repo (extended) entry."""
+    ORDER BY n DESC, license DESC LIMIT 1. ACTIVE driver entry (late-r5 rotation)."""
     from datapact_spark.operators.codeops import license_rollup
 
     return license_rollup(_code_table(spark, sf_dir)).orderBy("repo")
@@ -467,8 +467,8 @@ def q_code_clones(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-repo flags (never a self-join; shuffle carries only compact
     keys). Injected clone bodies differ in comments/whitespace only and
     must collapse to one group. STRICT oracle: DuckDB reproduces the
-    normalization with regexp_replace(..., 'g'). In-repo (extended)
-    entry."""
+    normalization with regexp_replace(..., 'g'). ACTIVE driver entry
+    (late-r5 rotation)."""
     from datapact_spark.operators.codeops import clone_groups
 
     return clone_groups(_code_table(spark, sf_dir), min_files=2).orderBy(
@@ -481,8 +481,8 @@ def q_ext_lang_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     extension must agree with the lang column (stats → verdict row per
     lang, the engine's check shape). The %101 injection guarantees
     mismatches; tolerance 0 fails those langs. STRICT oracle: CASE
-    mapping + integer counts + one IEEE division. In-repo (extended)
-    entry."""
+    mapping + integer counts + one IEEE division. ACTIVE driver entry
+    (late-r5 rotation)."""
     from datapact_spark.operators.codeops import ext_lang_check
 
     return ext_lang_check(_code_table(spark, sf_dir), tolerance=0.0).orderBy("lang")
@@ -1962,6 +1962,18 @@ def q_range_join_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_oracle_parity.py, which sweeps ACTIVE + RETIRED every run.
 # NONE of their backing operators changed in r5, so their last driver
 # rows are not stale.
+#
+# Second rotation (late r5), making room for the five code-payload
+# queries (the north-star input is a source-code table):
+# multimodal_features is the stub-codec path (the real-codec siblings
+# multimodal_real_codec and multimodal_video stay active),
+# domain_breakdown / failure_rate_daily / payload_check_rollup are
+# aggregate.py rollup shapes with seven still-active siblings
+# (run_aggregation, latest_per_task, top_failing, percentile_runtimes,
+# genie_* ×3) giving that file fresh driver rows, and
+# tumbling_window_agg is entry-level batch window code whose streaming
+# family keeps three active rows (sessionization, streaming_sessions,
+# windowed_drift).
 RETIRED_QUERY_KEYS = (
     "doc_fingerprint",
     "quality_score",
@@ -1970,6 +1982,11 @@ RETIRED_QUERY_KEYS = (
     "status_labels",
     "dense_rank_recency",
     "interval_overlap",
+    "multimodal_features",
+    "domain_breakdown",
+    "failure_rate_daily",
+    "payload_check_rollup",
+    "tumbling_window_agg",
 )
 
 
@@ -1992,7 +2009,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": q_ann_bruteforce,
         "minhash_dedup": q_minhash_dedup,
         "run_aggregation": q_run_aggregation,
-        "domain_breakdown": q_domain_breakdown,
         "latest_per_task": q_latest_per_task,
         "top_failing": q_top_failing,
         "filtered_validation": q_filtered_validation,
@@ -2005,7 +2021,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "drift_psi_value": q_drift_psi_value,
-        "multimodal_features": q_multimodal_features,
         "multimodal_real_codec": q_multimodal_real_codec,
         "embedding_near_dups": q_embedding_near_dups,
         "sessionization": q_sessionization,
@@ -2017,17 +2032,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "categorical_drift": q_categorical_drift,
         "semi_join_scope": q_semi_join_scope,
-        "tumbling_window_agg": q_tumbling_window_agg,
         "genie_table_quality": q_genie_table_quality,
-        "payload_check_rollup": q_payload_check_rollup,
         "genie_issues": q_genie_issues,
         "genie_current_status": q_genie_current_status,
         "range_join_validity": q_range_join_validity,
-        "failure_rate_daily": q_failure_rate_daily,
         "ngram_jaccard": q_ngram_jaccard,
         "drift_psi_terms": q_drift_psi_terms,
         "quantile_drift": q_quantile_drift,
         "tdigest_quantiles": q_tdigest_quantiles,
+        "repo_hygiene": q_repo_hygiene,
+        "license_rollup": q_license_rollup,
+        "import_graph": q_import_graph,
+        "code_clones": q_code_clones,
+        "ext_lang_check": q_ext_lang_check,
     }
 
 
@@ -2043,6 +2060,11 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "status_labels": q_status_labels,
         "dense_rank_recency": q_dense_rank_recency,
         "interval_overlap": q_interval_overlap,
+        "multimodal_features": q_multimodal_features,
+        "domain_breakdown": q_domain_breakdown,
+        "failure_rate_daily": q_failure_rate_daily,
+        "payload_check_rollup": q_payload_check_rollup,
+        "tumbling_window_agg": q_tumbling_window_agg,
     }
     assert set(retired) == set(RETIRED_QUERY_KEYS)
     return retired
@@ -2063,11 +2085,6 @@ def extended_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "tfidf_terms": q_tfidf_terms,
         "vocab_topk": q_vocab_topk,
-        "repo_hygiene": q_repo_hygiene,
-        "license_rollup": q_license_rollup,
-        "import_graph": q_import_graph,
-        "code_clones": q_code_clones,
-        "ext_lang_check": q_ext_lang_check,
     }
 
 
