@@ -488,6 +488,73 @@ def q_ext_lang_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ext_lang_check(_code_table(spark, sf_dir), tolerance=0.0).orderBy("lang")
 
 
+def q_code_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end CODE corpus prep over the north-star table, every
+    stage the engine's own operator: drop vendored/generated files
+    (hygiene) → drop GPL-licensed files (license gate, unknown license
+    kept) → type-1/2 clone dedup (min-path keeper per normalized hash)
+    → StarCoder-style quality gate (``code_stats`` on content). One row
+    per stage with the row count AND a commutative
+    sum-of-portable-path-hashes pin, so the oracle confirms WHICH files
+    survived, not just how many. STRICT oracle: every stage is
+    md5/regex/integer arithmetic in the RE2-portable subset.
+
+    Scale shape: stages 1-2 and 4 are map-only filters; the clone
+    dedup shuffles only (norm_hash, path) compact keys (groupBy min +
+    key join, never a self-join). In-repo (extended registry) entry.
+    """
+    from datapact_spark.operators.codeops import (
+        code_hygiene,
+        detect_license,
+        normalize_code,
+    )
+    from datapact_spark.operators.sampling import portable_id_hash
+    from datapact_spark.operators.textops import code_stats
+
+    code = _code_table(spark, sf_dir)
+    hygienic = code_hygiene(code).where(F.col("hygiene_keep")).select(
+        "repo", "path", "lang", "content"
+    )
+    licensed = (
+        hygienic.withColumn("license", detect_license("content"))
+        .where(
+            F.col("license").isNull()
+            | ~F.col("license").isin("GPL", "GPL-3.0")
+        )
+        .select("repo", "path", "lang", "content")
+    )
+    # materialize the hash stage once — three downstream stage
+    # aggregates would otherwise re-derive the normalization regexes
+    hashed = licensed.withColumn(
+        "norm_hash", F.md5(normalize_code("content"))
+    ).persist()
+    hashed.count()
+    keepers = hashed.groupBy("norm_hash").agg(F.min("path").alias("path"))
+    decloned = hashed.join(keepers, ["norm_hash", "path"]).select(
+        "repo", "path", "lang", "content"
+    )
+    quality = code_stats(decloned, text_col="content").where(
+        F.col("code_keep")
+    )
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(portable_id_hash("path").cast("decimal(38,0)"))
+            .cast("string")
+            .alias("id_hash_sum"),
+        ).select(F.lit(name).alias("stage"), "n_rows", "id_hash_sum")
+
+    return (
+        stage("1_raw", code)
+        .unionByName(stage("2_hygiene", hygienic))
+        .unionByName(stage("3_licensed", licensed))
+        .unionByName(stage("4_decloned", decloned))
+        .unionByName(stage("5_quality", quality))
+        .orderBy("stage")
+    )
+
+
 def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: char-20-gram overlap of every
     training doc against a synthetic eval set (120-char excerpts of
@@ -2085,6 +2152,7 @@ def extended_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "tfidf_terms": q_tfidf_terms,
         "vocab_topk": q_vocab_topk,
+        "code_pipeline": q_code_pipeline,
     }
 
 
@@ -3756,6 +3824,87 @@ def _oracle_sql_all() -> dict[str, str]:
               (CAST(SUM(CASE WHEN expected IS NOT NULL AND expected <> lang THEN 1 ELSE 0 END) AS DOUBLE)
                 / CAST(COUNT(*) AS DOUBLE)) <= 0.0 AS passed
             FROM checked GROUP BY lang ORDER BY lang
+        """,
+        "code_pipeline": _CODE_TABLE_SQL + """,
+            -- code prep pipeline: hygiene -> license gate -> clone
+            -- dedup -> quality gate; each stage pinned by count +
+            -- commutative sum of 60-bit md5-prefix path hashes
+            flags AS (
+              SELECT repo, path, lang, content,
+                (path LIKE '%node_modules/%' OR path LIKE '%vendor/%'
+                  OR path LIKE '%third_party/%' OR path LIKE '%dist/%'
+                  OR path LIKE '%.min.%') AS is_vendored,
+                (substr(content, 1, 400) LIKE '%DO NOT EDIT%'
+                  OR substr(content, 1, 400) LIKE '%@generated%'
+                  OR substr(content, 1, 400) LIKE '%Code generated by%'
+                  OR substr(content, 1, 400) LIKE '%Autogenerated%') AS is_generated
+              FROM code),
+            hygienic AS (
+              SELECT repo, path, lang, content FROM flags
+              WHERE NOT is_vendored AND NOT is_generated),
+            lic AS (
+              SELECT repo, path, lang, content,
+                CASE WHEN coalesce(regexp_extract(substr(content, 1, 1000),
+                       'SPDX-License-Identifier: ([A-Za-z0-9.+-]+)', 1), '') <> ''
+                       THEN regexp_extract(substr(content, 1, 1000),
+                         'SPDX-License-Identifier: ([A-Za-z0-9.+-]+)', 1)
+                     WHEN substr(content, 1, 1000) LIKE '%GNU General Public License%' THEN 'GPL'
+                     WHEN substr(content, 1, 1000) LIKE '%Apache License%' THEN 'Apache'
+                     WHEN substr(content, 1, 1000) LIKE '%MIT License%' THEN 'MIT'
+                     WHEN substr(content, 1, 1000) LIKE '%BSD License%' THEN 'BSD'
+                     WHEN substr(content, 1, 1000) LIKE '%Mozilla Public License%' THEN 'MPL'
+                     ELSE NULL END AS license
+              FROM hygienic),
+            licensed AS (
+              SELECT repo, path, lang, content FROM lic
+              WHERE license IS NULL OR license NOT IN ('GPL', 'GPL-3.0')),
+            hashed AS (
+              SELECT repo, path, lang, content,
+                md5(trim(regexp_replace(regexp_replace(regexp_replace(content,
+                  '(?s)/\\*.*?\\*/', ' ', 'g'),
+                  '(?m)(//|#)[^\n]*', ' ', 'g'),
+                  '[ \t\r\n]+', ' ', 'g'))) AS norm_hash
+              FROM licensed),
+            keepers AS (
+              SELECT norm_hash, MIN(path) AS path FROM hashed GROUP BY norm_hash),
+            decloned AS (
+              SELECT h.repo, h.path, h.lang, h.content
+              FROM hashed h JOIN keepers k
+                ON h.norm_hash = k.norm_hash AND h.path = k.path),
+            qm AS (
+              SELECT path,
+                CAST(len(string_split(content, chr(10))) AS BIGINT) AS n_lines,
+                CAST(list_max(list_transform(string_split(content, chr(10)),
+                  s -> length(s))) AS BIGINT) AS max_line_len,
+                CAST(length(content) AS BIGINT) AS total,
+                CAST(length(regexp_replace(content, '[^A-Za-z0-9]', '', 'g'))
+                  AS BIGINT) AS alnum
+              FROM decloned),
+            quality AS (
+              SELECT path FROM qm
+              WHERE COALESCE(max_line_len <= 1000
+                AND (total - (n_lines - 1)) / CAST(n_lines AS DOUBLE) <= 100.0
+                AND alnum / CAST(nullif(total, 0) AS DOUBLE) >= 0.25, FALSE))
+            SELECT '1_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(SUM(CAST('0x' || substr(md5(path), 1, 15) AS BIGINT))
+                AS VARCHAR) AS id_hash_sum FROM code
+            UNION ALL
+            SELECT '2_hygiene', CAST(COUNT(*) AS BIGINT),
+              CAST(SUM(CAST('0x' || substr(md5(path), 1, 15) AS BIGINT))
+                AS VARCHAR) FROM hygienic
+            UNION ALL
+            SELECT '3_licensed', CAST(COUNT(*) AS BIGINT),
+              CAST(SUM(CAST('0x' || substr(md5(path), 1, 15) AS BIGINT))
+                AS VARCHAR) FROM licensed
+            UNION ALL
+            SELECT '4_decloned', CAST(COUNT(*) AS BIGINT),
+              CAST(SUM(CAST('0x' || substr(md5(path), 1, 15) AS BIGINT))
+                AS VARCHAR) FROM decloned
+            UNION ALL
+            SELECT '5_quality', CAST(COUNT(*) AS BIGINT),
+              CAST(SUM(CAST('0x' || substr(md5(path), 1, 15) AS BIGINT))
+                AS VARCHAR) FROM quality
+            ORDER BY stage
         """,
     }
 

@@ -1,0 +1,265 @@
+"""Two-parallelism scaling point for the CODE-VALIDATION path: the
+full code-curation pass (vendored/generated hygiene flags, SPDX +
+keyword license detection, per-lang regex import extraction, type-1/2
+clone normalization hashing, path-extension↔lang check) over a
+synthetic (repo, path, commit, lang, content) table, folded into a
+per-repo rollup — the north-star workload shape.
+
+Why this is a fair ≥0.8-criterion witness: every per-file expression is
+JVM-side regex/hash compute over ~1.5 KB strings (Java regex costs far
+more CPU per byte than the DRAM scan that caps the validation-join
+workloads at ~0.58 on this box), and the only shuffle carries compact
+(repo, counts) partials. Same protocol as scaling_bench.py /
+codec_scaling_bench.py: taskset-pinned fresh JVM per level, interleaved
+A/B pairs, single-core calibration guard, min-of-runs.
+
+Usage:  python tools/codeops_scaling_bench.py [--files 2000000]
+        [--levels 8 32] [--runs 3]
+Prints one JSON line; paste into BENCH.md §2.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import functions as F
+from datapact_spark.session import get_spark
+from datapact_spark.operators.codeops import (
+    code_hygiene, detect_license, extract_imports, normalize_code,
+    ext_lang_check,
+)
+
+cores = int(sys.argv[1]); runs = int(sys.argv[2]); data_dir = sys.argv[3]
+warmup = int(sys.argv[4])
+local_dir = "/dev/shm/datapact_bench_local" if os.path.isdir("/dev/shm") else None
+conf = {
+    "spark.ui.enabled": "false",
+    # enough input splits to fill both core counts
+    "spark.sql.files.maxPartitionBytes": "16m",
+    "spark.driver.memory": os.environ.get("DATAPACT_DRIVER_MEM", "24g"),
+}
+if local_dir:
+    os.makedirs(local_dir, exist_ok=True)
+    conf["spark.local.dir"] = local_dir
+spark = get_spark(
+    app_name=f"codeops-scaling-{cores}",
+    master=f"local[{cores}]",
+    shuffle_partitions=cores,
+    extra_conf=conf,
+)
+spark.sparkContext.setLogLevel("ERROR")
+code = spark.read.parquet(os.path.join(data_dir, "code"))
+
+def pipeline(df):
+    flagged = code_hygiene(df)
+    with_imports = extract_imports(flagged)
+    per_file = with_imports.select(
+        "repo",
+        "lang",
+        "is_vendored",
+        "is_generated",
+        "hygiene_keep",
+        detect_license("content").alias("license"),
+        F.size("imports").alias("n_imports"),
+        F.md5(normalize_code("content")).alias("norm_hash"),
+    )
+    return per_file.groupBy("repo").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(F.col("is_vendored").cast("long")).alias("n_vendored"),
+        F.sum(F.col("is_generated").cast("long")).alias("n_generated"),
+        F.sum(F.col("hygiene_keep").cast("long")).alias("n_keep"),
+        F.count("license").alias("n_licensed"),
+        F.count_distinct("license").alias("n_licenses"),
+        F.sum("n_imports").alias("n_imports"),
+        F.count_distinct("norm_hash").alias("n_distinct_norm"),
+    )
+
+times = []
+for i in range(runs + warmup):
+    t0 = time.monotonic()
+    pipeline(code).write.format("noop").mode("overwrite").save()
+    # the ext/lang verdict pass rides the same measurement (tiny input
+    # relative to the regex work, same scan)
+    ext_lang_check(code).write.format("noop").mode("overwrite").save()
+    dt = time.monotonic() - t0
+    if i >= warmup:
+        times.append(dt)
+print(json.dumps({"cores": cores, "times": times}))
+spark.stop()
+"""
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--files", type=int, default=2_000_000)
+    ap.add_argument("--levels", type=int, nargs=2, default=[8, 32])
+    ap.add_argument("--runs", type=int, default=3)
+    args = ap.parse_args()
+
+    data_dir = os.path.join(
+        tempfile.gettempdir(), f"datapact_codeops_scaling_{args.files}"
+    )
+    if not os.path.exists(os.path.join(data_dir, "code", "_SUCCESS")):
+        sys.path.insert(0, REPO)
+        from pyspark.sql import functions as F
+
+        from datapact_spark.session import get_spark
+
+        spark = get_spark(
+            app_name="codeops-scaling-gen", master="local[32]",
+            shuffle_partitions=64,
+            extra_conf={
+                "spark.ui.enabled": "false",
+                "spark.driver.memory": os.environ.get(
+                    "DATAPACT_DRIVER_MEM", "24g"
+                ),
+            },
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        exts = ["py", "java", "go", "rs", "cpp", "js", "sql", "scala"]
+        d = F.col("id")
+        ext = F.element_at(
+            F.array(*[F.lit(e) for e in exts]), (d % 8).cast("int") + 1
+        )
+        # ~1.5 KB of per-file content: license/generated banners +
+        # import lines + an id-salted body with comment/whitespace
+        # texture so every regex pass does real work per file.
+        lic = (
+            F.when(
+                d % 7 == 0,
+                F.lit("// SPDX-License-Identifier: Apache-2.0\n"),
+            )
+            .when(d % 11 == 0, F.lit("// MIT License\n"))
+            .otherwise(F.lit(""))
+        )
+        gen = F.when(d % 17 == 0, F.lit("// @generated DO NOT EDIT\n")).otherwise(
+            F.lit("")
+        )
+        imports = F.when(
+            ext == "py",
+            F.concat(
+                F.lit("import mod_"),
+                (d % 97).cast("string"),
+                F.lit("\nfrom pkg_"),
+                (d % 53).cast("string"),
+                F.lit(" import thing\n"),
+            ),
+        ).otherwise(F.lit("#include <vector>\n"))
+        body_line = F.concat(
+            F.lit("int v_"),
+            (d % 1000).cast("string"),
+            F.lit(" = compute(a, b);  // salt "),
+            (d % 19).cast("string"),
+            F.lit("\n    /* block */   \n"),
+        )
+        content = F.concat(lic, gen, imports, F.repeat(body_line, 24))
+        path = F.concat(
+            F.when(d % 13 == 0, F.lit("vendor/")).otherwise(F.lit("")),
+            F.lit("src/"),
+            d.cast("string"),
+            F.lit("."),
+            ext,
+        )
+        (
+            spark.range(args.files)
+            .select(
+                F.concat(F.lit("repo_"), (d % 997).cast("string")).alias(
+                    "repo"
+                ),
+                path.alias("path"),
+                F.md5(F.concat(F.lit("c"), d.cast("string"))).alias("commit"),
+                F.when(d % 101 == 0, F.lit("mismatch")).otherwise(ext).alias(
+                    "lang"
+                ),
+                content.alias("content"),
+            )
+            .repartition(64)
+            .write.mode("overwrite")
+            .parquet(os.path.join(data_dir, "code"))
+        )
+        spark.stop()
+
+    worker_py = WORKER % {"repo": REPO}
+
+    def calibrate() -> float:
+        t0 = time.monotonic()
+        x = 0
+        for i in range(3_000_000):
+            x += i * i
+        return 1.0 / (time.monotonic() - t0)
+
+    def run_level(cores: int, runs: int, warmup: int) -> dict:
+        cmd = [sys.executable, "-c", worker_py, str(cores), str(runs),
+               data_dir, str(warmup)]
+        if os.path.exists("/usr/bin/taskset"):
+            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+        out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+        if out.returncode != 0:
+            raise RuntimeError(f"worker failed:\n{out.stderr[-3000:]}")
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    lo, hi = args.levels
+    results = {c: [] for c in args.levels}
+    pair_eff, pair_speeds = [], []
+    base_speed = max(calibrate() for _ in range(3))
+    for i in range(args.runs):
+        speed_before = calibrate()
+        order = [lo, hi] if i % 2 == 0 else [hi, lo]
+        pair = {}
+        for cores in order:
+            r = run_level(cores, 2, 1)
+            results[cores].extend(r["times"])
+            pair[cores] = min(r["times"])
+        speed_after = calibrate()
+        clean = min(speed_before, speed_after) >= 0.85 * base_speed
+        pair_speeds.append(
+            {"before": round(speed_before / base_speed, 2),
+             "after": round(speed_after / base_speed, 2), "clean": clean}
+        )
+        if clean:
+            pair_eff.append((pair[lo] / pair[hi]) / (hi / lo))
+    if not pair_eff:
+        pair_eff = [(min(results[lo]) / min(results[hi])) / (hi / lo)]
+
+    t_lo, t_hi = min(results[lo]), min(results[hi])
+    print(
+        json.dumps(
+            {
+                "metric": "code-table validation scaling (regex/hash compute path)",
+                "files": args.files,
+                f"best_sec_local[{lo}]": round(t_lo, 2),
+                f"best_sec_local[{hi}]": round(t_hi, 2),
+                f"files_per_sec_local[{lo}]": round(args.files / t_lo),
+                f"files_per_sec_local[{hi}]": round(args.files / t_hi),
+                "scaling_efficiency": round(
+                    (args.files / t_hi) / ((hi / lo) * (args.files / t_lo)), 3
+                ),
+                "pairwise_efficiencies": [round(e, 3) for e in pair_eff],
+                "median_pairwise_efficiency": round(
+                    statistics.median(pair_eff), 3
+                ),
+                "host_speed_calibration": pair_speeds,
+                "target": 0.8,
+                "all_times": {
+                    str(k): [round(x, 2) for x in v]
+                    for k, v in results.items()
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
