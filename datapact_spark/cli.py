@@ -34,6 +34,12 @@ validations:
           - {agg: SUM, tolerance: 0.005}
     uniqueness_columns: [id]
     uniqueness_tolerance: 0.0
+    constraint_checks:
+      - name: amount_non_negative
+        predicate: amount >= 0        # SQL boolean expr, per row
+        tolerance: 0.0                # max violation rate
+        side: source                  # source | target | both
+        null_passes: true             # ANSI CHECK: NULL passes
     business_domain: Examples
     business_owner: you@example.com
     business_priority: High

@@ -127,6 +127,72 @@ class AggValidation(BaseModel):
     validations: list[AggValidationDetail]
 
 
+class ConstraintCheck(BaseModel):
+    """Row-level CHECK-constraint validation (the "schema + constraint"
+    surface of the north star; no reference counterpart — the reference
+    covers this only via hand-written custom SQL tests).
+
+    ``predicate`` is a SQL boolean expression evaluated per row of the
+    task's (filtered) source and/or target slice; rows where it does
+    not hold are violations, and the check passes when
+    ``violations / rows <= tolerance``. ``null_passes`` selects the
+    NULL semantics: ``True`` (default) is ANSI CHECK-constraint
+    behavior (UNKNOWN passes), ``False`` treats a NULL predicate as a
+    violation (the strict data-quality reading).
+
+    Scale shape: each constraint compiles to ONE commutative ``SUM``
+    folded into the side's existing single-pass stats profile scan
+    (operators/profile.py) — N constraints cost zero extra scans and
+    zero extra shuffles; a side with constraints but no other profiled
+    stats gets one standalone 1-row aggregate.
+    """
+
+    name: str
+    predicate: str
+    tolerance: float = 0.0
+    side: str = "source"  # source | target | both
+    null_passes: bool = True
+
+    @field_validator("name")
+    @classmethod
+    def _validate_name(cls, v: str) -> str:
+        # becomes column suffixes and a violations directory segment
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", v):
+            raise ValueError(
+                "constraint check name must be a simple identifier "
+                "(letters, digits, underscores; not starting with a digit)"
+            )
+        return v
+
+    @field_validator("predicate")
+    @classmethod
+    def _validate_predicate(cls, v: str) -> str:
+        normalized = v.strip()
+        if not normalized:
+            raise ValueError("Constraint predicate cannot be empty.")
+        if normalized.endswith(";"):
+            raise ValueError(
+                "Constraint predicate should not include a trailing semicolon."
+            )
+        from datapact_spark.functions.filters import validate_filter_text
+
+        return validate_filter_text(normalized)
+
+    @field_validator("tolerance")
+    @classmethod
+    def _validate_tol(cls, v: float) -> float:
+        if not 0.0 <= v <= 1.0:
+            raise ValueError("Tolerance must be a float between 0.0 and 1.0")
+        return v
+
+    @field_validator("side")
+    @classmethod
+    def _validate_side(cls, v: str) -> str:
+        if v not in {"source", "target", "both"}:
+            raise ValueError("side must be source, target, or both")
+        return v
+
+
 class ReferentialCheck(BaseModel):
     """Referential-integrity check (north-star addition, BASELINE.json).
 
@@ -334,6 +400,7 @@ class ValidationTask(BaseModel):
     partition_batches: int = 4
     partition_salt_buckets: int = 0
     referential_checks: list[ReferentialCheck] | None = None
+    constraint_checks: list[ConstraintCheck] | None = None
     drift_checks: list[DriftCheck] | None = None
     materialize_violations: bool = False
 
@@ -524,6 +591,11 @@ class ValidationTask(BaseModel):
                     f"Duplicate drift check '{key[1]}' on column '{key[0]}'"
                 )
             seen_drift.add(key)
+        seen_constraints: set[str] = set()
+        for cc in self.constraint_checks or []:
+            if cc.name in seen_constraints:
+                raise ValueError(f"Duplicate constraint check name '{cc.name}'")
+            seen_constraints.add(cc.name)
         return self
 
     # ---- helpers ----
@@ -564,6 +636,7 @@ class ValidationTask(BaseModel):
             or (self.uniqueness_columns and self.uniqueness_tolerance is not None)
             or self.custom_sql_tests
             or self.referential_checks
+            or self.constraint_checks
             or self.drift_checks
         )
 

@@ -96,10 +96,19 @@ def stats_needed(task: ValidationTask) -> bool:
 
 
 def profile_df(
-    df: DataFrame, task: ValidationTask, side: str, include_uniqueness: bool = True
+    df: DataFrame,
+    task: ValidationTask,
+    side: str,
+    include_uniqueness: bool = True,
+    extra_exprs: list[Column] | None = None,
 ) -> DataFrame:
-    """One-row stats profile for one side — a single scan."""
-    return df.agg(*profile_exprs(task, side, include_uniqueness))
+    """One-row stats profile for one side — a single scan.
+
+    ``extra_exprs`` folds additional commutative aggregates (e.g.
+    constraint-violation sums) into the SAME scan."""
+    return df.agg(
+        *profile_exprs(task, side, include_uniqueness), *(extra_exprs or [])
+    )
 
 
 def grouped_profile_df(

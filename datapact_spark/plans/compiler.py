@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from datapact_spark.config import ValidationTask
 from datapact_spark.functions import exprs as E
+from datapact_spark.operators import constraints as CK
 from datapact_spark.operators import profile as P
 from datapact_spark.operators import referential as R
 from datapact_spark.operators import rowhash as H
@@ -207,13 +208,39 @@ def compile_task(
         "scalable" if task.uniqueness_strategy == "auto" else task.uniqueness_strategy
     )
     uniq_external = uniq_configured and uniq_strategy in ("scalable", "approx")
-    if P.stats_needed(task):
+    # Row constraints fold into the profile scans (one SUM each — zero
+    # extra scans); a side with constraints but no profiled stats gets
+    # its own standalone 1-row aggregate below.
+    con_by_side: dict[str, list] = {"source": [], "target": []}
+    for cc in task.constraint_checks or []:
+        for cside in ("source", "target") if cc.side == "both" else (cc.side,):
+            con_by_side[cside].append(cc)
+    profile_built = P.stats_needed(task)
+    if profile_built:
         metric_dfs.append(
-            P.profile_df(source, task, "source", include_uniqueness=not uniq_external)
+            P.profile_df(
+                source,
+                task,
+                "source",
+                include_uniqueness=not uniq_external,
+                extra_exprs=CK.violation_exprs(con_by_side["source"], "source"),
+            )
         )
         metric_dfs.append(
-            P.profile_df(target, task, "target", include_uniqueness=not uniq_external)
+            P.profile_df(
+                target,
+                task,
+                "target",
+                include_uniqueness=not uniq_external,
+                extra_exprs=CK.violation_exprs(con_by_side["target"], "target"),
+            )
         )
+    else:
+        for cside, df_side in (("source", source), ("target", target)):
+            if con_by_side[cside]:
+                metric_dfs.append(
+                    CK.constraint_metrics(df_side, con_by_side[cside], cside)
+                )
     if uniq_external:
         from datapact_spark.operators.uniqueness import (
             uniqueness_metrics_approx,
@@ -437,6 +464,38 @@ def compile_task(
             violation_dfs[f"referential_{check.name}"] = R.referential_violations(
                 source, parent, check
             )
+
+    # ---- row constraints (north-star) ----------------------------------
+    for cside, side_df in (("source", source), ("target", target)):
+        total = (
+            F.col(f"{cside}_count")
+            if profile_built
+            else F.col(f"constraint_rows_{cside}")
+        )
+        for cc in con_by_side[cside]:
+            vc = F.col(f"constraint_violations_{cc.name}_{cside}")
+            ratio = F.coalesce(
+                vc / F.nullif(total.cast("double"), F.lit(0.0)), F.lit(0.0)
+            )
+            ok = ratio <= cc.tolerance
+            payload_fields.append(
+                F.struct(
+                    F.lit(cc.predicate).alias("predicate"),
+                    F.lit("ansi" if cc.null_passes else "strict").alias(
+                        "null_semantics"
+                    ),
+                    E.fmt_num(total).alias("rows"),
+                    E.fmt_num(vc).alias("violation_rows"),
+                    E.fmt_pct(ratio).alias("violation_percent"),
+                    E.fmt_pct(cc.tolerance).alias("tolerance_percent"),
+                    E.pass_fail(ok).alias("status"),
+                ).alias(f"constraint_validation_{cc.name}_{cside}")
+            )
+            pass_conds.append(ok)
+            if task.materialize_violations:
+                violation_dfs[f"constraint_{cc.name}_{cside}"] = (
+                    CK.constraint_violations(side_df, cc)
+                )
 
     # ---- distribution drift (north-star) -------------------------------
     bootstrap_drift: list = []

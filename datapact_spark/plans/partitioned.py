@@ -86,23 +86,37 @@ def compile_partition_verdicts(
     def _fp_exprs(side: str) -> list[F.Column]:
         return [F.sum(_fp_sig()).alias(f"{side}_rowfp")]
 
+    con_by_side: dict[str, list] = {"source": [], "target": []}
+    for cc in task.constraint_checks or []:
+        for cside in ("source", "target") if cc.side == "both" else (cc.side,):
+            con_by_side[cside].append(cc)
+
+    def _con_exprs(side: str) -> list[F.Column]:
+        from datapact_spark.operators.constraints import violation_exprs
+
+        return violation_exprs(con_by_side[side], side)
+
     if salt_buckets > 0:
         s_prof = grouped_profile_salted(
             source, task, "source", group_cols, salt_buckets,
             fp_sig=_fp_sig() if fp_in_profile else None,
+            constraints=con_by_side["source"],
         )
         t_prof = grouped_profile_salted(
             target, task, "target", group_cols, salt_buckets,
             fp_sig=_fp_sig() if fp_in_profile else None,
+            constraints=con_by_side["target"],
         )
     else:
         s_prof = P.grouped_profile_df(
             source, task, "source", group_cols,
-            extra_exprs=_fp_exprs("source") if fp_in_profile else None,
+            extra_exprs=(_fp_exprs("source") if fp_in_profile else [])
+            + _con_exprs("source"),
         )
         t_prof = P.grouped_profile_df(
             target, task, "target", group_cols,
-            extra_exprs=_fp_exprs("target") if fp_in_profile else None,
+            extra_exprs=(_fp_exprs("target") if fp_in_profile else [])
+            + _con_exprs("target"),
         )
 
     joined = s_prof.join(t_prof, on=group_cols, how="full_outer")
@@ -317,6 +331,22 @@ def compile_partition_verdicts(
         metric_cols.append(val)
         pass_conds.append((f"drift_{dcheck.column}_{dcheck.metric}_passed", ok))
 
+    # per-group row constraints: violations rode the profile scans
+    for cside in ("source", "target"):
+        for cc in con_by_side[cside]:
+            vc = F.coalesce(
+                F.col(f"constraint_violations_{cc.name}_{cside}"), F.lit(0)
+            )
+            ratio = F.coalesce(
+                vc
+                / F.nullif(F.col(f"{cside}_count").cast("double"), F.lit(0.0)),
+                F.lit(0.0),
+            )
+            metric_cols.append(vc.alias(f"constraint_violations_{cc.name}_{cside}"))
+            pass_conds.append(
+                (f"constraint_{cc.name}_{cside}_passed", ratio <= cc.tolerance)
+            )
+
     if not pass_conds:
         raise ValueError(f"task {task.task_key} has no groupable checks configured")
 
@@ -340,6 +370,7 @@ def grouped_profile_salted(
     group_cols: list[str],
     salt_buckets: int,
     fp_sig: F.Column | None = None,
+    constraints: list | None = None,
 ) -> DataFrame:
     """Two-level grouped profile for skewed verdict keys: partial
     aggregate on (keys, salt), then merge per key. Catalyst/AQE splits
@@ -365,6 +396,19 @@ def grouped_profile_salted(
     if fp_sig is not None:
         partial_exprs.append(F.sum(fp_sig).alias("__fp"))
         merge_exprs.append(F.sum("__fp").alias(f"{side}_rowfp"))
+    # constraint-violation sums are plain integer addition — one more
+    # partial/merge pair per check, byte-identical to the unsalted fold
+    for cc in constraints or []:
+        from datapact_spark.operators.constraints import violation_flag
+
+        partial_exprs.append(
+            F.sum(F.when(violation_flag(cc), 1).otherwise(0)).alias(f"__cv_{cc.name}")
+        )
+        merge_exprs.append(
+            F.sum(f"__cv_{cc.name}")
+            .cast("long")
+            .alias(f"constraint_violations_{cc.name}_{side}")
+        )
     nulls_tc = (
         task.null_validation_columns
         and task.null_validation_tolerance is not None
