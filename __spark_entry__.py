@@ -1546,7 +1546,11 @@ def q_partitioned_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted column from first principles: per-group counts, inner-join
     matched counts, and value-inequality mismatches — equal to the
     hash-based engine decision up to a 2^-64 fold collision, the same
-    bound every hash query here carries."""
+    bound every hash query here carries. Late-r5: two row constraints
+    ride the same salted profile scans — one passes every group under
+    its tolerance, one (target-side ``o_orderkey % 101 <> 0``) fails
+    exactly the groups whose %101 keys the corruption did NOT delete —
+    so the driver also verifies the CHECK-constraint fold end to end."""
     from datapact_spark.config import ValidationTask
     from datapact_spark.plans.partitioned import compile_partition_verdicts
     from datapact_spark.sources.loader import TableResolver
@@ -1564,6 +1568,8 @@ def q_partitioned_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolver = TableResolver(spark)
     resolver.register("pv_src", orders)
     resolver.register("pv_tgt", tgt)
+    from datapact_spark.config import ConstraintCheck
+
     task = ValidationTask(
         task_key="pv", source="pv_src", target="pv_tgt",
         primary_keys=["o_orderkey"], partition_by=["o_orderpriority"],
@@ -1571,12 +1577,32 @@ def q_partitioned_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_columns=["o_totalprice", "o_orderstatus"], hash_algo="md5",
         uniqueness_columns=["o_orderkey"], uniqueness_tolerance=0.0,
         row_hash_mode="fingerprint",
+        # row constraints ride the SAME salted profile scans: one must
+        # pass every group (~10% violations, tolerance 0.5), one must
+        # fail exactly the groups whose %101 keys were NOT removed (the
+        # target-side corruption deleted them from group '1-URGENT')
+        constraint_checks=[
+            ConstraintCheck(
+                name="key_not_mod10",
+                predicate="o_orderkey % 10 <> 0",
+                tolerance=0.5,
+            ),
+            ConstraintCheck(
+                name="no_mod101",
+                predicate="o_orderkey % 101 <> 0",
+                side="target",
+            ),
+        ],
     )
     v = compile_partition_verdicts(spark, task, resolver, salt_buckets=4)
     return v.select(
         "o_orderpriority", "source_count", "target_count",
         "total_compared_rows", "mismatch_count",
         "count_passed", "row_hash_passed", "uniqueness_passed",
+        "constraint_violations_key_not_mod10_source",
+        "constraint_key_not_mod10_source_passed",
+        "constraint_violations_no_mod101_target",
+        "constraint_no_mod101_target_passed",
         "overall_validation_passed",
     )
 
@@ -2717,7 +2743,17 @@ def _oracle_sql_all() -> dict[str, str]:
                      CAST(SUM(CASE WHEN src.o_totalprice <> tgt.o_totalprice
                                      OR src.o_orderstatus <> tgt.o_orderstatus
                                    THEN 1 ELSE 0 END) AS BIGINT) AS mm
-              FROM src JOIN tgt USING (o_orderkey) GROUP BY 1)
+              FROM src JOIN tgt USING (o_orderkey) GROUP BY 1),
+            cs AS (
+              SELECT o_orderpriority g,
+                     CAST(SUM(CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS v10
+              FROM src GROUP BY 1),
+            ct AS (
+              SELECT o_orderpriority g,
+                     CAST(SUM(CASE WHEN o_orderkey % 101 = 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS v101
+              FROM tgt GROUP BY 1)
             SELECT s.g AS o_orderpriority,
                    s.c AS source_count,
                    COALESCE(t.c, 0) AS target_count,
@@ -2729,10 +2765,19 @@ def _oracle_sql_all() -> dict[str, str]:
                    (CASE WHEN s.c = t.c AND j.mm = 0 THEN 0 ELSE j.mm END = 0)
                      AS row_hash_passed,
                    TRUE AS uniqueness_passed,
+                   cs.v10 AS constraint_violations_key_not_mod10_source,
+                   (CAST(cs.v10 AS DOUBLE) / CAST(s.c AS DOUBLE) <= 0.5)
+                     AS constraint_key_not_mod10_source_passed,
+                   COALESCE(ct.v101, 0) AS constraint_violations_no_mod101_target,
+                   (COALESCE(CAST(ct.v101 AS DOUBLE) / CAST(t.c AS DOUBLE), 0.0) <= 0.0)
+                     AS constraint_no_mod101_target_passed,
                    ((s.c = COALESCE(t.c, 0))
-                     AND (CASE WHEN s.c = t.c AND j.mm = 0 THEN 0 ELSE j.mm END = 0))
+                     AND (CASE WHEN s.c = t.c AND j.mm = 0 THEN 0 ELSE j.mm END = 0)
+                     AND (CAST(cs.v10 AS DOUBLE) / CAST(s.c AS DOUBLE) <= 0.5)
+                     AND (COALESCE(CAST(ct.v101 AS DOUBLE) / CAST(t.c AS DOUBLE), 0.0) <= 0.0))
                      AS overall_validation_passed
             FROM s LEFT JOIN t ON s.g = t.g LEFT JOIN j ON s.g = j.g
+              LEFT JOIN cs ON s.g = cs.g LEFT JOIN ct ON s.g = ct.g
         """,
         "windowed_drift": """
             -- mirrors the streaming pipeline's arithmetic without the
