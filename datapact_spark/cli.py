@@ -34,6 +34,7 @@ validations:
           - {agg: SUM, tolerance: 0.005}
     uniqueness_columns: [id]
     uniqueness_tolerance: 0.0
+    schema_check: true              # metadata-only schema parity (exact|subset|names)
     constraint_checks:
       - name: amount_non_negative
         predicate: amount >= 0        # SQL boolean expr, per row

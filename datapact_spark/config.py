@@ -193,6 +193,36 @@ class ConstraintCheck(BaseModel):
         return v
 
 
+class SchemaCheck(BaseModel):
+    """Declarative schema validation (the "schema" half of the north
+    star's "schema + constraint validation"; no reference counterpart).
+
+    Compares the source and target schemas as METADATA — zero scans,
+    zero Spark jobs — and fails the task on divergence:
+
+    * ``mode="exact"`` — same column set, same types;
+    * ``mode="subset"`` — every source column must exist in the target
+      with a matching type (the target may carry extras);
+    * ``mode="names"`` — column sets must match, types ignored.
+
+    ``ignore_nullability`` (default True) treats ``INT`` and
+    ``INT NOT NULL`` as equal — Spark nullability is advisory for most
+    sources. ``ignore_order`` (default True) compares as sets; set
+    False to also require identical column order.
+    """
+
+    mode: str = "exact"
+    ignore_nullability: bool = True
+    ignore_order: bool = True
+
+    @field_validator("mode")
+    @classmethod
+    def _validate_mode(cls, v: str) -> str:
+        if v not in {"exact", "subset", "names"}:
+            raise ValueError("mode must be exact, subset, or names")
+        return v
+
+
 class ReferentialCheck(BaseModel):
     """Referential-integrity check (north-star addition, BASELINE.json).
 
@@ -399,10 +429,22 @@ class ValidationTask(BaseModel):
     # skew salting for per-partition runs
     partition_batches: int = 4
     partition_salt_buckets: int = 0
+    schema_check: SchemaCheck | bool | None = None
     referential_checks: list[ReferentialCheck] | None = None
     constraint_checks: list[ConstraintCheck] | None = None
     drift_checks: list[DriftCheck] | None = None
     materialize_violations: bool = False
+
+    @field_validator("schema_check")
+    @classmethod
+    def _normalize_schema_check(cls, v):
+        # YAML `schema_check: true` means the default exact-mode check;
+        # `false`/absent means no check
+        if v is True:
+            return SchemaCheck()
+        if v is False:
+            return None
+        return v
 
     @field_validator("filter")
     @classmethod
@@ -635,6 +677,7 @@ class ValidationTask(BaseModel):
             or self.agg_validations
             or (self.uniqueness_columns and self.uniqueness_tolerance is not None)
             or self.custom_sql_tests
+            or self.schema_check
             or self.referential_checks
             or self.constraint_checks
             or self.drift_checks

@@ -196,6 +196,54 @@ def compile_task(
     pass_conds: list[Column] = []
     violation_dfs: dict[str, DataFrame] = {}
 
+    # ---- schema validation (north-star, metadata-only) -----------------
+    # Compared from the DataFrame schemas — zero scans, zero Spark jobs;
+    # the verdict is embedded as plan literals.
+    if task.schema_check:
+        sch = task.schema_check
+
+        def _sig(f) -> str:
+            t = f.dataType.simpleString()
+            if not sch.ignore_nullability:
+                t += "" if f.nullable else " not null"
+            return t
+
+        s_fields = {f.name: _sig(f) for f in source.schema.fields}
+        t_fields = {f.name: _sig(f) for f in target.schema.fields}
+        missing = sorted(set(s_fields) - set(t_fields))
+        extra = sorted(set(t_fields) - set(s_fields))
+        mismatches = sorted(
+            f"{c}: {s_fields[c]} vs {t_fields[c]}"
+            for c in set(s_fields) & set(t_fields)
+            if sch.mode != "names" and s_fields[c] != t_fields[c]
+        )
+        order_ok = True
+        if sch.mode == "exact" and not sch.ignore_order:
+            order_ok = [f.name for f in source.schema.fields] == [
+                f.name for f in target.schema.fields
+            ]
+        if sch.mode == "subset":
+            schema_ok = not missing and not mismatches
+        elif sch.mode == "names":
+            schema_ok = not missing and not extra
+        else:  # exact
+            schema_ok = not missing and not extra and not mismatches and order_ok
+
+        def _opt(values: list[str]) -> Column:
+            return F.lit(", ".join(values) if values else None).cast("string")
+
+        payload_fields.append(
+            F.struct(
+                F.lit(sch.mode).alias("mode"),
+                _opt(missing).alias("missing_in_target"),
+                _opt(extra).alias("extra_in_target"),
+                _opt(mismatches).alias("type_mismatches"),
+                F.lit(order_ok).alias("order_ok"),
+                E.pass_fail(F.lit(schema_ok)).alias("status"),
+            ).alias("schema_validation")
+        )
+        pass_conds.append(F.lit(bool(schema_ok)))
+
     # ---- single-pass stats profiles -------------------------------
     # uniqueness strategy: 'scalable' (auto default) computes distincts
     # via hash-repartitioned groupBy-count (key-only shuffle, no Expand
@@ -594,6 +642,9 @@ def compile_task(
         pass_conds.append(ok)
 
     # ---- combine: crossJoin of 1-row metric relations ------------------
+    if not metric_dfs:
+        # metadata-only task (e.g. just a schema check): no scan at all
+        metric_dfs = [spark.range(1).select(F.lit(1).alias("__one"))]
     combined = metric_dfs[0]
     for mdf in metric_dfs[1:]:
         combined = combined.crossJoin(mdf)

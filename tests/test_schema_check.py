@@ -1,0 +1,157 @@
+"""Declarative schema validation (config.SchemaCheck — metadata-only)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from datapact_spark.config import DataPactConfig, SchemaCheck, ValidationTask
+from datapact_spark.engine import DataPactEngine
+from datapact_spark.sources.loader import TableResolver
+
+
+def _engine(spark, resolver, tmp_path):
+    return DataPactEngine(spark, resolver, results_path=str(tmp_path / "results"))
+
+
+@pytest.fixture()
+def resolver(spark, tables):
+    r = TableResolver(spark)
+    orders = tables["orders"]
+    r.register("orders", orders)
+    r.register("orders_dropped", orders.drop("o_orderpriority"))
+    r.register("orders_extra", orders.withColumn("extra_col", F.lit(1)))
+    r.register(
+        "orders_retyped",
+        orders.withColumn("o_totalprice", F.col("o_totalprice").cast("string")),
+    )
+    return r
+
+
+def test_bool_normalization():
+    t = ValidationTask(
+        task_key="t", source="a", target="b", schema_check=True
+    )
+    assert isinstance(t.schema_check, SchemaCheck)
+    assert t.schema_check.mode == "exact"
+    t2 = ValidationTask(
+        task_key="t", source="a", target="b", schema_check=False
+    )
+    assert t2.schema_check is None
+
+
+def test_bad_mode_rejected():
+    with pytest.raises(Exception, match="mode"):
+        SchemaCheck(mode="strict")
+
+
+def _run_one(spark, resolver, tmp_path, **task_kwargs):
+    cfg = DataPactConfig(
+        validations=[ValidationTask(task_key="s", **task_kwargs)]
+    )
+    res = _engine(spark, resolver, tmp_path).run(cfg, job_name="s")
+    payload = json.loads(res.outcomes["s"].payload)
+    return res, payload.get("schema_validation")
+
+
+def test_exact_pass_and_no_scan(spark, resolver, tmp_path):
+    res, sv = _run_one(
+        spark, resolver, tmp_path,
+        source="orders", target="orders", schema_check=True,
+    )
+    assert res.passed
+    assert sv["status"] == "PASS"
+    assert sv.get("missing_in_target") is None  # to_json drops nulls
+    # metadata-only task: the verdict plan reads NO table at all
+    from datapact_spark.plans.compiler import compile_task
+
+    task = ValidationTask(
+        task_key="s", source="orders", target="orders", schema_check=True
+    )
+    plan = (
+        compile_task(spark, task, resolver)
+        .metrics_df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Scan parquet" not in plan
+
+
+def test_exact_fails_on_dropped_column(spark, resolver, tmp_path):
+    res, sv = _run_one(
+        spark, resolver, tmp_path,
+        source="orders", target="orders_dropped", schema_check=True,
+    )
+    assert not res.passed
+    assert sv["status"] == "FAIL"
+    assert sv["missing_in_target"] == "o_orderpriority"
+    assert sv.get("extra_in_target") is None
+
+
+def test_exact_fails_on_extra_and_subset_passes(spark, resolver, tmp_path):
+    res, sv = _run_one(
+        spark, resolver, tmp_path,
+        source="orders", target="orders_extra", schema_check=True,
+    )
+    assert not res.passed and sv["extra_in_target"] == "extra_col"
+    res2, sv2 = _run_one(
+        spark, resolver, tmp_path,
+        source="orders", target="orders_extra",
+        schema_check=SchemaCheck(mode="subset"),
+    )
+    assert res2.passed and sv2["status"] == "PASS"
+
+
+def test_type_mismatch_detected_and_names_mode_ignores(spark, resolver, tmp_path):
+    res, sv = _run_one(
+        spark, resolver, tmp_path,
+        source="orders", target="orders_retyped", schema_check=True,
+    )
+    assert not res.passed
+    assert "o_totalprice" in sv["type_mismatches"]
+    assert " vs string" in sv["type_mismatches"]
+    res2, sv2 = _run_one(
+        spark, resolver, tmp_path,
+        source="orders", target="orders_retyped",
+        schema_check=SchemaCheck(mode="names"),
+    )
+    assert res2.passed and sv2.get("type_mismatches") is None
+
+
+def test_nullability_sensitivity(spark, tmp_path):
+    r = TableResolver(spark)
+    df_nullable = spark.createDataFrame([(1,)], "id int")
+    df_notnull = spark.createDataFrame([(1,)], "id int").na.drop()
+    # force a non-nullable schema via DDL
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    schema_nn = StructType([StructField("id", IntegerType(), nullable=False)])
+    df_notnull = spark.createDataFrame([(1,)], schema_nn)
+    r.register("a", df_nullable)
+    r.register("b", df_notnull)
+    res, sv = _run_one(
+        spark, r, tmp_path, source="a", target="b", schema_check=True
+    )
+    assert res.passed  # ignore_nullability default
+    res2, sv2 = _run_one(
+        spark, r, tmp_path, source="a", target="b",
+        schema_check=SchemaCheck(ignore_nullability=False),
+    )
+    assert not res2.passed
+    assert "not null" in sv2["type_mismatches"]
+
+
+def test_order_sensitivity(spark, tmp_path):
+    r = TableResolver(spark)
+    df = spark.createDataFrame([(1, "x")], "id int, name string")
+    r.register("a", df)
+    r.register("b", df.select("name", "id"))
+    res, _ = _run_one(
+        spark, r, tmp_path, source="a", target="b", schema_check=True
+    )
+    assert res.passed  # ignore_order default
+    res2, sv2 = _run_one(
+        spark, r, tmp_path, source="a", target="b",
+        schema_check=SchemaCheck(ignore_order=False),
+    )
+    assert not res2.passed and sv2["order_ok"] is False
