@@ -275,3 +275,48 @@ def test_partitioned_constraint_verdicts_and_salt_identity(spark, tables):
         spark, task, resolver, salt_buckets=8
     ).orderBy("o_orderpriority")
     assert [r.asDict() for r in rows] == [r.asDict() for r in salted.collect()]
+
+
+def test_constraints_in_streaming_microbatch(spark, tmp_path):
+    """Constraints ride compile_task, so streaming micro-batch
+    validation gets them for free — a violating batch fails."""
+    import os
+
+    from datapact_spark.streaming.incremental import validate_stream
+
+    src_dir = str(tmp_path / "incoming")
+    os.makedirs(src_dir)
+    ref = spark.createDataFrame(
+        [(i, float(i + 1)) for i in range(20)], "id long, v double"
+    )
+    ref.coalesce(1).write.mode("append").parquet(src_dir)
+    bad = spark.createDataFrame([(100, -5.0)], "id long, v double")
+    bad.coalesce(1).write.mode("append").parquet(src_dir)
+
+    resolver = TableResolver(spark)
+    resolver.register("reference", ref)
+    task = ValidationTask(
+        task_key="stream_con",
+        source="incoming",
+        target="reference",
+        constraint_checks=[
+            ConstraintCheck(name="v_positive", predicate="v > 0")
+        ],
+    )
+    stream = (
+        spark.readStream.schema("id long, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    seen = []
+    q = validate_stream(
+        spark,
+        task,
+        resolver,
+        stream,
+        results_path=str(tmp_path / "results"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        on_batch=lambda bid, status, ok: seen.append(status),
+    )
+    q.awaitTermination(120)
+    assert "FAILURE" in seen and "SUCCESS" in seen
