@@ -1,0 +1,38 @@
+"""The example configs stay loadable and the code-table one runs
+end to end (schema + constraints + per-partition verdicts included)."""
+
+import glob
+import os
+
+import pytest
+
+from datapact_spark.config import load_config
+from datapact_spark.engine import DataPactEngine
+from datapact_spark.sources.codegen import corrupt_code_table, synthesize_code_table
+from datapact_spark.sources.loader import TableResolver
+
+EXAMPLES = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..", "examples", "*.yml")))
+
+
+@pytest.mark.parametrize("path", EXAMPLES, ids=[os.path.basename(p) for p in EXAMPLES])
+def test_example_configs_parse(path):
+    cfg = load_config(path)
+    assert cfg.validations
+
+
+def test_code_table_example_runs(spark, tmp_path):
+    cfg = load_config(
+        os.path.join(os.path.dirname(__file__), "..", "examples", "code_table_validation.yml")
+    )
+    src = synthesize_code_table(spark, n_files=2000, n_repos=10)
+    resolver = TableResolver(spark)
+    resolver.register("code_src", src)
+    resolver.register("code_tgt", src)
+    engine = DataPactEngine(spark, resolver, results_path=str(tmp_path / "r"))
+    res = engine.run(cfg, job_name="example")
+    assert res.passed
+
+    # corrupted target: the same config must fail it
+    resolver.register("code_tgt", corrupt_code_table(src, mutate_every=50))
+    res2 = engine.run(cfg, job_name="example2")
+    assert not res2.passed
