@@ -555,6 +555,19 @@ def q_code_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_code_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language complexity/style rollup over the derived code
+    table: branch-keyword decision points (AST-less cyclomatic
+    approximation), comment-line counts, and densities derived as one
+    IEEE division of exact integer sums. STRICT oracle: regexp_count ==
+    len(regexp_extract_all) for the same RE2-portable patterns. In-repo
+    (extended registry) entry."""
+    from datapact_spark.operators.codeops import complexity_rollup
+
+    return complexity_rollup(_code_table(spark, sf_dir)).orderBy("lang")
+
+
 def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: char-20-gram overlap of every
     training doc against a synthetic eval set (120-char excerpts of
@@ -2179,6 +2192,7 @@ def extended_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": q_tfidf_terms,
         "vocab_topk": q_vocab_topk,
         "code_pipeline": q_code_pipeline,
+        "code_complexity": q_code_complexity,
     }
 
 
@@ -3869,6 +3883,28 @@ def _oracle_sql_all() -> dict[str, str]:
               (CAST(SUM(CASE WHEN expected IS NOT NULL AND expected <> lang THEN 1 ELSE 0 END) AS DOUBLE)
                 / CAST(COUNT(*) AS DOUBLE)) <= 0.0 AS passed
             FROM checked GROUP BY lang ORDER BY lang
+        """,
+        "code_complexity": _CODE_TABLE_SQL + """,
+            m AS (
+              SELECT lang,
+                CAST(len(string_split(content, chr(10))) AS BIGINT) AS n_lines,
+                CAST(len(regexp_extract_all(content,
+                  '\\b(if|else|elif|for|while|switch|case|catch|when|match)\\b'))
+                  AS BIGINT) AS n_branches,
+                CAST(len(regexp_extract_all(content, '(?m)^[ \t]*(//|#)'))
+                  AS BIGINT) AS n_comment
+              FROM code)
+            SELECT lang,
+              CAST(COUNT(*) AS BIGINT) AS n_files,
+              CAST(SUM(n_lines) AS BIGINT) AS total_lines,
+              CAST(SUM(n_branches) AS BIGINT) AS total_branches,
+              CAST(SUM(n_comment) AS BIGINT) AS total_comment_lines,
+              CAST(MAX(n_branches + 1) AS BIGINT) AS max_cyclomatic,
+              CAST(SUM(n_branches) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                AS branches_per_file,
+              CAST(SUM(n_comment) AS DOUBLE)
+                / CAST(NULLIF(SUM(n_lines), 0) AS DOUBLE) AS comment_density
+            FROM m GROUP BY lang ORDER BY lang
         """,
         "code_pipeline": _CODE_TABLE_SQL + """,
             -- code prep pipeline: hygiene -> license gate -> clone

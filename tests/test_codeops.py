@@ -181,3 +181,48 @@ def test_ext_lang_check_verdicts(spark, code_df):
     df = code_df.withColumn("path", F.lit("README"))
     out2 = ext_lang_check(df).agg(F.sum("n_unknown_ext")).collect()[0][0]
     assert out2 == 9
+
+
+def test_code_complexity_known_values(spark):
+    rows = [
+        ("r", "a.py", "py",
+         "# header comment\nif x:\n    pass\nelse:\n    pass\nfor i in y: pass\n"),
+        ("r", "b.c", "cpp", "int main() { return 0; }"),
+        ("r", "c.py", "py", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, lang string, content string"
+    )
+    from datapact_spark.operators.codeops import code_complexity
+
+    out = {r["path"]: r for r in code_complexity(df).collect()}
+    a = out["a.py"]
+    assert a["n_branches"] == 3  # if, else, for ('pass'/'in' not keywords here)
+    assert a["cyclomatic"] == 4
+    assert a["n_comment_lines"] == 1
+    assert a["n_lines"] == 7  # trailing newline yields a final empty line
+    b = out["b.c"]
+    assert b["n_branches"] == 0 and b["cyclomatic"] == 1
+    # NULL content propagates NULL metrics (never counted as 0)
+    assert out["c.py"]["n_branches"] is None
+
+
+def test_complexity_rollup_densities(spark):
+    rows = [
+        ("r", "a.py", "py", "if x:\n# c\n"),
+        ("r", "b.py", "py", "plain\n"),
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, lang string, content string"
+    )
+    from datapact_spark.operators.codeops import complexity_rollup
+
+    out = complexity_rollup(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_files"] == 2
+    assert r["total_branches"] == 1
+    assert r["branches_per_file"] == 0.5
+    assert r["total_lines"] == 5
+    assert r["total_comment_lines"] == 1
+    assert r["comment_density"] == 1 / 5
