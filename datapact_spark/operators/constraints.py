@@ -46,6 +46,41 @@ def violation_exprs(checks: list[ConstraintCheck], side: str) -> list[Column]:
     ]
 
 
+def foldable_checks(
+    df: DataFrame,
+    all_checks: list[ConstraintCheck],
+    configured: list[ConstraintCheck],
+) -> list[ConstraintCheck]:
+    """The checks to fold into ONE side's profile scan: every check
+    configured for that side, plus any other check whose predicate
+    resolves against the side's schema — in the global config order.
+
+    Why fold more than the configured side: the source and target
+    profiles are separate aggregates, and AQE reuses one scan+exchange
+    for both ONLY if the plans are structurally identical
+    (``sameResult`` on the canonicalized plans). Folding an asymmetric
+    constraint set broke that identity and re-ran the full profile scan
+    twice under self-validation / clean-steady-state fingerprint mode —
+    a measured 2.6× wall-time regression at 16M files (BENCH.md
+    constraint-cost A/B). With the symmetric fold both sides carry the
+    same expressions whenever their schemas allow, the verdict simply
+    ignores the unconfigured side's columns, and the marginal cost is
+    one codegen'd SUM per extra check.
+    """
+    configured_ids = {id(c) for c in configured}
+    out: list[ConstraintCheck] = []
+    for c in all_checks:
+        if id(c) in configured_ids:
+            out.append(c)
+            continue
+        try:
+            df.select(violation_flag(c))  # eager analysis probe
+        except Exception:
+            continue  # predicate doesn't resolve on this side's schema
+        out.append(c)
+    return out
+
+
 def constraint_metrics(
     df: DataFrame, checks: list[ConstraintCheck], side: str
 ) -> DataFrame:

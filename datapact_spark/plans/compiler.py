@@ -259,10 +259,19 @@ def compile_task(
     # Row constraints fold into the profile scans (one SUM each — zero
     # extra scans); a side with constraints but no profiled stats gets
     # its own standalone 1-row aggregate below.
+    all_cons = list(task.constraint_checks or [])
     con_by_side: dict[str, list] = {"source": [], "target": []}
-    for cc in task.constraint_checks or []:
+    for cc in all_cons:
         for cside in ("source", "target") if cc.side == "both" else (cc.side,):
             con_by_side[cside].append(cc)
+    # symmetric fold: both profiles carry the same constraint SUMs (in
+    # config order) wherever the predicate resolves, so the two plans
+    # stay structurally identical and AQE can reuse one scan+exchange
+    # under self-validation — see CK.foldable_checks
+    con_fold = {
+        "source": CK.foldable_checks(source, all_cons, con_by_side["source"]),
+        "target": CK.foldable_checks(target, all_cons, con_by_side["target"]),
+    }
     profile_built = P.stats_needed(task)
     if profile_built:
         metric_dfs.append(
@@ -271,7 +280,7 @@ def compile_task(
                 task,
                 "source",
                 include_uniqueness=not uniq_external,
-                extra_exprs=CK.violation_exprs(con_by_side["source"], "source"),
+                extra_exprs=CK.violation_exprs(con_fold["source"], "source"),
             )
         )
         metric_dfs.append(
@@ -280,14 +289,14 @@ def compile_task(
                 task,
                 "target",
                 include_uniqueness=not uniq_external,
-                extra_exprs=CK.violation_exprs(con_by_side["target"], "target"),
+                extra_exprs=CK.violation_exprs(con_fold["target"], "target"),
             )
         )
     else:
         for cside, df_side in (("source", source), ("target", target)):
             if con_by_side[cside]:
                 metric_dfs.append(
-                    CK.constraint_metrics(df_side, con_by_side[cside], cside)
+                    CK.constraint_metrics(df_side, con_fold[cside], cside)
                 )
     if uniq_external:
         from datapact_spark.operators.uniqueness import (
@@ -514,13 +523,24 @@ def compile_task(
             )
 
     # ---- row constraints (north-star) ----------------------------------
+    # Every folded (check, side) pair is reported in the payload — the
+    # unconfigured side's struct carries enforced=false and never gates
+    # the verdict. Reporting it keeps the symmetric-fold SUM alive in
+    # the plan (Catalyst would otherwise prune it from one side's
+    # aggregate and break the profile plans' structural identity — see
+    # CK.foldable_checks) and gives free observability of the other
+    # side's violation rate.
     for cside, side_df in (("source", source), ("target", target)):
+        if not (profile_built or con_by_side[cside]):
+            continue  # side has no metrics relation carrying the sums
         total = (
             F.col(f"{cside}_count")
             if profile_built
             else F.col(f"constraint_rows_{cside}")
         )
-        for cc in con_by_side[cside]:
+        enforced_ids = {id(c) for c in con_by_side[cside]}
+        for cc in con_fold[cside]:
+            enforced = id(cc) in enforced_ids
             vc = F.col(f"constraint_violations_{cc.name}_{cside}")
             ratio = F.coalesce(
                 vc / F.nullif(total.cast("double"), F.lit(0.0)), F.lit(0.0)
@@ -532,6 +552,7 @@ def compile_task(
                     F.lit("ansi" if cc.null_passes else "strict").alias(
                         "null_semantics"
                     ),
+                    F.lit(enforced).alias("enforced"),
                     E.fmt_num(total).alias("rows"),
                     E.fmt_num(vc).alias("violation_rows"),
                     E.fmt_pct(ratio).alias("violation_percent"),
@@ -539,6 +560,8 @@ def compile_task(
                     E.pass_fail(ok).alias("status"),
                 ).alias(f"constraint_validation_{cc.name}_{cside}")
             )
+            if not enforced:
+                continue
             pass_conds.append(ok)
             if task.materialize_violations:
                 violation_dfs[f"constraint_{cc.name}_{cside}"] = (

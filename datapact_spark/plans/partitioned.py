@@ -91,21 +91,34 @@ def compile_partition_verdicts(
         for cside in ("source", "target") if cc.side == "both" else (cc.side,):
             con_by_side[cside].append(cc)
 
-    def _con_exprs(side: str) -> list[F.Column]:
-        from datapact_spark.operators.constraints import violation_exprs
+    # symmetric fold (see operators/constraints.foldable_checks): both
+    # grouped profiles carry the same constraint SUMs wherever the
+    # predicate resolves, preserving AQE scan/exchange reuse under
+    # self-validation; the verdict reads only the configured columns
+    from datapact_spark.operators.constraints import (
+        foldable_checks,
+        violation_exprs,
+    )
 
-        return violation_exprs(con_by_side[side], side)
+    all_cons = list(task.constraint_checks or [])
+    con_fold = {
+        "source": foldable_checks(source, all_cons, con_by_side["source"]),
+        "target": foldable_checks(target, all_cons, con_by_side["target"]),
+    }
+
+    def _con_exprs(side: str) -> list[F.Column]:
+        return violation_exprs(con_fold[side], side)
 
     if salt_buckets > 0:
         s_prof = grouped_profile_salted(
             source, task, "source", group_cols, salt_buckets,
             fp_sig=_fp_sig() if fp_in_profile else None,
-            constraints=con_by_side["source"],
+            constraints=con_fold["source"],
         )
         t_prof = grouped_profile_salted(
             target, task, "target", group_cols, salt_buckets,
             fp_sig=_fp_sig() if fp_in_profile else None,
-            constraints=con_by_side["target"],
+            constraints=con_fold["target"],
         )
     else:
         s_prof = P.grouped_profile_df(
@@ -124,6 +137,17 @@ def compile_partition_verdicts(
     joined = joined.withColumn(
         "source_count", F.coalesce(F.col("source_count"), F.lit(0))
     ).withColumn("target_count", F.coalesce(F.col("target_count"), F.lit(0)))
+    if fp_in_profile and (con_fold["source"] or con_fold["target"]):
+        # The fingerprint dirty-group scope below re-consumes this
+        # relation pruned down to the group keys; with constraint sums
+        # folded in, the pruned copy no longer canonicalizes equal to
+        # the full-width profiles, so AQE stops deduplicating the
+        # profile scans and the full table is scanned twice (measured
+        # +65% at 16M files). Caching the joined profile — one row per
+        # group — restores single-scan behavior: the scope's broadcast
+        # stage materializes the cache first and every later consumer
+        # reads it.
+        joined = joined.persist()
 
     pass_conds: list[tuple[str, F.Column]] = []
     metric_cols: list[F.Column] = [
@@ -331,18 +355,26 @@ def compile_partition_verdicts(
         metric_cols.append(val)
         pass_conds.append((f"drift_{dcheck.column}_{dcheck.metric}_passed", ok))
 
-    # per-group row constraints: violations rode the profile scans
+    # per-group row constraints: violations rode the profile scans.
+    # EVERY folded (check, side) pair surfaces as a metric column — not
+    # just the configured ones — so Catalyst cannot prune the
+    # symmetric-fold sums back out of one side's aggregate (which would
+    # desynchronize the two profile plans and kill exchange reuse; see
+    # foldable_checks). Only configured pairs gate the verdict.
     for cside in ("source", "target"):
-        for cc in con_by_side[cside]:
+        enforced_ids = {id(c) for c in con_by_side[cside]}
+        for cc in con_fold[cside]:
             vc = F.coalesce(
                 F.col(f"constraint_violations_{cc.name}_{cside}"), F.lit(0)
             )
+            metric_cols.append(vc.alias(f"constraint_violations_{cc.name}_{cside}"))
+            if id(cc) not in enforced_ids:
+                continue  # observed on this side, enforced on the other
             ratio = F.coalesce(
                 vc
                 / F.nullif(F.col(f"{cside}_count").cast("double"), F.lit(0.0)),
                 F.lit(0.0),
             )
-            metric_cols.append(vc.alias(f"constraint_violations_{cc.name}_{cside}"))
             pass_conds.append(
                 (f"constraint_{cc.name}_{cside}_passed", ratio <= cc.tolerance)
             )

@@ -1,0 +1,147 @@
+"""A/B cost of folding row constraints into the per-partition profile
+scans at 16M files: the same clean-steady-state fingerprint validation
+(scaling_bench.py's fastest mode) with ZERO vs FOUR constraint-violation
+sums riding the profile aggregates. The plan assert in
+tests/test_constraints.py proves zero extra scans; this measures the
+wall-clock cost of the extra SUM expressions themselves.
+
+Usage:  python tools/constraint_cost_bench.py
+        [--data-dir /tmp/datapact_scaling_16000000_64_256]
+        [--cores 32] [--runs 3]
+Prints one JSON line; paste into BENCH.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, %(repo)r)
+from datapact_spark.session import get_spark
+from datapact_spark.config import ConstraintCheck, ValidationTask
+from datapact_spark.plans.partitioned import compile_partition_verdicts
+from datapact_spark.sources.loader import TableResolver
+
+cores = int(sys.argv[1]); runs = int(sys.argv[2]); data_dir = sys.argv[3]
+warmup = int(sys.argv[4]); with_constraints = sys.argv[5] == "1"
+local_dir = "/dev/shm/datapact_bench_local" if os.path.isdir("/dev/shm") else None
+conf = {
+    "spark.ui.enabled": "false",
+    "spark.sql.files.maxPartitionBytes": "32m",
+    "spark.driver.memory": os.environ.get("DATAPACT_DRIVER_MEM", "24g"),
+}
+if local_dir:
+    os.makedirs(local_dir, exist_ok=True)
+    conf["spark.local.dir"] = local_dir
+spark = get_spark(
+    app_name=f"constraint-cost-{with_constraints}",
+    master=f"local[{cores}]",
+    shuffle_partitions=cores * 3,
+    extra_conf=conf,
+)
+spark.sparkContext.setLogLevel("ERROR")
+resolver = TableResolver(spark)
+resolver.register("code_src", os.path.join(data_dir, "code_src"))
+constraints = [
+    ConstraintCheck(name="lang_known",
+        predicate="lang IN ('py','java','scala','go','rs','cpp','js','sql')",
+        tolerance=0.001),
+    ConstraintCheck(name="content_present", predicate="length(content) > 0",
+        null_passes=False),
+    ConstraintCheck(name="path_well_formed",
+        predicate="path NOT LIKE '/%%' AND path NOT LIKE '%%..%%'", side="both"),
+] if with_constraints else None
+task = ValidationTask(
+    task_key="scaling",
+    source="code_src",
+    target="code_src",   # clean steady state: source == target
+    primary_keys=["repo", "path"],
+    partition_by=["repo", "lang"],
+    count_tolerance=0.0,
+    pk_row_hash_check=True,
+    pk_hash_tolerance=0.0,
+    hash_columns=["content"],
+    hash_algo="sha256",
+    row_hash_mode="fingerprint_multiset",
+    constraint_checks=constraints,
+)
+out_dir = os.path.join(data_dir, "verdicts_out_concost")
+times = []
+for i in range(runs + warmup):
+    spark.catalog.clearCache()
+    t0 = time.monotonic()
+    verdicts = compile_partition_verdicts(spark, task, resolver)
+    verdicts.write.mode("overwrite").parquet(out_dir)
+    dt = time.monotonic() - t0
+    if i >= warmup:
+        times.append(dt)
+ok = spark.read.parquet(out_dir)
+n = ok.count()
+n_failed = ok.where("NOT overall_validation_passed").count()
+print(json.dumps({"times": times, "groups": n, "failed_groups": n_failed,
+                  "with_constraints": with_constraints}))
+spark.stop()
+"""
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--data-dir", default="/tmp/datapact_scaling_16000000_64_256"
+    )
+    ap.add_argument("--cores", type=int, default=32)
+    ap.add_argument("--runs", type=int, default=3)
+    args = ap.parse_args()
+    if not os.path.isdir(os.path.join(args.data_dir, "code_src")):
+        print(
+            f"input {args.data_dir}/code_src missing — generate via "
+            "scaling_bench.py first",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+
+    worker_py = WORKER % {"repo": REPO}
+
+    def run(flag: str) -> dict:
+        cmd = [sys.executable, "-c", worker_py, str(args.cores), str(args.runs),
+               args.data_dir, "1", flag]
+        if os.path.exists("/usr/bin/taskset"):
+            cmd = ["taskset", "-c", f"0-{args.cores - 1}"] + cmd
+        out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+        if out.returncode != 0:
+            raise RuntimeError(f"worker failed:\n{out.stderr[-3000:]}")
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    # interleave to cancel host drift: off, on, on, off
+    results = {"off": [], "on": []}
+    for flag in ("0", "1", "1", "0"):
+        r = run(flag)
+        results["on" if flag == "1" else "off"].extend(r["times"])
+        last = r
+    t_off, t_on = min(results["off"]), min(results["on"])
+    print(
+        json.dumps(
+            {
+                "metric": "constraint fold cost at 16M files (clean fingerprint mode)",
+                "cores": args.cores,
+                "best_sec_no_constraints": round(t_off, 2),
+                "best_sec_with_4_constraint_sums": round(t_on, 2),
+                "overhead_ratio": round(t_on / t_off, 3),
+                "files_per_sec_with_constraints": round(16_000_000 / t_on),
+                "groups": last["groups"],
+                "all_times": {k: [round(x, 2) for x in v] for k, v in results.items()},
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
