@@ -34,6 +34,8 @@ validations:
           - {agg: SUM, tolerance: 0.005}
     uniqueness_columns: [id]
     uniqueness_tolerance: 0.0
+    freshness_checks:
+      - {column: updated_at, max_age_hours: 24}   # SLA staleness gate
     schema_check: true              # metadata-only schema parity (exact|subset|names)
     constraint_checks:
       - name: amount_non_negative

@@ -193,6 +193,38 @@ class ConstraintCheck(BaseModel):
         return v
 
 
+class FreshnessCheck(BaseModel):
+    """Data-freshness (SLA) check: fail the task when
+    ``reference_time - MAX(column)`` exceeds ``max_age_hours``. The
+    reference time is the task's ``validation_begin_ts`` (one
+    deterministic instant per compile, embedded as a plan literal — the
+    verdict does not drift while the job runs). An empty slice (NULL
+    max) fails: no data is stale data.
+
+    Compiles to ONE commutative ``MAX`` folded into the side's
+    single-pass profile scan — zero extra scans (same symmetric-fold
+    rule as ``ConstraintCheck``).
+    """
+
+    column: str
+    max_age_hours: float
+    side: str = "source"  # source | target | both
+
+    @field_validator("max_age_hours")
+    @classmethod
+    def _validate_age(cls, v: float) -> float:
+        if v <= 0:
+            raise ValueError("max_age_hours must be positive")
+        return v
+
+    @field_validator("side")
+    @classmethod
+    def _validate_side(cls, v: str) -> str:
+        if v not in {"source", "target", "both"}:
+            raise ValueError("side must be source, target, or both")
+        return v
+
+
 class SchemaCheck(BaseModel):
     """Declarative schema validation (the "schema" half of the north
     star's "schema + constraint validation"; no reference counterpart).
@@ -430,6 +462,7 @@ class ValidationTask(BaseModel):
     partition_batches: int = 4
     partition_salt_buckets: int = 0
     schema_check: SchemaCheck | bool | None = None
+    freshness_checks: list[FreshnessCheck] | None = None
     referential_checks: list[ReferentialCheck] | None = None
     constraint_checks: list[ConstraintCheck] | None = None
     drift_checks: list[DriftCheck] | None = None
@@ -638,6 +671,13 @@ class ValidationTask(BaseModel):
             if cc.name in seen_constraints:
                 raise ValueError(f"Duplicate constraint check name '{cc.name}'")
             seen_constraints.add(cc.name)
+        seen_fresh: set[str] = set()
+        for fc in self.freshness_checks or []:
+            if fc.column in seen_fresh:
+                raise ValueError(
+                    f"Duplicate freshness check on column '{fc.column}'"
+                )
+            seen_fresh.add(fc.column)
         return self
 
     # ---- helpers ----
@@ -678,6 +718,7 @@ class ValidationTask(BaseModel):
             or (self.uniqueness_columns and self.uniqueness_tolerance is not None)
             or self.custom_sql_tests
             or self.schema_check
+            or self.freshness_checks
             or self.referential_checks
             or self.constraint_checks
             or self.drift_checks

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from datapact_spark.config import ValidationTask
 from datapact_spark.functions import exprs as E
 from datapact_spark.operators import constraints as CK
+from datapact_spark.operators import freshness as FR
 from datapact_spark.operators import profile as P
 from datapact_spark.operators import referential as R
 from datapact_spark.operators import rowhash as H
@@ -272,6 +273,17 @@ def compile_task(
         "source": CK.foldable_checks(source, all_cons, con_by_side["source"]),
         "target": CK.foldable_checks(target, all_cons, con_by_side["target"]),
     }
+    # freshness MAX(ts) aggregates ride the same scans with the same
+    # symmetric-fold rule
+    all_fresh = list(task.freshness_checks or [])
+    fresh_by_side: dict[str, list] = {"source": [], "target": []}
+    for fc in all_fresh:
+        for fside in ("source", "target") if fc.side == "both" else (fc.side,):
+            fresh_by_side[fside].append(fc)
+    fresh_fold = {
+        "source": FR.foldable_freshness(source, all_fresh, fresh_by_side["source"]),
+        "target": FR.foldable_freshness(target, all_fresh, fresh_by_side["target"]),
+    }
     profile_built = P.stats_needed(task)
     if profile_built:
         metric_dfs.append(
@@ -280,7 +292,8 @@ def compile_task(
                 task,
                 "source",
                 include_uniqueness=not uniq_external,
-                extra_exprs=CK.violation_exprs(con_fold["source"], "source"),
+                extra_exprs=CK.violation_exprs(con_fold["source"], "source")
+                + FR.max_ts_exprs(fresh_fold["source"], "source"),
             )
         )
         metric_dfs.append(
@@ -289,14 +302,21 @@ def compile_task(
                 task,
                 "target",
                 include_uniqueness=not uniq_external,
-                extra_exprs=CK.violation_exprs(con_fold["target"], "target"),
+                extra_exprs=CK.violation_exprs(con_fold["target"], "target")
+                + FR.max_ts_exprs(fresh_fold["target"], "target"),
             )
         )
     else:
         for cside, df_side in (("source", source), ("target", target)):
-            if con_by_side[cside]:
+            if con_by_side[cside] or fresh_by_side[cside]:
                 metric_dfs.append(
-                    CK.constraint_metrics(df_side, con_fold[cside], cside)
+                    df_side.agg(
+                        F.count(F.lit(1))
+                        .cast("long")
+                        .alias(f"constraint_rows_{cside}"),
+                        *CK.violation_exprs(con_fold[cside], cside),
+                        *FR.max_ts_exprs(fresh_fold[cside], cside),
+                    )
                 )
     if uniq_external:
         from datapact_spark.operators.uniqueness import (
@@ -567,6 +587,31 @@ def compile_task(
                 violation_dfs[f"constraint_{cc.name}_{cside}"] = (
                     CK.constraint_violations(side_df, cc)
                 )
+
+    # ---- freshness / SLA (north-star) ----------------------------------
+    for fside in ("source", "target"):
+        if not (profile_built or con_by_side[fside] or fresh_by_side[fside]):
+            continue
+        enforced_ids = {id(c) for c in fresh_by_side[fside]}
+        for fc in fresh_fold[fside]:
+            enforced = id(fc) in enforced_ids
+            mx = F.col(f"freshness_max_{fc.column}_{fside}")
+            age_h = (
+                F.lit(begin_ts).cast("timestamp").cast("double")
+                - mx.cast("double")
+            ) / F.lit(3600.0)
+            ok = F.coalesce(age_h <= fc.max_age_hours, F.lit(False))
+            payload_fields.append(
+                F.struct(
+                    F.lit(enforced).alias("enforced"),
+                    F.date_format(mx, "yyyy-MM-dd HH:mm:ss").alias("latest"),
+                    F.round(age_h, 2).alias("age_hours"),
+                    F.lit(fc.max_age_hours).alias("max_age_hours"),
+                    E.pass_fail(ok).alias("status"),
+                ).alias(f"freshness_validation_{fc.column}_{fside}")
+            )
+            if enforced:
+                pass_conds.append(ok)
 
     # ---- distribution drift (north-star) -------------------------------
     bootstrap_drift: list = []
