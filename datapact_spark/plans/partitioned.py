@@ -106,6 +106,21 @@ def compile_partition_verdicts(
         "target": foldable_checks(target, all_cons, con_by_side["target"]),
     }
 
+    from datapact_spark.operators.freshness import (
+        foldable_freshness,
+        max_ts_exprs,
+    )
+
+    all_fresh = list(task.freshness_checks or [])
+    fresh_by_side: dict[str, list] = {"source": [], "target": []}
+    for fc in all_fresh:
+        for fside in ("source", "target") if fc.side == "both" else (fc.side,):
+            fresh_by_side[fside].append(fc)
+    fresh_fold = {
+        "source": foldable_freshness(source, all_fresh, fresh_by_side["source"]),
+        "target": foldable_freshness(target, all_fresh, fresh_by_side["target"]),
+    }
+
     def _con_exprs(side: str) -> list[F.Column]:
         return violation_exprs(con_fold[side], side)
 
@@ -114,22 +129,26 @@ def compile_partition_verdicts(
             source, task, "source", group_cols, salt_buckets,
             fp_sig=_fp_sig() if fp_in_profile else None,
             constraints=con_fold["source"],
+            freshness=fresh_fold["source"],
         )
         t_prof = grouped_profile_salted(
             target, task, "target", group_cols, salt_buckets,
             fp_sig=_fp_sig() if fp_in_profile else None,
             constraints=con_fold["target"],
+            freshness=fresh_fold["target"],
         )
     else:
         s_prof = P.grouped_profile_df(
             source, task, "source", group_cols,
             extra_exprs=(_fp_exprs("source") if fp_in_profile else [])
-            + _con_exprs("source"),
+            + _con_exprs("source")
+            + max_ts_exprs(fresh_fold["source"], "source"),
         )
         t_prof = P.grouped_profile_df(
             target, task, "target", group_cols,
             extra_exprs=(_fp_exprs("target") if fp_in_profile else [])
-            + _con_exprs("target"),
+            + _con_exprs("target")
+            + max_ts_exprs(fresh_fold["target"], "target"),
         )
 
     joined = s_prof.join(t_prof, on=group_cols, how="full_outer")
@@ -137,7 +156,12 @@ def compile_partition_verdicts(
     joined = joined.withColumn(
         "source_count", F.coalesce(F.col("source_count"), F.lit(0))
     ).withColumn("target_count", F.coalesce(F.col("target_count"), F.lit(0)))
-    if fp_in_profile and (con_fold["source"] or con_fold["target"]):
+    if fp_in_profile and (
+        con_fold["source"]
+        or con_fold["target"]
+        or fresh_fold["source"]
+        or fresh_fold["target"]
+    ):
         # The fingerprint dirty-group scope below re-consumes this
         # relation pruned down to the group keys; with constraint sums
         # folded in, the pruned copy no longer canonicalizes equal to
@@ -379,6 +403,25 @@ def compile_partition_verdicts(
                 (f"constraint_{cc.name}_{cside}_passed", ratio <= cc.tolerance)
             )
 
+    # per-group freshness: MAX(ts) rode the profile scans; reference
+    # instant = one deterministic now() captured at compile
+    import datetime as _dt
+
+    _begin = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+    for fside in ("source", "target"):
+        enforced_ids = {id(c) for c in fresh_by_side[fside]}
+        for fc in fresh_fold[fside]:
+            mx = F.col(f"freshness_max_{fc.column}_{fside}")
+            metric_cols.append(mx.alias(f"freshness_max_{fc.column}_{fside}"))
+            if id(fc) not in enforced_ids:
+                continue
+            age_h = (
+                F.lit(_begin).cast("timestamp").cast("double")
+                - mx.cast("double")
+            ) / F.lit(3600.0)
+            ok = F.coalesce(age_h <= fc.max_age_hours, F.lit(False))
+            pass_conds.append((f"freshness_{fc.column}_{fside}_passed", ok))
+
     if not pass_conds:
         raise ValueError(f"task {task.task_key} has no groupable checks configured")
 
@@ -403,6 +446,7 @@ def grouped_profile_salted(
     salt_buckets: int,
     fp_sig: F.Column | None = None,
     constraints: list | None = None,
+    freshness: list | None = None,
 ) -> DataFrame:
     """Two-level grouped profile for skewed verdict keys: partial
     aggregate on (keys, salt), then merge per key. Catalyst/AQE splits
@@ -440,6 +484,14 @@ def grouped_profile_salted(
             F.sum(f"__cv_{cc.name}")
             .cast("long")
             .alias(f"constraint_violations_{cc.name}_{side}")
+        )
+    # MAX is associative/commutative — freshness rides the salt split too
+    for fc in freshness or []:
+        partial_exprs.append(
+            F.max(F.col(fc.column).cast("timestamp")).alias(f"__fr_{fc.column}")
+        )
+        merge_exprs.append(
+            F.max(f"__fr_{fc.column}").alias(f"freshness_max_{fc.column}_{side}")
         )
     nulls_tc = (
         task.null_validation_columns

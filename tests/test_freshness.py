@@ -108,3 +108,45 @@ def test_rides_profile_scan_with_other_checks(spark, resolver, tmp_path):
     assert res.passed
     assert p["freshness_validation_updated_at_source"]["status"] == "PASS"
     assert p["freshness_validation_updated_at_target"]["status"] == "PASS"
+
+
+def test_partitioned_freshness_and_salt_identity(spark, tmp_path):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from datapact_spark.plans.partitioned import compile_partition_verdicts
+
+    now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    df = spark.createDataFrame(
+        [("a", i, now - dt.timedelta(hours=1)) for i in range(10)]
+        + [("b", i, now - dt.timedelta(hours=40)) for i in range(10)],
+        "grp string, id int, updated_at timestamp",
+    )
+    r = TableResolver(spark)
+    r.register("t", df)
+    task = ValidationTask(
+        task_key="pf", source="t", target="t",
+        partition_by=["grp"], count_tolerance=0.0,
+        freshness_checks=[FreshnessCheck(column="updated_at", max_age_hours=24)],
+    )
+    rows = {
+        r_["grp"]: r_
+        for r_ in compile_partition_verdicts(spark, task, r).collect()
+    }
+    assert rows["a"]["freshness_updated_at_source_passed"]
+    assert not rows["b"]["freshness_updated_at_source_passed"]
+    assert rows["a"]["overall_validation_passed"]
+    assert not rows["b"]["overall_validation_passed"]
+    salted = {
+        r_["grp"]: r_
+        for r_ in compile_partition_verdicts(
+            spark, task, r, salt_buckets=4
+        ).collect()
+    }
+    # per-group MAX survives the salt split byte-identically
+    for g in ("a", "b"):
+        assert (
+            salted[g]["freshness_max_updated_at_source"]
+            == rows[g]["freshness_max_updated_at_source"]
+        )
