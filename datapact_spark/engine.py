@@ -341,6 +341,14 @@ class DataPactEngine:
             store.write_batches(task.task_key, run_id, out)
             for b in missing:
                 store.finalize_batch(task.task_key, run_id, b, verdicts.schema)
+        # compile_partition_verdicts caches the joined-profile relation
+        # when constraint/freshness folds are present (see the persist
+        # note there); release it now that the verdicts are written so
+        # a long-lived session running many tasks doesn't accumulate
+        # verdict-sized cache entries
+        cached = getattr(verdicts, "_datapact_cached", None)
+        if cached is not None:
+            cached.unpersist()
         return store.read_verdicts(task.task_key, run_id)
 
     def _refresh_exec_tables(self, run_id: int) -> None:

@@ -430,12 +430,17 @@ def compile_partition_verdicts(
         overall = overall & c
     named_conds = [c.alias(name) for name, c in pass_conds]
 
-    return step.select(
+    out = step.select(
         *[F.col(c) for c in group_cols],
         *metric_cols,
         *named_conds,
         overall.alias("overall_validation_passed"),
     )
+    if joined.is_cached:
+        # hand the cached joined-profile relation to the caller so it
+        # can be released once the verdicts are materialized
+        out._datapact_cached = joined
+    return out
 
 
 def grouped_profile_salted(
