@@ -80,6 +80,18 @@ def main(argv: list[str] | None = None) -> int:
         help="directory for the .lvdash.json (default: <results-path>/dashboards)",
     )
 
+    sug_p = sub.add_parser(
+        "suggest",
+        help="profile a table once and write a suggested validation "
+        "config (expectation-profiler onboarding path)",
+    )
+    sug_p.add_argument("--source", required=True,
+                       help="table FQN, parquet path, or registered name")
+    sug_p.add_argument("--base-dir", default=None)
+    sug_p.add_argument("--output", default=None,
+                       help="YAML path (default: stdout)")
+    sug_p.add_argument("--results-path", default="/tmp/datapact_results")
+
     hist_p = sub.add_parser(
         "history",
         help="recent runs + per-task status transitions from a results "
@@ -149,6 +161,22 @@ def main(argv: list[str] | None = None) -> int:
                     f"{r['task_key']}: {r['transition']} "
                     f"({r['prev_status']} -> {r['curr_status']})"
                 )
+        return 0
+
+    if args.command == "suggest":
+        from datapact_spark.suggest import suggest_config_yaml
+
+        spark = get_spark()
+        resolver = TableResolver(spark, base_dir=args.base_dir)
+        df = resolver.resolve(args.source)
+        text = suggest_config_yaml(
+            df, args.source, results_path=args.results_path
+        )
+        if args.output:
+            Path(args.output).write_text(text)
+            print(f"wrote {args.output}")
+        else:
+            print(text)
         return 0
 
     if args.command == "dashboard":

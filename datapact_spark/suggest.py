@@ -1,0 +1,218 @@
+"""Validation-suite suggestion: profile a table ONCE and emit a
+ready-to-run ``DataPactConfig`` YAML.
+
+The "expectation profiler" onboarding path of Great Expectations / dbt,
+applied to this engine's declarative surface (no reference counterpart
+— DataPact starts from a hand-written config). Everything is derived
+from a single single-pass aggregate over the table:
+
+* columns observed fully non-null       → ``null_validation_columns``
+* a column whose approx distinct count ≈ row count → ``primary_keys``
+  + a uniqueness check (approx first, exactness enforced at run time)
+* numeric columns                       → SUM agg validations and
+  range ``constraint_checks`` from the observed min/max
+* timestamp columns                     → a ``freshness_checks`` entry
+  whose ``max_age_hours`` is twice the observed staleness (rounded up)
+* always                                → ``schema_check: true``,
+  ``count_tolerance: 0.0``
+
+Scale shape: ONE ``df.agg`` with count / null-sums /
+approx_count_distinct / min / max per column — a single scan with
+map-side partials, no shuffle beyond the 1-row combine, no collect
+larger than one row. Suggestions are heuristics to edit, not truth:
+the emitted YAML carries the observed evidence as comments.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# candidate bar for unique keys: the profile uses
+# approx_count_distinct(rsd=0.01), but small tables still wobble a few
+# percent — candidates above the bar get an EXACT verification scan, so
+# a generous bar costs at most a few cheap column scans, never a wrong
+# suggestion
+UNIQUE_COVERAGE = 0.9
+
+
+def profile_for_suggestions(df: DataFrame) -> dict[str, Any]:
+    """The single-pass profile every suggestion derives from."""
+    exprs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    numeric = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+               T.FloatType, T.DoubleType, T.DecimalType)
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        exprs.append(
+            F.sum(F.when(c.isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"__nulls_{f.name}")
+        )
+        exprs.append(
+            F.approx_count_distinct(c, 0.01).alias(f"__distinct_{f.name}")
+        )
+        if isinstance(f.dataType, numeric):
+            exprs.append(F.min(c).alias(f"__min_{f.name}"))
+            exprs.append(F.max(c).alias(f"__max_{f.name}"))
+        if isinstance(f.dataType, (T.TimestampType, T.DateType)):
+            exprs.append(
+                F.max(c.cast("timestamp")).alias(f"__maxts_{f.name}")
+            )
+    row = df.agg(*exprs).collect()[0].asDict()
+    return row
+
+
+def _fmt_num(v: Any) -> Any:
+    if v is None:
+        return None
+    if isinstance(v, float):
+        return float(v)
+    try:
+        return int(v)
+    except (TypeError, ValueError):
+        return float(v)
+
+
+def suggest_task(
+    df: DataFrame,
+    table_name: str,
+    task_key: str | None = None,
+    now: dt.datetime | None = None,
+) -> tuple[dict[str, Any], dict[str, Any]]:
+    """Build a suggested task dict (YAML-ready) plus the evidence dict
+    backing each suggestion. ``now`` pins the freshness reference for
+    deterministic tests."""
+    prof = profile_for_suggestions(df)
+    n = prof["__n"]
+    now = now or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    evidence: dict[str, Any] = {"rows": n}
+
+    task: dict[str, Any] = {
+        "task_key": task_key or f"{table_name}_suite",
+        "source": table_name,
+        "target": table_name,
+        "count_tolerance": 0.0,
+        "schema_check": True,
+    }
+    if n == 0:
+        evidence["note"] = "empty table — only count/schema suggested"
+        return task, evidence
+
+    non_null = [
+        f.name for f in df.schema.fields if prof[f"__nulls_{f.name}"] == 0
+    ]
+    if non_null:
+        task["null_validation_columns"] = non_null
+        task["null_validation_tolerance"] = 0.0
+        evidence["non_null_columns"] = non_null
+
+    # unique-key candidates above the approx-coverage bar, in SCHEMA
+    # order (deterministic when several columns are unique — approx
+    # noise must not flip the pick). approx_count_distinct has ~2% rsd,
+    # so each candidate gets one column-pruned EXACT verification scan
+    # before a zero-tolerance check is suggested — the emitted suite is
+    # guaranteed to pass on the table it profiled. First exact hit wins.
+    rejected: list[dict[str, Any]] = []
+    for f in df.schema.fields:
+        cov = (prof[f"__distinct_{f.name}"] / n) if n else 0.0
+        if cov < UNIQUE_COVERAGE or prof[f"__nulls_{f.name}"] != 0:
+            continue
+        exact = df.agg(
+            F.count_distinct(F.col(f.name)).alias("d"),
+            F.count(F.col(f.name)).alias("c"),
+        ).collect()[0]
+        if exact["d"] == exact["c"]:
+            task["primary_keys"] = [f.name]
+            task["pk_row_hash_check"] = True
+            task["pk_hash_tolerance"] = 0.0
+            task["uniqueness_columns"] = [f.name]
+            task["uniqueness_tolerance"] = 0.0
+            evidence["unique_key"] = {
+                "column": f.name,
+                "approx_distinct_coverage": round(cov, 4),
+                "exact_unique": True,
+            }
+            break
+        rejected.append(
+            {"column": f.name, "exact_distinct": exact["d"], "rows": exact["c"]}
+        )
+    if rejected:
+        evidence["unique_key_rejected"] = rejected
+
+    numeric = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+               T.FloatType, T.DoubleType, T.DecimalType)
+    aggs, constraints = [], []
+    for f in df.schema.fields:
+        if not isinstance(f.dataType, numeric):
+            continue
+        aggs.append(
+            {"column": f.name,
+             "validations": [{"agg": "SUM", "tolerance": 0.0}]}
+        )
+        lo = prof.get(f"__min_{f.name}")
+        hi = prof.get(f"__max_{f.name}")
+        if lo is not None and hi is not None:
+            constraints.append(
+                {
+                    "name": f"{f.name}_in_observed_range",
+                    "predicate": (
+                        f"{f.name} >= {_fmt_num(lo)} "
+                        f"AND {f.name} <= {_fmt_num(hi)}"
+                    ),
+                    "tolerance": 0.0,
+                }
+            )
+            evidence.setdefault("numeric_ranges", {})[f.name] = [
+                _fmt_num(lo), _fmt_num(hi)
+            ]
+    if aggs:
+        task["agg_validations"] = aggs
+    if constraints:
+        task["constraint_checks"] = constraints
+
+    fresh = []
+    for f in df.schema.fields:
+        if not isinstance(f.dataType, (T.TimestampType, T.DateType)):
+            continue
+        mx = prof.get(f"__maxts_{f.name}")
+        if mx is None:
+            continue
+        age_h = max((now - mx).total_seconds() / 3600.0, 0.0)
+        budget = max(math.ceil(age_h * 2), 1)
+        fresh.append({"column": f.name, "max_age_hours": float(budget)})
+        evidence.setdefault("freshness", {})[f.name] = {
+            "observed_age_hours": round(age_h, 2),
+            "suggested_budget_hours": budget,
+        }
+    if fresh:
+        task["freshness_checks"] = fresh
+
+    return task, evidence
+
+
+def suggest_config_yaml(
+    df: DataFrame,
+    table_name: str,
+    results_path: str = "/tmp/datapact_results",
+    now: dt.datetime | None = None,
+) -> str:
+    """Render the suggested config as YAML with the evidence inlined as
+    header comments. The output parses with ``config.load_config`` and
+    passes against the profiled table as-is (self-validation)."""
+    import yaml
+
+    task, evidence = suggest_task(df, table_name, now=now)
+    cfg = {"results_path": results_path, "validations": [task]}
+    header = [
+        "# Suggested by `datapact_spark suggest` from a single profile scan.",
+        "# Evidence (edit thresholds before trusting in CI):",
+    ]
+    for k, v in evidence.items():
+        header.append(f"#   {k}: {v}")
+    body = yaml.safe_dump(cfg, sort_keys=False, default_flow_style=False)
+    return "\n".join(header) + "\n" + body

@@ -1,0 +1,103 @@
+"""Validation-suite suggestion (suggest.py + the `suggest` CLI)."""
+
+import datetime as dt
+
+import pytest
+import yaml
+
+from datapact_spark.config import DataPactConfig
+from datapact_spark.engine import DataPactEngine
+from datapact_spark.sources.loader import TableResolver
+from datapact_spark.suggest import suggest_config_yaml, suggest_task
+
+
+@pytest.fixture(scope="module")
+def profiled(spark):
+    now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    rows = [
+        (i, f"u{i}", float(10 + i % 50), i % 7,
+         now - dt.timedelta(hours=2 + (i % 3)))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, name string, amount double, bucket int, updated_at timestamp"
+    )
+    return df, now
+
+
+def test_suggest_task_contents(spark, profiled):
+    df, now = profiled
+    task, ev = suggest_task(df, "t", now=now)
+    assert task["schema_check"] is True
+    assert task["count_tolerance"] == 0.0
+    # id is exactly unique and non-null -> PK + uniqueness + row hash
+    assert task["primary_keys"] == ["id"]
+    assert task["uniqueness_columns"] == ["id"]
+    assert ev["unique_key"]["exact_unique"] is True
+    # every column is non-null in this fixture
+    assert set(task["null_validation_columns"]) == {
+        "id", "name", "amount", "bucket", "updated_at"
+    }
+    # numerics get SUM aggs + observed-range constraints
+    agg_cols = {a["column"] for a in task["agg_validations"]}
+    assert {"id", "amount", "bucket"} <= agg_cols
+    con_names = {c["name"] for c in task["constraint_checks"]}
+    assert "amount_in_observed_range" in con_names
+    assert ev["numeric_ranges"]["amount"] == [10.0, 59.0]
+    # timestamp column gets a freshness budget of 2x observed age
+    fc = task["freshness_checks"][0]
+    assert fc["column"] == "updated_at"
+    assert fc["max_age_hours"] >= 4  # observed ~2h -> >=4h budget
+
+
+def test_non_unique_candidate_rejected(spark):
+    df = spark.createDataFrame(
+        [(i % 480, i % 250) for i in range(500)], "almost_id long, v long"
+    )
+    task, ev = suggest_task(df, "t")
+    assert "primary_keys" not in task
+    assert "unique_key_rejected" in ev or "unique_key" not in ev
+
+
+def test_suggested_yaml_parses_and_passes(spark, profiled, tmp_path):
+    df, now = profiled
+    text = suggest_config_yaml(df, "suggested_src", now=now)
+    # YAML parses through the real config loader
+    p = tmp_path / "suggested.yml"
+    p.write_text(text)
+    from datapact_spark.config import load_config
+
+    cfg = load_config(p)
+    assert isinstance(cfg, DataPactConfig)
+    # and the suite passes against the very table it profiled
+    resolver = TableResolver(spark)
+    resolver.register("suggested_src", df)
+    engine = DataPactEngine(spark, resolver, results_path=str(tmp_path / "r"))
+    res = engine.run(cfg, job_name="suggested")
+    assert res.passed, res.outcomes
+
+
+def test_empty_table_minimal_suite(spark):
+    df = spark.createDataFrame([], "id long, v double")
+    task, ev = suggest_task(df, "t")
+    assert task["schema_check"] is True
+    assert "null_validation_columns" not in task
+    assert "freshness_checks" not in task
+    assert ev["rows"] == 0
+
+
+def test_suggest_cli_roundtrip(spark, tmp_path, sf_dir):
+    import subprocess
+    import sys
+
+    out = tmp_path / "cfg.yml"
+    r = subprocess.run(
+        [sys.executable, "-m", "datapact_spark", "suggest",
+         "--source", "orders", "--base-dir", sf_dir,
+         "--output", str(out)],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    cfg = yaml.safe_load(out.read_text())
+    assert cfg["validations"][0]["source"] == "orders"
+    assert "# Suggested by" in out.read_text()
