@@ -283,3 +283,71 @@ def run_delta(ledger: DataFrame, run_a: int | None = None, run_b: int | None = N
             transition.alias("transition"),
         )
     )
+
+
+def runtime_anomalies(
+    ledger: DataFrame,
+    min_history: int = 3,
+    sigma: float = 3.0,
+) -> DataFrame:
+    """Per-task runtime anomaly report: flag tasks whose LATEST run took
+    more than ``sigma`` standard deviations longer than their trailing
+    history (the "validation suddenly slow" page — often the first
+    symptom of an input-table blowup or a broken pushdown upstream).
+
+    Runtime = ``validation_complete_ts - validation_begin_ts`` seconds.
+    The baseline excludes the latest run (a blown-up run must not
+    defend itself by inflating its own baseline) and needs at least
+    ``min_history`` prior runs; a zero-variance history falls back to a
+    2x-mean threshold so constant-runtime tasks still alert.
+
+    Scale shape: the ledger is task×run sized; one window per task
+    ordered by run. No raw-table scans.
+    """
+    dur = (
+        F.col("validation_complete_ts").cast("double")
+        - F.col("validation_begin_ts").cast("double")
+    )
+    per_run = ledger.select(
+        "task_key", "run_id", dur.alias("runtime_sec")
+    )
+    w = Window.partitionBy("task_key").orderBy(F.col("run_id").desc())
+    ranked = per_run.select("*", F.row_number().over(w).alias("__rn"))
+    latest = ranked.where(F.col("__rn") == 1).select(
+        "task_key",
+        F.col("run_id").alias("latest_run_id"),
+        F.col("runtime_sec").alias("latest_runtime_sec"),
+    )
+    history = (
+        ranked.where(F.col("__rn") > 1)
+        .groupBy("task_key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("history_runs"),
+            F.avg("runtime_sec").alias("mean_runtime_sec"),
+            F.stddev_samp("runtime_sec").alias("std_runtime_sec"),
+        )
+    )
+    joined = latest.join(history, "task_key", "left")
+    threshold = F.when(
+        F.coalesce(F.col("std_runtime_sec"), F.lit(0.0)) > 0.0,
+        F.col("mean_runtime_sec") + F.lit(sigma) * F.col("std_runtime_sec"),
+    ).otherwise(F.col("mean_runtime_sec") * 2.0)
+    zscore = F.when(
+        F.coalesce(F.col("std_runtime_sec"), F.lit(0.0)) > 0.0,
+        (F.col("latest_runtime_sec") - F.col("mean_runtime_sec"))
+        / F.col("std_runtime_sec"),
+    )
+    anomalous = (
+        (F.col("history_runs") >= min_history)
+        & (F.col("latest_runtime_sec") > threshold)
+    )
+    return joined.select(
+        "task_key",
+        "latest_run_id",
+        "latest_runtime_sec",
+        F.coalesce(F.col("history_runs"), F.lit(0)).alias("history_runs"),
+        "mean_runtime_sec",
+        "std_runtime_sec",
+        zscore.alias("runtime_zscore"),
+        F.coalesce(anomalous, F.lit(False)).alias("anomalous"),
+    )

@@ -103,6 +103,10 @@ def main(argv: list[str] | None = None) -> int:
         "--delta", action="store_true",
         help="also print per-task transitions between the two latest runs",
     )
+    hist_p.add_argument(
+        "--anomalies", action="store_true",
+        help="also flag tasks whose latest runtime jumped vs trailing history",
+    )
 
     args = parser.parse_args(argv)
 
@@ -160,6 +164,23 @@ def main(argv: list[str] | None = None) -> int:
                 print(
                     f"{r['task_key']}: {r['transition']} "
                     f"({r['prev_status']} -> {r['curr_status']})"
+                )
+        if args.anomalies:
+            hot = (
+                agg.runtime_anomalies(ledger)
+                .where(F.col("anomalous"))
+                .orderBy(F.col("runtime_zscore").desc_nulls_last())
+                .collect()
+            )
+            print("--- runtime anomalies (latest run vs trailing history) ---")
+            if not hot:
+                print("none")
+            for r in hot:
+                z = r["runtime_zscore"]
+                print(
+                    f"{r['task_key']}: {r['latest_runtime_sec']:.1f}s vs mean "
+                    f"{r['mean_runtime_sec']:.1f}s over {r['history_runs']} runs"
+                    + (f" (z={z:.1f})" if z is not None else "")
                 )
         return 0
 

@@ -144,8 +144,47 @@ def test_history_cli(spark, tables, tmp_path, capsys):
     engine.run(ok, job_name="j", run_id=1)
     engine.run(bad, job_name="j", run_id=2, raise_on_failure=False)
 
-    rc = main(["history", "--results-path", str(tmp_path / "res"), "--delta"])
+    rc = main(["history", "--results-path", str(tmp_path / "res"), "--delta",
+               "--anomalies"])
     assert rc == 0
     out = capsys.readouterr().out
     assert "run 2" in out and "failed=1" in out
     assert "t: REGRESSED (SUCCESS -> FAILURE)" in out
+    # one prior run is below min_history -> nothing flagged, section prints
+    assert "runtime anomalies" in out and "none" in out
+
+
+def test_runtime_anomalies(spark):
+    import datetime as dt
+
+    from datapact_spark.aggregate import runtime_anomalies
+
+    base = dt.datetime(2026, 1, 1)
+
+    def row(task, run, secs):
+        return (task, run, base, base + dt.timedelta(seconds=secs))
+
+    rows = (
+        # steady: 10s +- 1 history, latest 11s -> not anomalous
+        [row("steady", r, 10 + (r % 3) - 1) for r in range(1, 5)]
+        + [row("steady", 5, 11)]
+        # blowup: 10s history, latest 100s -> anomalous
+        + [row("blowup", r, 10 + (r % 3) - 1) for r in range(1, 5)]
+        + [row("blowup", 5, 100)]
+        # constant history (zero variance), latest 3x -> 2x-mean fallback fires
+        + [row("constant", r, 10) for r in range(1, 5)]
+        + [row("constant", 5, 30)]
+        # young task: only 2 prior runs -> never anomalous
+        + [row("young", 4, 10), row("young", 3, 10), row("young", 5, 500)]
+    )
+    ledger = spark.createDataFrame(
+        rows,
+        "task_key string, run_id long, validation_begin_ts timestamp, "
+        "validation_complete_ts timestamp",
+    )
+    out = {r["task_key"]: r for r in runtime_anomalies(ledger).collect()}
+    assert not out["steady"]["anomalous"]
+    assert out["blowup"]["anomalous"] and out["blowup"]["runtime_zscore"] > 3
+    assert out["constant"]["anomalous"]
+    assert not out["young"]["anomalous"]
+    assert out["young"]["history_runs"] == 2
