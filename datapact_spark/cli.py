@@ -80,6 +80,22 @@ def main(argv: list[str] | None = None) -> int:
         help="directory for the .lvdash.json (default: <results-path>/dashboards)",
     )
 
+    diff_p = sub.add_parser(
+        "diff",
+        help="ad-hoc table diff: counts, schema, per-key presence and "
+        "row-hash mismatches with a bounded sample (exit 1 if different)",
+    )
+    diff_p.add_argument("--source", required=True)
+    diff_p.add_argument("--target", required=True)
+    diff_p.add_argument("--keys", default=None,
+                        help="comma-separated join keys enabling the row compare")
+    diff_p.add_argument("--hash-columns", default=None,
+                        help="comma-separated columns to hash (default: common non-key columns)")
+    diff_p.add_argument("--algo", default="md5",
+                        choices=["md5", "sha256", "xxhash64"])
+    diff_p.add_argument("--sample", type=int, default=5)
+    diff_p.add_argument("--base-dir", default=None)
+
     sug_p = sub.add_parser(
         "suggest",
         help="profile a table once and write a suggested validation "
@@ -183,6 +199,24 @@ def main(argv: list[str] | None = None) -> int:
                     + (f" (z={z:.1f})" if z is not None else "")
                 )
         return 0
+
+    if args.command == "diff":
+        from datapact_spark.diff import diff_tables
+
+        spark = get_spark()
+        resolver = TableResolver(spark, base_dir=args.base_dir)
+        res = diff_tables(
+            resolver.resolve(args.source),
+            resolver.resolve(args.target),
+            keys=args.keys.split(",") if args.keys else None,
+            hash_columns=(
+                args.hash_columns.split(",") if args.hash_columns else None
+            ),
+            algo=args.algo,
+            sample=args.sample,
+        )
+        print(res.render())
+        return 0 if res.identical else 1
 
     if args.command == "suggest":
         from datapact_spark.suggest import suggest_config_yaml

@@ -1,0 +1,149 @@
+"""Ad-hoc table diff: ``python -m datapact_spark diff`` — compare two
+tables NOW, no config file, human-readable summary, exit 1 on any
+difference.
+
+The interactive workflow in front of the declarative engine (the
+data-diff/"are these two tables the same?" question every migration
+asks). Reuses the engine's own operators, so the numbers agree with
+what a configured validation would report:
+
+* schema diff (missing / extra / retyped columns — metadata only),
+* row counts per side,
+* with ``keys``: per-key presence (missing in target / missing in
+  source via compact anti-join counts) and row-hash mismatches over the
+  common keys, plus a bounded sample of differing keys.
+
+Scale shape: one count aggregate per side, anti-joins and the hash
+join shuffle only (key, 64-bit hash) columns, and the sample is a
+``limit(n)`` — never a full collect.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class DiffResult:
+    source_count: int
+    target_count: int
+    schema_missing_in_target: list[str]
+    schema_extra_in_target: list[str]
+    schema_type_mismatches: list[str]
+    missing_in_target: int | None = None
+    missing_in_source: int | None = None
+    hash_mismatches: int | None = None
+    compared_rows: int | None = None
+    sample_mismatches: list[dict[str, Any]] = field(default_factory=list)
+
+    @property
+    def identical(self) -> bool:
+        return (
+            self.source_count == self.target_count
+            and not self.schema_missing_in_target
+            and not self.schema_extra_in_target
+            and not self.schema_type_mismatches
+            and not self.missing_in_target
+            and not self.missing_in_source
+            and not self.hash_mismatches
+        )
+
+    def render(self) -> str:
+        lines = [
+            f"rows: source={self.source_count:,} target={self.target_count:,}"
+            + ("" if self.source_count == self.target_count else "  << DIFFER"),
+        ]
+        if (
+            self.schema_missing_in_target
+            or self.schema_extra_in_target
+            or self.schema_type_mismatches
+        ):
+            if self.schema_missing_in_target:
+                lines.append(
+                    "schema: missing in target: "
+                    + ", ".join(self.schema_missing_in_target)
+                )
+            if self.schema_extra_in_target:
+                lines.append(
+                    "schema: extra in target: "
+                    + ", ".join(self.schema_extra_in_target)
+                )
+            if self.schema_type_mismatches:
+                lines.append(
+                    "schema: type mismatches: "
+                    + "; ".join(self.schema_type_mismatches)
+                )
+        else:
+            lines.append("schema: identical")
+        if self.compared_rows is not None:
+            lines.append(
+                f"keys: {self.missing_in_target:,} missing in target, "
+                f"{self.missing_in_source:,} missing in source"
+            )
+            lines.append(
+                f"content: {self.hash_mismatches:,} of {self.compared_rows:,} "
+                "common rows differ"
+            )
+            for s in self.sample_mismatches:
+                lines.append(f"  e.g. {s}")
+        lines.append("verdict: " + ("IDENTICAL" if self.identical else "DIFFERENT"))
+        return "\n".join(lines)
+
+
+def diff_tables(
+    source: DataFrame,
+    target: DataFrame,
+    keys: list[str] | None = None,
+    hash_columns: list[str] | None = None,
+    algo: str = "md5",
+    sample: int = 5,
+) -> DiffResult:
+    """Compute the diff summary. ``keys`` enables the per-row compare;
+    without them only counts + schema are checked."""
+    s_fields = {f.name: f.dataType.simpleString() for f in source.schema.fields}
+    t_fields = {f.name: f.dataType.simpleString() for f in target.schema.fields}
+    res = DiffResult(
+        source_count=source.count(),
+        target_count=target.count(),
+        schema_missing_in_target=sorted(set(s_fields) - set(t_fields)),
+        schema_extra_in_target=sorted(set(t_fields) - set(s_fields)),
+        schema_type_mismatches=sorted(
+            f"{c}: {s_fields[c]} vs {t_fields[c]}"
+            for c in set(s_fields) & set(t_fields)
+            if s_fields[c] != t_fields[c]
+        ),
+    )
+    if not keys:
+        return res
+
+    from datapact_spark.operators.rowhash import (
+        row_hash_metrics,
+        row_hash_violations,
+    )
+
+    s_keys = source.select(*keys)
+    t_keys = target.select(*keys)
+    res.missing_in_target = s_keys.join(t_keys, keys, "left_anti").count()
+    res.missing_in_source = t_keys.join(s_keys, keys, "left_anti").count()
+    # hash compare only makes sense over the common column set
+    common = [
+        c
+        for c in source.columns
+        if c in set(target.columns) and c not in set(keys)
+    ]
+    hcols = hash_columns or common
+    m = row_hash_metrics(source, target, keys, hcols, algo).collect()[0]
+    res.compared_rows = m["total_compared_rows"]
+    res.hash_mismatches = m["mismatch_count"]
+    if res.hash_mismatches:
+        res.sample_mismatches = [
+            r.asDict()
+            for r in row_hash_violations(source, target, keys, hcols, algo)
+            .limit(sample)
+            .collect()
+        ]
+    return res

@@ -1,0 +1,54 @@
+"""Ad-hoc table diff (diff.py + the `diff` CLI)."""
+
+from pyspark.sql import functions as F
+
+from datapact_spark.diff import diff_tables
+
+
+def test_identical_tables(spark, tables):
+    res = diff_tables(tables["orders"], tables["orders"], keys=["o_orderkey"])
+    assert res.identical
+    assert res.hash_mismatches == 0
+    assert res.missing_in_target == 0 and res.missing_in_source == 0
+    assert "IDENTICAL" in res.render()
+
+
+def test_detects_all_difference_kinds(spark, tables):
+    orders = tables["orders"]
+    target = (
+        orders.where("o_orderkey % 50 != 0")  # dropped rows
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1)
+            .otherwise(F.col("o_totalprice")),  # mutated rows
+        )
+        .withColumn("extra", F.lit(1))  # schema drift
+    )
+    res = diff_tables(orders, target, keys=["o_orderkey"])
+    assert not res.identical
+    assert res.schema_extra_in_target == ["extra"]
+    assert res.missing_in_target > 0 and res.missing_in_source == 0
+    assert res.hash_mismatches > 0
+    assert 0 < len(res.sample_mismatches) <= 5
+    s = res.sample_mismatches[0]
+    assert s["source_hash"] != s["target_hash"]
+    out = res.render()
+    assert "DIFFERENT" in out and "missing in target" in out
+
+
+def test_no_keys_counts_and_schema_only(spark, tables):
+    res = diff_tables(tables["orders"], tables["orders"].limit(10))
+    assert not res.identical
+    assert res.hash_mismatches is None
+
+
+def test_diff_cli(spark, sf_dir, capsys):
+    from datapact_spark.cli import main
+
+    rc = main(["diff", "--source", "orders", "--target", "orders",
+               "--keys", "o_orderkey", "--base-dir", sf_dir])
+    assert rc == 0
+    assert "IDENTICAL" in capsys.readouterr().out
+    rc2 = main(["diff", "--source", "orders", "--target", "lineitem",
+                "--base-dir", sf_dir])
+    assert rc2 == 1
