@@ -568,6 +568,33 @@ def q_code_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return complexity_rollup(_code_table(spark, sf_dir)).orderBy("lang")
 
 
+
+def q_freshness_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition freshness (SLA) verdicts through the engine's
+    grouped profile fold: per event_type MAX(ts) with a 24h budget.
+    The events corpus is pinned at 2024-01, so every group is
+    deterministically stale — the emitted verdict columns are
+    strict-oracle-safe (the wall-clock age itself is never selected).
+    In-repo (extended registry) entry."""
+    from datapact_spark.config import FreshnessCheck, ValidationTask
+    from datapact_spark.plans.partitioned import compile_partition_verdicts
+    from datapact_spark.sources.loader import TableResolver
+
+    resolver = TableResolver(spark)
+    resolver.register("fv_events", _t(spark, sf_dir, "events"))
+    task = ValidationTask(
+        task_key="fv", source="fv_events", target="fv_events",
+        partition_by=["event_type"], count_tolerance=0.0,
+        freshness_checks=[FreshnessCheck(column="ts", max_age_hours=24.0)],
+    )
+    v = compile_partition_verdicts(spark, task, resolver)
+    return v.select(
+        "event_type", "source_count", "freshness_max_ts_source",
+        "freshness_ts_source_passed", "count_passed",
+        "overall_validation_passed",
+    ).orderBy("event_type")
+
+
 def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: char-20-gram overlap of every
     training doc against a synthetic eval set (120-char excerpts of
@@ -2193,6 +2220,7 @@ def extended_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "code_pipeline": q_code_pipeline,
         "code_complexity": q_code_complexity,
+        "freshness_verdict": q_freshness_verdict,
     }
 
 
@@ -3883,6 +3911,15 @@ def _oracle_sql_all() -> dict[str, str]:
               (CAST(SUM(CASE WHEN expected IS NOT NULL AND expected <> lang THEN 1 ELSE 0 END) AS DOUBLE)
                 / CAST(COUNT(*) AS DOUBLE)) <= 0.0 AS passed
             FROM checked GROUP BY lang ORDER BY lang
+        """,
+        "freshness_verdict": """
+            SELECT event_type,
+              CAST(COUNT(*) AS BIGINT) AS source_count,
+              MAX(ts) AS freshness_max_ts_source,
+              FALSE AS freshness_ts_source_passed,
+              TRUE AS count_passed,
+              FALSE AS overall_validation_passed
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "code_complexity": _CODE_TABLE_SQL + """,
             m AS (
