@@ -94,6 +94,11 @@ def main(argv: list[str] | None = None) -> int:
     diff_p.add_argument("--algo", default="md5",
                         choices=["md5", "sha256", "xxhash64"])
     diff_p.add_argument("--sample", type=int, default=5)
+    diff_p.add_argument(
+        "--partition-by", default=None,
+        help="comma-separated group columns: report WHICH partitions "
+        "differ (requires --keys; fingerprint mode, clean groups free)",
+    )
     diff_p.add_argument("--base-dir", default=None)
 
     sug_p = sub.add_parser(
@@ -201,10 +206,29 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.command == "diff":
-        from datapact_spark.diff import diff_tables
+        from datapact_spark.diff import diff_partitions, diff_tables
 
         spark = get_spark()
         resolver = TableResolver(spark, base_dir=args.base_dir)
+        if args.partition_by:
+            if not args.keys:
+                print("--partition-by requires --keys", file=sys.stderr)
+                return 2
+            n_groups, n_fail, worst = diff_partitions(
+                spark, resolver, args.source, args.target,
+                keys=args.keys.split(","),
+                partition_by=args.partition_by.split(","),
+                hash_columns=(
+                    args.hash_columns.split(",") if args.hash_columns else None
+                ),
+                algo=args.algo,
+                sample=args.sample,
+            )
+            print(f"groups: {n_fail} of {n_groups} differ")
+            for w in worst:
+                print(f"  {w}")
+            print("verdict: " + ("IDENTICAL" if n_fail == 0 else "DIFFERENT"))
+            return 0 if n_fail == 0 else 1
         res = diff_tables(
             resolver.resolve(args.source),
             resolver.resolve(args.target),

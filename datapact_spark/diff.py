@@ -147,3 +147,54 @@ def diff_tables(
             .collect()
         ]
     return res
+
+
+def diff_partitions(
+    spark,
+    resolver,
+    source: str,
+    target: str,
+    keys: list[str],
+    partition_by: list[str],
+    hash_columns: list[str] | None = None,
+    algo: str = "md5",
+    sample: int = 10,
+) -> tuple[int, int, list[dict[str, Any]]]:
+    """Grouped diff: WHICH partitions differ, via the engine's
+    per-partition verdict compiler in fingerprint mode — clean groups
+    verify with zero join work, only dirty groups pay the exact
+    compare. Returns (total_groups, failing_groups, worst ``sample``
+    failing groups by mismatch count)."""
+    from datapact_spark.config import ValidationTask
+    from datapact_spark.plans.partitioned import compile_partition_verdicts
+
+    task = ValidationTask(
+        task_key="adhoc_diff",
+        source=source,
+        target=target,
+        primary_keys=keys,
+        partition_by=partition_by,
+        count_tolerance=0.0,
+        pk_row_hash_check=True,
+        pk_hash_tolerance=0.0,
+        hash_columns=hash_columns,
+        hash_algo=algo,
+        row_hash_mode="fingerprint_multiset",
+    )
+    v = compile_partition_verdicts(spark, task, resolver).persist()
+    try:
+        n_groups = v.count()
+        failing = v.where(~F.col("overall_validation_passed"))
+        n_fail = failing.count()
+        rows = [
+            r.asDict()
+            for r in failing.select(
+                *partition_by, "source_count", "target_count", "mismatch_count"
+            )
+            .orderBy(F.col("mismatch_count").desc(), *partition_by)
+            .limit(sample)
+            .collect()
+        ]
+    finally:
+        v.unpersist()
+    return n_groups, n_fail, rows

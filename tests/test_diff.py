@@ -52,3 +52,39 @@ def test_diff_cli(spark, sf_dir, capsys):
     rc2 = main(["diff", "--source", "orders", "--target", "lineitem",
                 "--base-dir", sf_dir])
     assert rc2 == 1
+
+
+def test_diff_partitions(spark, tables):
+    from datapact_spark.diff import diff_partitions
+    from datapact_spark.sources.loader import TableResolver
+
+    orders = tables["orders"]
+    tgt = orders.where(
+        ~(F.col("o_orderpriority").like("1%") & (F.col("o_orderkey") % 51 == 0))
+    )
+    r = TableResolver(spark)
+    r.register("d_src", orders)
+    r.register("d_tgt", tgt)
+    n_groups, n_fail, worst = diff_partitions(
+        spark, r, "d_src", "d_tgt",
+        keys=["o_orderkey"], partition_by=["o_orderpriority"],
+    )
+    assert n_groups == 5 and n_fail == 1
+    assert worst[0]["o_orderpriority"].startswith("1")
+    assert worst[0]["source_count"] > worst[0]["target_count"]
+    # identical sides: zero failing groups
+    n2, f2, w2 = diff_partitions(
+        spark, r, "d_src", "d_src",
+        keys=["o_orderkey"], partition_by=["o_orderpriority"],
+    )
+    assert f2 == 0 and w2 == []
+
+
+def test_diff_cli_partitioned(spark, sf_dir, capsys):
+    from datapact_spark.cli import main
+
+    rc = main(["diff", "--source", "orders", "--target", "orders",
+               "--keys", "o_orderkey", "--partition-by", "o_orderpriority",
+               "--base-dir", sf_dir])
+    assert rc == 0
+    assert "0 of 5 differ" in capsys.readouterr().out
