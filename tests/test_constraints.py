@@ -320,3 +320,32 @@ def test_constraints_in_streaming_microbatch(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert "FAILURE" in seen and "SUCCESS" in seen
+
+
+def test_plan_cli_with_all_new_checks(spark, sf_dir, tmp_path, capsys):
+    """`plan` dry-runs a config carrying schema + constraint + freshness
+    checks without executing anything."""
+    from datapact_spark.cli import main
+
+    cfg = tmp_path / "all.yml"
+    cfg.write_text(
+        """
+results_path: /tmp/ignored
+validations:
+  - task_key: everything
+    source: orders
+    target: orders
+    primary_keys: [o_orderkey]
+    count_tolerance: 0.0
+    pk_row_hash_check: true
+    schema_check: true
+    constraint_checks:
+      - {name: price_pos, predicate: o_totalprice > 0}
+    freshness_checks:
+      - {column: o_orderdate, max_age_hours: 876000}
+"""
+    )
+    rc = main(["plan", "--config", str(cfg), "--base-dir", sf_dir])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "=== everything ===" in out and "Physical Plan" in out
