@@ -398,6 +398,13 @@ def _code_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(ext == "cpp", F.lit('#include <vector>\n#include "local.h"\n'))
         .when(ext == "js", F.lit('const x = require("lodash");\n'))
         .when(ext == "rs", F.lit("use serde;\nuse std::io;\n"))
+        .when(
+            ext == "go",
+            F.lit(
+                'import (\n\t"fmt"\n\txhttp "net/http"\n\t_ "embed"\n)\n'
+                'import "errors"\n'
+            ),
+        )
         .otherwise(F.lit("")),
     ).otherwise(F.lit(""))
     content = F.when(
@@ -2261,6 +2268,11 @@ _CODE_TABLE_SQL = """
                       '#include "local.h"' || chr(10)
                     WHEN 'js' THEN 'const x = require("lodash");' || chr(10)
                     WHEN 'rs' THEN 'use serde;' || chr(10) || 'use std::io;' || chr(10)
+                    WHEN 'go' THEN 'import (' || chr(10) ||
+                      chr(9) || '"fmt"' || chr(10) ||
+                      chr(9) || 'xhttp "net/http"' || chr(10) ||
+                      chr(9) || '_ "embed"' || chr(10) || ')' || chr(10) ||
+                      'import "errors"' || chr(10)
                     ELSE '' END
                   ELSE '' END AS imp
               FROM base),
@@ -3475,7 +3487,7 @@ def _oracle_sql_all() -> dict[str, str]:
               FROM documents),
             s AS (
               SELECT doc_id, toks,
-                     unnest(range(0, GREATEST(len(toks), 1), 32)) AS st
+                     unnest(range(0, GREATEST(len(toks) - 8, 1), 32)) AS st
               FROM t)
             SELECT doc_id,
                    CAST(st // 32 AS INT) AS chunk_id,
@@ -3649,7 +3661,7 @@ def _oracle_sql_all() -> dict[str, str]:
               FROM documents),
             s AS (
               SELECT doc_id, toks,
-                     unnest(range(0, GREATEST(len(toks), 1), 32)) AS st
+                     unnest(range(0, GREATEST(len(toks) - 8, 1), 32)) AS st
               FROM t),
             chunks AS (
               SELECT doc_id,
@@ -3746,7 +3758,7 @@ def _oracle_sql_all() -> dict[str, str]:
               FROM train),
             st AS (
               SELECT doc_id, toks,
-                     unnest(range(0, GREATEST(len(toks), 1), 32)) AS s
+                     unnest(range(0, GREATEST(len(toks) - 8, 1), 32)) AS s
               FROM tk),
             chunks AS (
               SELECT doc_id AS id, CAST(s // 32 AS INT) AS chunk_id,
@@ -3853,6 +3865,11 @@ def _oracle_sql_all() -> dict[str, str]:
                     '(?m)^[ \t]*(?:from|import)[ \t]+([A-Za-z_][A-Za-z0-9_]*)', 1)
                   WHEN 'go' THEN regexp_extract_all(content,
                     '(?m)^[ \t]*import[ \t]+"([A-Za-z0-9_/.-]+)"', 1)
+                    || flatten(list_transform(
+                         regexp_extract_all(content,
+                           'import[ \t]*\\(([^)]*)\\)', 1),
+                         b -> regexp_extract_all(b,
+                           '(?m)^[ \t]*(?:[A-Za-z_][A-Za-z0-9_]*[ \t]+|\\.[ \t]+)?"([A-Za-z0-9_/.-]+)"', 1)))
                   WHEN 'java' THEN regexp_extract_all(content,
                     '(?m)^[ \t]*import[ \t]+(?:static[ \t]+)?([A-Za-z_][A-Za-z0-9_.]*)', 1)
                   WHEN 'scala' THEN regexp_extract_all(content,

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import re
 import sys
 from pathlib import Path
 
@@ -272,9 +273,23 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark()
         ledger = ResultsLedger(spark, args.results_path)
         views = register_results_views(spark, ledger)
-        # smoke the dataset SQL against the actual ledger before writing
+        # Smoke the dataset SQL against the actual ledger before writing.
+        # A results dir can hold a ledger without exec tables (e.g. a run
+        # that died before the refresh) — skip datasets whose backing
+        # dp_* view was not registered instead of crashing on them.
+        registered = set(views)
+        skipped = []
         for name, sql in dashboard_datasets(args.job_name).items():
+            needed = set(re.findall(r"\bdp_\w+", sql))
+            if not needed <= registered:
+                skipped.append((name, sorted(needed - registered)))
+                continue
             spark.sql(sql).limit(1).collect()
+        for name, missing in skipped:
+            print(
+                f"skipped dataset {name}: backing view(s) not present: "
+                f"{', '.join(missing)}"
+            )
         spec = build_dashboard_spec(args.job_name)
         out_dir = args.output or os.path.join(args.results_path, "dashboards")
         out = write_dashboard(out_dir, spec)

@@ -840,16 +840,25 @@ def apply_dedup(
     df: DataFrame,
     clusters: DataFrame,
     id_col: str = "doc_id",
+    broadcast_drop_max: int = 2_000_000,
 ) -> DataFrame:
     """Materialize dedup decisions: keep every row whose id is either
     unmatched (no duplicate found) or its cluster's label (the
-    component-minimum id from ``dup_clusters``). One broadcast-eligible
-    join against the (small — only matched ids) cluster relation; the
-    corpus is never shuffled."""
+    component-minimum id from ``dup_clusters``).
+
+    The drop set is usually small relative to the corpus, but on a
+    heavily-duplicated crawl it can be billions of ids — a hard
+    ``F.broadcast`` hint there OOMs the driver instead of degrading to a
+    shuffled anti-join. So the hint is gated on a counted threshold
+    (same pattern as ``doc_duplication_score``'s ``broadcast_rep_max``):
+    below it the corpus never shuffles; above it AQE picks the join
+    (set ``broadcast_drop_max=0`` to always let AQE decide)."""
     drop = clusters.where(F.col("id") != F.col("cluster_id")).select(
         F.col("id").alias(id_col)
     )
-    return df.join(F.broadcast(drop), id_col, "left_anti")
+    if broadcast_drop_max and drop.count() <= broadcast_drop_max:
+        drop = F.broadcast(drop)
+    return df.join(drop, id_col, "left_anti")
 
 
 def boilerplate_lines(

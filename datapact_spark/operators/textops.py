@@ -206,8 +206,16 @@ def chunk_documents(
     base = df.select(
         F.col(id_col).alias("id"), toks.alias("__toks"), F.size(toks).alias("__n")
     )
+    # A chunk starting at s contributes new tokens only while
+    # s < n - overlap (its first `overlap` tokens are shared with the
+    # previous chunk); bounding the start sequence at n - overlap - 1
+    # stops emitting a final chunk that is fully contained in the one
+    # before it (e.g. 34 tokens, max=40, overlap=8 used to emit a
+    # redundant 2-token chunk already covered by chunk 0).
     starts = F.sequence(
-        F.lit(0), F.greatest(F.col("__n") - 1, F.lit(0)), F.lit(stride)
+        F.lit(0),
+        F.greatest(F.col("__n") - overlap - 1, F.lit(0)),
+        F.lit(stride),
     )
     exploded = base.select(
         "id", "__toks", F.posexplode(starts).alias("chunk_id", "__start")

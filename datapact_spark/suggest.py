@@ -26,6 +26,7 @@ the emitted YAML carries the observed evidence as comments.
 from __future__ import annotations
 
 import datetime as dt
+import decimal
 import math
 from typing import Any
 
@@ -68,10 +69,20 @@ def profile_for_suggestions(df: DataFrame) -> dict[str, Any]:
 
 
 def _fmt_num(v: Any) -> Any:
+    """Render a profiled min/max for a predicate. int() would silently
+    TRUNCATE a fractional Decimal (int(Decimal('1.55')) == 1), making the
+    emitted `col <= 1` predicate fail on the very table it was profiled
+    from — so only collapse to int when the value is exactly integral,
+    and render Decimals exactly via str() (YAML round-trips it as a
+    number; float() could lose precision past 2**53)."""
     if v is None:
         return None
     if isinstance(v, float):
         return float(v)
+    if isinstance(v, int):
+        return int(v)
+    if isinstance(v, decimal.Decimal):
+        return int(v) if v == int(v) else decimal.Decimal(str(v))
     try:
         return int(v)
     except (TypeError, ValueError):

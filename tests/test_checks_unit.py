@@ -748,12 +748,13 @@ class TestRound5Fixes:
             (r["id"], r["chunk_id"], r["chunk_tokens"], r["chunk_text"])
             for r in chunk_documents(docs, max_tokens=4, overlap=1).collect()
         )
-        # doc 1: 10 tokens, stride 3 -> starts 0,3,6,9
+        # doc 1: 10 tokens, stride 3 -> starts 0,3,6; a start-9 chunk
+        # ("t9") would be fully contained in chunk 2 and is not emitted
         d1 = [r for r in rows if r[0] == 1]
-        assert [r[1] for r in d1] == [0, 1, 2, 3]
+        assert [r[1] for r in d1] == [0, 1, 2]
         assert d1[0][3] == "t0 t1 t2 t3"
         assert d1[1][3] == "t3 t4 t5 t6"       # 1-token overlap
-        assert d1[3] == (1, 3, 1, "t9")        # clipped tail
+        assert d1[2][3] == "t6 t7 t8 t9"
         # every token appears in some chunk
         covered = {t for r in d1 for t in r[3].split()}
         assert covered == {f"t{i}" for i in range(10)}
@@ -761,6 +762,34 @@ class TestRound5Fixes:
 
         with pytest.raises(ValueError, match="overlap"):
             chunk_documents(docs, max_tokens=4, overlap=4)
+
+    def test_chunk_documents_no_redundant_tail(self, spark):
+        """The ADVICE r5 case: 34 tokens, max_tokens=40, overlap=8 must
+        emit exactly ONE chunk — the old bound emitted a 2-token tail
+        chunk at start 32 already covered by chunk 0 (duplicated
+        training text). Also pins the boundary: a chunk is kept iff it
+        contributes at least one new token (start < n - overlap)."""
+        from datapact_spark.operators.textops import chunk_documents
+
+        docs = spark.createDataFrame(
+            [
+                (1, " ".join(f"t{i}" for i in range(34))),
+                # 41 tokens: start 32 contributes t40 -> two chunks
+                (2, " ".join(f"t{i}" for i in range(41))),
+                # 40 tokens: start 32 covers t32..t39, all inside
+                # chunk 0 -> one chunk
+                (3, " ".join(f"t{i}" for i in range(40))),
+            ],
+            "doc_id long, text string",
+        )
+        out = {}
+        for r in chunk_documents(docs, max_tokens=40, overlap=8).collect():
+            out.setdefault(r["id"], []).append(
+                (r["chunk_id"], r["chunk_tokens"])
+            )
+        assert out[1] == [(0, 34)]
+        assert sorted(out[2]) == [(0, 40), (1, 9)]
+        assert out[3] == [(0, 40)]
 
     def test_dup_clusters_transitive_chain(self, spark):
         from datapact_spark.operators.dedup import dup_clusters

@@ -114,6 +114,30 @@ def test_extract_imports_per_lang(spark, code_df):
     assert out["src/f.py"] == []
 
 
+def test_extract_imports_go_grouped_blocks(spark):
+    """Grouped `import ( ... )` blocks — the dominant Go style — must be
+    extracted (ADVICE r5: the single-line pattern alone missed them),
+    including aliased, dot- and blank-imports; quoted strings outside an
+    import block (e.g. `return "x"`) must NOT be extracted."""
+    rows = [
+        ("r", "a.go", "go",
+         'import (\n\t"fmt"\n\txhttp "net/http"\n\t_ "embed"\n'
+         '\t. "math/big"\n)\nfunc f() string { return "notanimport" }\n'),
+        ("r", "b.go", "go", 'import "errors"\nvar s = []string{\n\t"x",\n}\n'),
+        ("r", "c.go", "go", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, lang string, content string"
+    )
+    out = {r["path"]: r["imports"] and list(r["imports"])
+           for r in extract_imports(df).collect()}
+    assert sorted(out["a.go"]) == ["embed", "fmt", "math/big", "net/http"]
+    # composite-literal entries ("x",) carry a trailing comma and the
+    # block pass only scans import-block bodies -> only the real import
+    assert out["b.go"] == ["errors"]
+    assert out["c.go"] is None
+
+
 def test_top_imports_ranking_and_ties(spark):
     rows = [
         ("r", f"f{i}.py", "py", "import os\nimport sys\n") for i in range(3)
