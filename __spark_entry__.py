@@ -2127,6 +2127,17 @@ RETIRED_QUERY_KEYS = (
     "failure_rate_daily",
     "payload_check_rollup",
     "tumbling_window_agg",
+    # r6 rotation: cheap long-stable projections/aggregations with 5
+    # consecutive strict driver rows — cycled off to make room for the
+    # never-driver-verified extended entries (VERDICT r5 #2).
+    "run_aggregation",
+    "latest_per_task",
+    "top_failing",
+    "dataset_fingerprint",
+    "semi_join_scope",
+    "genie_table_quality",
+    "genie_issues",
+    "genie_current_status",
 )
 
 
@@ -2148,15 +2159,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "ann_bruteforce": q_ann_bruteforce,
         "minhash_dedup": q_minhash_dedup,
-        "run_aggregation": q_run_aggregation,
-        "latest_per_task": q_latest_per_task,
-        "top_failing": q_top_failing,
         "filtered_validation": q_filtered_validation,
         "pii_scan": q_pii_scan,
         "strip_boilerplate": q_strip_boilerplate,
         "percentile_runtimes": q_percentile_runtimes,
         "corpus_pipeline": q_corpus_pipeline,
-        "dataset_fingerprint": q_dataset_fingerprint,
         "simhash_pairs": q_simhash_pairs,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
@@ -2171,10 +2178,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": q_substring_dedup,
         "heavy_hitters": q_heavy_hitters,
         "categorical_drift": q_categorical_drift,
-        "semi_join_scope": q_semi_join_scope,
-        "genie_table_quality": q_genie_table_quality,
-        "genie_issues": q_genie_issues,
-        "genie_current_status": q_genie_current_status,
         "range_join_validity": q_range_join_validity,
         "ngram_jaccard": q_ngram_jaccard,
         "drift_psi_terms": q_drift_psi_terms,
@@ -2185,6 +2188,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "import_graph": q_import_graph,
         "code_clones": q_code_clones,
         "ext_lang_check": q_ext_lang_check,
+        # r6 rotation: promoted from extended_queries() so every entry
+        # gets a fresh independent driver CORRECTNESS row (VERDICT r5
+        # #2) — families whose operator files changed this round
+        # (textops/codeops/dedup) plus never-driver-verified entries.
+        "chunk_documents": q_chunk_documents,
+        "pack_sequences": q_pack_sequences,
+        "tfidf_terms": q_tfidf_terms,
+        "vocab_topk": q_vocab_topk,
+        "dup_clusters": q_dup_clusters,
+        "contamination_check": q_contamination_check,
+        "quota_sample": q_quota_sample,
+        "code_pipeline": q_code_pipeline,
     }
 
 
@@ -2205,6 +2220,14 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "failure_rate_daily": q_failure_rate_daily,
         "payload_check_rollup": q_payload_check_rollup,
         "tumbling_window_agg": q_tumbling_window_agg,
+        "run_aggregation": q_run_aggregation,
+        "latest_per_task": q_latest_per_task,
+        "top_failing": q_top_failing,
+        "dataset_fingerprint": q_dataset_fingerprint,
+        "semi_join_scope": q_semi_join_scope,
+        "genie_table_quality": q_genie_table_quality,
+        "genie_issues": q_genie_issues,
+        "genie_current_status": q_genie_current_status,
     }
     assert set(retired) == set(RETIRED_QUERY_KEYS)
     return retired
@@ -2216,16 +2239,8 @@ def extended_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     by the in-repo parity sweep only."""
     return {
         "repetition_stats": q_repetition_stats,
-        "quota_sample": q_quota_sample,
         "deterministic_split": q_deterministic_split,
-        "contamination_check": q_contamination_check,
-        "chunk_documents": q_chunk_documents,
-        "dup_clusters": q_dup_clusters,
         "code_stats": q_code_stats,
-        "pack_sequences": q_pack_sequences,
-        "tfidf_terms": q_tfidf_terms,
-        "vocab_topk": q_vocab_topk,
-        "code_pipeline": q_code_pipeline,
         "code_complexity": q_code_complexity,
         "freshness_verdict": q_freshness_verdict,
     }
