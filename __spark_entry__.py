@@ -332,8 +332,8 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     the score is one IEEE division then one multiplication in a fixed
     order (no ``ln()``, which diverges by 1 ulp across libm builds) —
     DuckDB recomputes it bitwise from the same tokenization. Ties break
-    on term asc, so the top-3 cut is deterministic. In-repo (extended)
-    board entry — the driver cap holds the active board at 50."""
+    on term asc, so the top-3 cut is deterministic. ACTIVE driver entry
+    (r6 rotation)."""
     from datapact_spark.operators.textops import tfidf_terms
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -552,15 +552,17 @@ def q_code_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("id_hash_sum"),
         ).select(F.lit(name).alias("stage"), "n_rows", "id_hash_sum")
 
-    return (
+    from datapact_spark.session import track_cached
+
+    return track_cached(
         stage("1_raw", code)
         .unionByName(stage("2_hygiene", hygienic))
         .unionByName(stage("3_licensed", licensed))
         .unionByName(stage("4_decloned", decloned))
         .unionByName(stage("5_quality", quality))
-        .orderBy("stage")
+        .orderBy("stage"),
+        hashed,
     )
-
 
 
 def q_code_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -729,7 +731,7 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(name).alias("stage"), "n_rows", "id_hash_sum")
 
     did = F.col("doc_id").cast("string")
-    return (
+    out = (
         stage("1_raw", raw, did)
         # redaction never drops rows, so the cleaned-stage count/hash
         # can read the cached post-redaction relation
@@ -754,6 +756,12 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage")
     )
+    # hand the two eager persists to the materializing caller for
+    # release (bench/tests call session.release_cached) instead of
+    # pinning them for the session
+    from datapact_spark.session import track_cached
+
+    return track_cached(out, red, chunks)
 
 
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -776,7 +784,10 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     bridges = docs.where(F.col("doc_id") % 70 == 0).select(
         F.col("doc_id").alias("id_a"), (F.col("doc_id") + 7).alias("id_b")
     )
-    return dup_clusters(pairs.unionByName(bridges)).orderBy("id")
+    from datapact_spark.session import propagate_cached
+
+    labels = dup_clusters(pairs.unionByName(bridges))
+    return propagate_cached(labels, labels.orderBy("id"))
 
 
 def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1526,12 +1537,15 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectorized production path (numpy rolling hash — ~3× the Column
     path's throughput; path equivalence is unit-tested)."""
     from datapact_spark.operators.dedup import doc_duplication_score
+    from datapact_spark.session import propagate_cached
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return doc_duplication_score(
-        docs, k=20, min_docs=2, vectorized=True
-    ).select(
-        F.col("id").alias("doc_id"), "n_grams", "shared_grams", "dup_score"
+    scored = doc_duplication_score(docs, k=20, min_docs=2, vectorized=True)
+    return propagate_cached(
+        scored,
+        scored.select(
+            F.col("id").alias("doc_id"), "n_grams", "shared_grams", "dup_score"
+        ),
     )
 
 

@@ -61,6 +61,8 @@ def main() -> None:
             F.max(F.xxhash64(*df.columns)).alias("x"),
         ).collect()
 
+    from datapact_spark.session import release_cached
+
     timings: dict[str, float] = {}
     queries = entry_mod.queries()
     for name, fn in queries.items():
@@ -71,6 +73,9 @@ def main() -> None:
         # quality scores — and under-measure those queries)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.monotonic() - t0, 4)
+        # release any mid-plan persists the query handed off — pinned
+        # relations would crowd the cache the remaining queries run in
+        release_cached(df)
 
     # flagship throughput: one full multi-check validation over lineitem
     # at THIS scale factor (entry() itself is pinned to sf0.001)

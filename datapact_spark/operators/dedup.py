@@ -638,9 +638,9 @@ def doc_duplication_score(
         from pyspark.storagelevel import StorageLevel
 
         # Rows of gi are distinct (gram, doc) pairs, so count == the
-        # carrier-doc count. The persist stays for the session (Spark
-        # evicts MEMORY_AND_DISK blocks under pressure); callers doing
-        # repeated scoring can spark.catalog.clearCache() between runs.
+        # carrier-doc count. The persist rides the returned frame's
+        # _datapact_cached handle — release with
+        # session.release_cached(out) after materializing.
         gi = gi.persist(StorageLevel.MEMORY_AND_DISK)
         rep = (
             gi.groupBy("gram_hash")
@@ -663,7 +663,7 @@ def doc_duplication_score(
             f"carrier_strategy must be 'join' or 'window', got {carrier_strategy!r}"
         )
 
-    return scored.groupBy("id").agg(
+    out = scored.groupBy("id").agg(
         F.sum("__occ").alias("n_grams"),
         F.sum(
             F.when(F.col("__shared"), F.col("__occ")).otherwise(0)
@@ -676,6 +676,11 @@ def doc_duplication_score(
             "dup_score"
         ),
     )
+    if carrier_strategy == "join":
+        from datapact_spark.session import track_cached
+
+        out = track_cached(out, gi)
+    return out
 
 
 def contamination_check(
@@ -774,7 +779,9 @@ def dup_clusters(
     Raises if ``max_iterations`` rounds do not converge (pathological
     diameter — raise the cap). The RETURNED frame stays persisted (its
     lineage is the whole iteration chain; unpersisting would re-run
-    every round per downstream action) — ``unpersist()`` it when done."""
+    every round per downstream action) and carries itself on the
+    ``_datapact_cached`` handle — ``session.release_cached(out)`` (or
+    ``out.unpersist()``) when done."""
     from pyspark.storagelevel import StorageLevel
 
     checkpoint_every = 5
@@ -827,7 +834,9 @@ def dup_clusters(
         labels = updated
         if changed == 0:
             edges.unpersist()
-            return labels
+            from datapact_spark.session import track_cached
+
+            return track_cached(labels, labels)
     edges.unpersist()
     labels.unpersist()
     raise RuntimeError(

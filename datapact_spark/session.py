@@ -58,3 +58,36 @@ def get_spark(
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def track_cached(out, *cached):
+    """Attach mid-plan persisted relations to the DataFrame that
+    consumes them, so the caller that MATERIALIZES the result can
+    release them (``release_cached``) instead of pinning executor
+    storage for the whole session — the leak class behind the r4
+    ``dup_clusters`` bug. The handle rides the same ``_datapact_cached``
+    attribute the partitioned-verdict engine hands off."""
+    existing = list(getattr(out, "_datapact_cached", None) or [])
+    out._datapact_cached = existing + list(cached)
+    return out
+
+
+def release_cached(df) -> int:
+    """Unpersist every relation ``track_cached`` attached to ``df``.
+    Call AFTER materializing (collect / write); returns how many
+    relations were released. Safe on DataFrames with no handle."""
+    cached = getattr(df, "_datapact_cached", None) or []
+    if not isinstance(cached, list):
+        cached = [cached]
+    for c in cached:
+        c.unpersist()
+    df._datapact_cached = []
+    return len(cached)
+
+
+def propagate_cached(src, dst):
+    """Move the ``_datapact_cached`` handle from ``src`` onto ``dst`` —
+    use when a wrapper derives a new DataFrame (select/alias/orderBy)
+    from a handle-carrying one, which would otherwise orphan the
+    persisted relations."""
+    return track_cached(dst, *(getattr(src, "_datapact_cached", None) or []))

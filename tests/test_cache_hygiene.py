@@ -1,0 +1,72 @@
+"""Cache lifecycle hygiene (VERDICT r5 #4): queries that persist a
+mid-plan relation must hand it off via ``_datapact_cached`` so the
+materializing caller can release it — no query may pin executor storage
+for the rest of the session (the r4 ``dup_clusters`` leak class).
+"""
+
+import pytest
+
+from datapact_spark.session import release_cached, track_cached
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _n_cached_rdds(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_track_release_roundtrip(spark):
+    df = spark.range(100).persist()
+    df.count()
+    out = track_cached(spark.range(1), df)
+    assert _n_cached_rdds(spark) >= 1
+    assert release_cached(out) == 1
+    assert release_cached(out) == 0  # idempotent
+
+
+def test_release_without_handle_is_noop(spark):
+    assert release_cached(spark.range(1)) == 0
+
+
+@pytest.mark.parametrize("name", ["tfidf_terms", "corpus_pipeline"])
+def test_driver_queries_release_their_persists(spark, name):
+    """The two handle-carrying driver queries: after materializing and
+    releasing, the session's persistent-RDD census returns to its
+    pre-query level — nothing stays pinned."""
+    import __spark_entry__ as entry_mod
+
+    spark.catalog.clearCache()
+    before = _n_cached_rdds(spark)
+    df = entry_mod.queries_all()[name](spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    handles = getattr(df, "_datapact_cached", None)
+    assert handles, f"{name} should hand off its persisted relations"
+    released = release_cached(df)
+    assert released == len(handles) if isinstance(handles, list) else 1
+    assert _n_cached_rdds(spark) <= before, (
+        f"{name} left {_n_cached_rdds(spark) - before} relations pinned"
+    )
+
+
+def test_no_other_active_query_pins_storage(spark):
+    """Census over the rest of the active board: any query that persists
+    must either release internally or carry a handle — running it and
+    releasing must never grow the persistent-RDD census. Streaming and
+    index-building queries are exercised by their own lifecycle tests;
+    here we cover the cheap plan-only families that could silently grow
+    a long-lived server's cache."""
+    import __spark_entry__ as entry_mod
+
+    cheap = [
+        "dedup_exact", "minhash_dedup", "dup_clusters", "vocab_topk",
+        "chunk_documents", "pack_sequences", "quota_sample",
+        "contamination_check", "code_pipeline", "substring_dedup",
+    ]
+    queries = entry_mod.queries_all()
+    spark.catalog.clearCache()
+    before = _n_cached_rdds(spark)
+    for name in cheap:
+        df = queries[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        release_cached(df)
+    assert _n_cached_rdds(spark) <= before, "a query pinned storage"

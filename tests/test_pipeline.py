@@ -1,0 +1,226 @@
+"""Resumable pipeline runner (VERDICT r5 #3): stage-boundary parquet
+materialization + exactly-at-boundary resume, composed from the same
+_SUCCESS-marker conventions as the partitioned-verdict checkpoints.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datapact_spark.pipeline import PipelineRunner, Stage
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _stages():
+    """A miniature 3-stage corpus prep: filter → fingerprint-dedup →
+    per-language counts."""
+    return [
+        Stage("filter", lambda df: df.where(F.length("text") > 10)),
+        Stage("dedup", lambda df: (
+            df.withColumn("f", F.md5(F.lower(F.trim("text"))))
+            .groupBy("f")
+            .agg(F.min("doc_id").alias("doc_id"), F.first("text").alias("text"))
+            .drop("f")
+        )),
+        Stage("stats", lambda df: (
+            df.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.sum(F.length("text")).alias("total_chars"))
+        )),
+    ]
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+
+
+def test_pipeline_runs_and_materializes_each_stage(spark, docs, tmp_path):
+    runner = PipelineRunner(spark, str(tmp_path))
+    out, results = runner.run("prep", 1, docs, _stages())
+    assert [r.stage for r in results] == ["filter", "dedup", "stats"]
+    assert all(not r.resumed for r in results)
+    assert out.count() == 1
+    for r in results:
+        assert os.path.exists(os.path.join(r.path, "_SUCCESS")), r.stage
+        assert r.rows is not None and r.rows > 0
+
+
+def test_pipeline_resume_skips_committed_stages(spark, docs, tmp_path):
+    """Kill/resume e2e (mirrors test_resume_skips_committed_batches):
+    a run killed mid-stage-3 leaves stages 1-2 committed and stage 3
+    without a marker; the re-run must read stages 1-2 (fn never
+    invoked, files untouched) and recompute exactly stage 3."""
+    runner = PipelineRunner(spark, str(tmp_path))
+    calls: list[str] = []
+
+    def counting(stages):
+        return [
+            Stage(s.name, (lambda f, n: lambda df: (calls.append(n), f(df))[1])(
+                s.fn, s.name))
+            for s in stages
+        ]
+
+    boom = counting(_stages())
+    orig_stats_fn = boom[2].fn
+
+    def exploding(df):
+        raise RuntimeError("killed mid-stage")
+
+    boom[2] = Stage("stats", exploding)
+    with pytest.raises(RuntimeError, match="killed mid-stage"):
+        runner.run("prep", 7, docs, boom)
+    assert calls == ["filter", "dedup"]
+
+    base = os.path.join(str(tmp_path), "prep", "run_id=7")
+    mtimes = {
+        d: os.path.getmtime(os.path.join(base, d, "_SUCCESS"))
+        for d in os.listdir(base)
+    }
+    assert len(mtimes) == 2  # stage 3 never committed
+
+    calls.clear()
+    out, results = runner.run(
+        "prep", 7, docs, counting(_stages()), job_name="prep-job"
+    )
+    assert calls == ["stats"], "committed stages must not re-run"
+    assert [r.resumed for r in results] == [True, True, False]
+    for d, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(base, d, "_SUCCESS")) == m, (
+            f"{d} was rewritten on resume"
+        )
+    row = out.collect()[0]
+    assert row["n_docs"] > 0 and row["total_chars"] > 0
+    del orig_stats_fn
+
+
+def test_pipeline_torn_stage_dir_is_overwritten(spark, docs, tmp_path):
+    """A kill mid-WRITE leaves parquet files but no _SUCCESS: the stage
+    is uncommitted and must be recomputed with mode=overwrite — no
+    stale rows survive."""
+    runner = PipelineRunner(spark, str(tmp_path))
+    runner.run("prep", 3, docs, _stages())
+    stats_dir = os.path.join(str(tmp_path), "prep", "run_id=3", "stage_02_stats")
+    os.remove(os.path.join(stats_dir, "_SUCCESS"))
+    out, results = runner.run("prep", 3, docs, _stages())
+    assert [r.resumed for r in results] == [True, True, False]
+    assert out.count() == 1
+
+
+def test_pipeline_lineage_rows(spark, docs, tmp_path):
+    from datapact_spark.ledger import ResultsLedger
+
+    ledger = ResultsLedger(spark, str(tmp_path / "results"))
+    runner = PipelineRunner(spark, str(tmp_path / "stages"))
+    runner.run("prep", 9, docs, _stages(), ledger=ledger, job_name="prep-job")
+    hist = ledger.read().where(F.col("run_id") == 9)
+    rows = {r["task_key"]: r for r in hist.collect()}
+    assert set(rows) == {"prep.filter", "prep.dedup", "prep.stats"}
+    assert all(r["status"] == "SUCCESS" for r in rows.values())
+    # resumed re-run appends nothing (no double-counted lineage)
+    runner.run("prep", 9, docs, _stages(), ledger=ledger, job_name="prep-job")
+    assert ledger.read().where(F.col("run_id") == 9).count() == 3
+
+
+def test_pipeline_validations(spark, docs, tmp_path):
+    runner = PipelineRunner(spark, str(tmp_path))
+    with pytest.raises(ValueError, match="at least one"):
+        runner.run("p", 1, docs, [])
+    with pytest.raises(ValueError, match="duplicate"):
+        runner.run("p", 1, docs, [Stage("a", lambda d: d), Stage("a", lambda d: d)])
+
+
+def test_corpus_pipeline_through_runner_matches_oracle_pins(spark, tmp_path):
+    """The six-stage corpus pipeline executed THROUGH the runner (each
+    stage materialized + resumable) reproduces the exact per-stage
+    row counts and id-hash pins of the lazily-derived oracle query —
+    the production shape and the oracle shape are the same pipeline."""
+    import __spark_entry__ as entry_mod
+    from datapact_spark.operators.dedup import strip_boilerplate
+    from datapact_spark.operators.sampling import (
+        deterministic_split,
+        portable_id_hash,
+    )
+    from datapact_spark.operators.textops import (
+        chunk_documents,
+        pack_sequences,
+        pack_summary,
+        redact_pii,
+    )
+    from datapact_spark.session import release_cached
+
+    oracle_rows = {
+        r["stage"]: (r["n_rows"], r["id_hash_sum"])
+        for r in entry_mod.queries_all()["corpus_pipeline"](spark, SF_DIR).collect()
+    }
+
+    header = "// Copyright 2026 Example Corp\n// SPDX-License-Identifier: MIT"
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    injected = spark.createDataFrame(
+        [
+            (9_200_001, f"{header}\nalpha body one"),
+            (9_200_002, f"{header}\nbeta body two\n\nmore beta"),
+            (9_200_003, f"{header}\ngamma body three"),
+            (9_200_004, header),
+            (9_200_005, "alpha body one"),
+            (9_200_006, "contact a@b.io now"),
+            (9_200_007, "contact c@d.org now"),
+        ],
+        "doc_id long, text string",
+    )
+    raw = docs.unionByName(injected)
+
+    stages = [
+        Stage("cleaned", lambda df: redact_pii(
+            strip_boilerplate(df, min_docs=3)
+            .where(F.col("cleaned_text") != "")
+            .select("doc_id", F.col("cleaned_text").alias("text"))
+        )),
+        Stage("deduped", lambda df: (
+            df.withColumn("f", F.md5(F.lower(F.regexp_replace(
+                F.trim("text"), r"\s+", " "))))
+            .groupBy("f").agg(F.min("doc_id").alias("doc_id"),
+                              F.first("text").alias("text"))
+            .drop("f")
+        )),
+        Stage("train", lambda df: deterministic_split(
+            df, {"train": 0.9, "val": 0.05, "test": 0.05}
+        ).where(F.col("split") == "train").drop("split")),
+        Stage("chunks", lambda df: chunk_documents(
+            df, max_tokens=40, overlap=8)),
+        Stage("sequences", lambda df: pack_summary(
+            pack_sequences(df, context_len=128, shards=4), context_len=128)),
+    ]
+    runner = PipelineRunner(spark, str(tmp_path))
+    out, results = runner.run("corpus", 1, raw, stages)
+
+    def pin(df, key):
+        r = df.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(portable_id_hash(key).cast("decimal(38,0)"))
+            .cast("string").alias("h"),
+        ).collect()[0]
+        return (r["n"], r["h"])
+
+    did = F.col("doc_id").cast("string")
+    stage_dfs = {
+        r.stage: spark.read.parquet(r.path) for r in results
+    }
+    assert pin(raw, did) == oracle_rows["1_raw"]
+    assert pin(stage_dfs["cleaned"], did) == oracle_rows["2_cleaned"]
+    assert pin(stage_dfs["deduped"], did) == oracle_rows["3_deduped"]
+    assert pin(stage_dfs["train"], did) == oracle_rows["4_train"]
+    assert pin(
+        stage_dfs["chunks"],
+        F.concat_ws(":", F.col("id").cast("string"), F.col("chunk_id")),
+    ) == oracle_rows["5_chunks"]
+    assert pin(
+        stage_dfs["sequences"],
+        F.concat_ws(":", F.col("shard").cast("string"), F.col("seq_in_shard")),
+    ) == oracle_rows["6_sequences"]
+    release_cached(out)

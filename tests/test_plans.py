@@ -239,6 +239,25 @@ def test_tdigest_sketch_shuffles_only_centroid_partials(
     assert tree.index("Exchange") < tree.index("MapInPandas"), tree
 
 
+def test_tdigest_adaptive_salt_default(spark, lineitem_path):
+    """Default merge_salt_buckets=None is adaptive (r6 bench fix): a
+    few-partition input collapses to the one-level merge (one
+    exchange); a >128-partition input engages the salted sub-merge
+    (two exchanges) — the 10^12-scale protection only pays for itself
+    when the map-task count actually exceeds the final-merge bound."""
+    from datapact_spark.operators.quantiles import tdigest_sketch
+
+    small = tdigest_sketch(spark.read.parquet(lineitem_path), "l_extendedprice")
+    tree = _explain(small).split("\n\n")[0]
+    assert tree.count("Exchange") == 1, tree
+
+    wide = tdigest_sketch(
+        spark.read.parquet(lineitem_path).repartition(200), "l_extendedprice"
+    )
+    tree = _explain(wide).split("\n\n")[0]
+    assert tree.count("Exchange") == 3, tree  # repartition + salt + final
+
+
 def test_embedding_near_dups_single_udf_pass(spark, sf_dir):
     """The self-join's two sides and the bucket cap must all read ONE
     shuffle of the GEMM-signature UDF output: the final (AQE) plan has
