@@ -565,6 +565,88 @@ def q_code_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Injected near-clone bodies (shared by q_code_near_clones and its
+# DuckDB twin): a base function, a renamed-identifier variant (type-2 —
+# identical token-class stream, similarity 1.0) and an inserted-statement
+# variant (type-3 — local stretch of shingles changes, similarity < 1).
+_NC_BASE = (
+    "int process(int[] data, int limit) {\n"
+    "    int sum = 0;\n"
+    "    for (int i = 0; i < data.length; i++) {\n"
+    "        sum += data[i] * 2;\n"
+    "    }\n"
+    "    if (sum > limit) {\n"
+    "        return sum - limit;\n"
+    "    }\n"
+    "    return sum;\n"
+    "}\n"
+    "int scan(int[] data, int cap) {\n"
+    "    int best = data[0];\n"
+    "    for (int i = 1; i < data.length; i++) {\n"
+    "        if (data[i] > best) {\n"
+    "            best = data[i];\n"
+    "        }\n"
+    "        while (best > cap) {\n"
+    "            best = best / 2;\n"
+    "        }\n"
+    "    }\n"
+    "    switch (best) {\n"
+    "        case 0: return cap;\n"
+    "        default: return best;\n"
+    "    }\n"
+    "}\n"
+    "void emit(int[] data, int n) {\n"
+    "    for (int i = 0; i < n; i++) {\n"
+    "        try {\n"
+    "            push(data[i], n - i);\n"
+    "        } catch (err) {\n"
+    "            drop(data[i]);\n"
+    "        }\n"
+    "    }\n"
+    "}\n"
+)
+_NC_RENAMED = (
+    _NC_BASE.replace("process", "accumulate")
+    .replace("data", "values")
+    .replace("limit", "cap")
+    .replace("sum", "acc")
+    .replace("2;", "7;")
+)
+_NC_EDITED = _NC_BASE.replace(
+    "    if (sum > limit) {",
+    "    log.info(sum);\n    if (sum > limit) {",
+)
+_NC_ROWS = [
+    ("repo_nc0", "src/base.java", "c_nc0", "java", _NC_BASE),
+    ("repo_nc1", "src/renamed.java", "c_nc1", "java", _NC_RENAMED),
+    ("repo_nc2", "src/edited.java", "c_nc2", "java", _NC_EDITED),
+]
+
+
+def q_code_near_clones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-3 (near-miss) clone pairs over the derived code table plus
+    injected rename/edit variants: winnowed fingerprints (mod-sampled
+    60-bit hashes of 8-token-class shingles) bucketed per fingerprint —
+    never all-pairs — with the per-fp bucket capped at 64 carriers (the
+    MinHash cap discipline). The injected renamed-identifier clone must
+    pair at similarity 1.0 and the inserted-statement clone below it —
+    the two duplication modes whole-file hashing (`code_clones`)
+    misses. STRICT oracle: token classing, shingling, the md5-prefix
+    hash, the mod filter, the bucket cap and the overlap division are
+    all engine-portable; DuckDB recomputes every pair bitwise. ACTIVE
+    driver entry (new in r6)."""
+    from datapact_spark.operators.codeops import near_clone_pairs
+    from datapact_spark.session import propagate_cached
+
+    code = _code_table(spark, sf_dir).unionByName(
+        spark.createDataFrame(
+            _NC_ROWS, "repo string, path string, commit string, lang string, content string"
+        )
+    )
+    pairs = near_clone_pairs(code)
+    return propagate_cached(pairs, pairs.orderBy("file_a", "file_b"))
+
+
 def q_code_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language complexity/style rollup over the derived code
     table: branch-keyword decision points (AST-less cyclomatic
@@ -2152,6 +2234,7 @@ RETIRED_QUERY_KEYS = (
     "genie_table_quality",
     "genie_issues",
     "genie_current_status",
+    "drift_psi_terms",
 )
 
 
@@ -2194,7 +2277,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "categorical_drift": q_categorical_drift,
         "range_join_validity": q_range_join_validity,
         "ngram_jaccard": q_ngram_jaccard,
-        "drift_psi_terms": q_drift_psi_terms,
         "quantile_drift": q_quantile_drift,
         "tdigest_quantiles": q_tdigest_quantiles,
         "repo_hygiene": q_repo_hygiene,
@@ -2214,6 +2296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": q_contamination_check,
         "quota_sample": q_quota_sample,
         "code_pipeline": q_code_pipeline,
+        "code_near_clones": q_code_near_clones,
     }
 
 
@@ -2242,6 +2325,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "genie_table_quality": q_genie_table_quality,
         "genie_issues": q_genie_issues,
         "genie_current_status": q_genie_current_status,
+        "drift_psi_terms": q_drift_psi_terms,
     }
     assert set(retired) == set(RETIRED_QUERY_KEYS)
     return retired
@@ -2396,7 +2480,82 @@ def _oracle_sql_all() -> dict[str, str]:
             WHERE bit_count(xor(a.sh, b.sh)) <= 6
     """
 
+    # --- code_near_clones: DuckDB twin of codeops.near_clone_pairs ---
+    from datapact_spark.operators.codeops import _TOKEN_PATTERN, CODE_KEYWORDS
+
+    nc_kw = ", ".join(f"'{k}'" for k in CODE_KEYWORDS)
+    # the Spark pattern is used verbatim; in SQL, single quotes double
+    nc_tokpat = _TOKEN_PATTERN.replace("'", "''")
+    nc_values = ",\n              ".join(
+        "('{}', '{}', '{}')".format(
+            r[0], r[1], r[4].replace("'", "''")
+        )
+        for r in _NC_ROWS
+    )
+    nc_sql = _CODE_TABLE_SQL + f""",
+            injected(repo, path, content) AS (VALUES
+              {nc_values}),
+            allfiles AS (
+              SELECT repo, path, content FROM code
+              UNION ALL SELECT repo, path, content FROM injected),
+            normed AS (
+              SELECT repo || '/' || path AS file_key,
+                trim(regexp_replace(regexp_replace(regexp_replace(content,
+                  '(?s)/\\*.*?\\*/', ' ', 'g'),
+                  '(?m)(//|#)[^\n]*', ' ', 'g'),
+                  '[ \t\r\n]+', ' ', 'g')) AS n
+              FROM allfiles),
+            classed AS (
+              SELECT file_key,
+                list_transform(regexp_extract_all(n, '{nc_tokpat}'),
+                  t -> CASE WHEN t IN ({nc_kw}) THEN t
+                            WHEN regexp_matches(t, '^[A-Za-z_]') THEN 'I'
+                            WHEN regexp_matches(t, '^[0-9]') THEN 'N'
+                            WHEN regexp_matches(t, '^["'']') THEN 'S'
+                            ELSE t END) AS ct
+              FROM normed),
+            shingled AS (
+              SELECT file_key,
+                CASE WHEN len(ct) >= 30 THEN
+                  list_transform(range(1, len(ct) - 28),
+                    i -> array_to_string(ct[i : i + 29], ' '))
+                ELSE CAST([] AS VARCHAR[]) END AS shs
+              FROM classed),
+            fp0 AS (
+              SELECT DISTINCT file_key,
+                CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS fp
+              FROM (SELECT file_key, unnest(shs) AS s FROM shingled)
+              WHERE CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 4 = 0),
+            capped AS (
+              SELECT * FROM fp0
+              QUALIFY COUNT(*) OVER (PARTITION BY fp) <= 64),
+            cnt AS (
+              SELECT file_key, COUNT(*) AS n_fps FROM capped
+              GROUP BY file_key HAVING COUNT(*) >= 3),
+            elig AS (
+              SELECT f.file_key, c.n_fps, f.fp
+              FROM capped f JOIN cnt c USING (file_key)),
+            prs AS (
+              SELECT a.file_key AS file_a, b.file_key AS file_b,
+                     a.n_fps AS fps_a, b.n_fps AS fps_b,
+                     COUNT(*) AS shared_fps
+              FROM elig a JOIN elig b
+                ON a.fp = b.fp AND a.file_key < b.file_key
+              GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= 2)
+            SELECT file_a, file_b,
+                   CAST(shared_fps AS BIGINT) AS shared_fps,
+                   CAST(fps_a AS BIGINT) AS fps_a,
+                   CAST(fps_b AS BIGINT) AS fps_b,
+                   CAST(shared_fps AS DOUBLE)
+                     / CAST(LEAST(fps_a, fps_b) AS DOUBLE) AS similarity
+            FROM prs
+            WHERE CAST(shared_fps AS DOUBLE)
+                    / CAST(LEAST(fps_a, fps_b) AS DOUBLE) >= 0.5
+            ORDER BY file_a, file_b
+    """
+
     return {
+        "code_near_clones": nc_sql,
         "count_validation": """
             WITH s AS (SELECT COUNT(*) AS source_count FROM orders),
                  t AS (SELECT COUNT(*) AS target_count FROM orders WHERE o_orderstatus <> 'F')

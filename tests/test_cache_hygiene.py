@@ -61,6 +61,7 @@ def test_no_other_active_query_pins_storage(spark):
         "dedup_exact", "minhash_dedup", "dup_clusters", "vocab_topk",
         "chunk_documents", "pack_sequences", "quota_sample",
         "contamination_check", "code_pipeline", "substring_dedup",
+        "code_near_clones",
     ]
     queries = entry_mod.queries_all()
     spark.catalog.clearCache()

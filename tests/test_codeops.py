@@ -250,3 +250,100 @@ def test_complexity_rollup_densities(spark):
     assert r["total_lines"] == 5
     assert r["total_comment_lines"] == 1
     assert r["comment_density"] == 1 / 5
+
+
+class TestNearClones:
+    """Type-3 near-miss clone detection (winnowed token-class
+    fingerprints, r6)."""
+
+    BASE = (
+        "def compute_total(values, rate):\n"
+        "    total = 0\n"
+        "    for v in values:\n"
+        "        total += v * rate\n"
+        "    if total > 100:\n"
+        "        return total - 5\n"
+        "    return total\n"
+    )
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "repo string, path string, lang string, content string"
+        )
+
+    def test_token_classes_collapse_renames(self, spark):
+        from datapact_spark.operators.codeops import code_token_classes
+
+        renamed = (
+            self.BASE.replace("compute_total", "sum_up")
+            .replace("values", "items").replace("total", "acc")
+            .replace("rate", "factor").replace("100", "250")
+            .replace("5", "9")
+        )
+        df = self._df(spark, [("r", "a.py", "py", self.BASE),
+                              ("r", "b.py", "py", renamed)])
+        a, b = [r["t"] for r in
+                df.select(code_token_classes("content").alias("t")).collect()]
+        assert a == b, "renamed identifiers/literals must collapse"
+        assert "def" in a and "return" in a  # keywords survive
+        assert "I" in a and "N" in a
+
+    def test_type2_and_type3_pairs(self, spark):
+        from datapact_spark.operators.codeops import near_clone_pairs
+
+        renamed = (
+            self.BASE.replace("compute_total", "sum_up")
+            .replace("values", "items").replace("total", "acc")
+            .replace("rate", "factor").replace("100", "250")
+        )
+        edited = self.BASE.replace(
+            "    if total > 100:", "    print(total)\n    if total > 100:"
+        )
+        unrelated = "class Foo:\n    pass\nimport os\nx = {'k': 1}\n"
+        df = self._df(spark, [
+            ("r1", "a.py", "py", self.BASE),
+            ("r2", "b.py", "py", renamed),
+            ("r1", "c.py", "py", edited),
+            ("r3", "d.py", "py", unrelated),
+        ])
+        pairs = {(r["file_a"], r["file_b"]): r
+                 for r in near_clone_pairs(df, k=8).collect()}
+        assert pairs[("r1/a.py", "r2/b.py")]["similarity"] == 1.0
+        t3 = pairs[("r1/a.py", "r1/c.py")]
+        assert 0.5 <= t3["similarity"] < 1.0
+        assert not any("d.py" in a or "d.py" in b for a, b in pairs)
+
+    def test_short_files_excluded(self, spark):
+        from datapact_spark.operators.codeops import near_clone_pairs
+
+        df = self._df(spark, [("r1", "a.py", "py", "x = 1"),
+                              ("r2", "b.py", "py", "x = 1")])
+        assert near_clone_pairs(df, k=8).count() == 0
+
+    def test_universal_fingerprint_bucket_capped(self, spark):
+        from pyspark.sql import functions as F
+
+        from datapact_spark.operators.codeops import (
+            code_fingerprints,
+            near_clone_pairs,
+        )
+
+        # 30 copies of the same body in one "vendored mega-repo": every
+        # fingerprint bucket holds 30 carriers; cap=8 drops them all (the
+        # documented recall trade-off — true mass-dups belong to exact
+        # dedup), so no O(n^2) pair explosion
+        rows = [("mega", f"v/{i}.py", "py", self.BASE) for i in range(30)]
+        df = self._df(spark, rows)
+        assert code_fingerprints(df, k=8).groupBy("fp").count().agg(
+            F.max("count")).collect()[0][0] == 30
+        assert near_clone_pairs(df, k=8, max_bucket_size=8).count() == 0
+        # uncapped, the same corpus pairs quadratically: 30*29/2
+        assert near_clone_pairs(df, k=8, max_bucket_size=0).count() == 435
+
+    def test_null_and_empty_content(self, spark):
+        from datapact_spark.operators.codeops import near_clone_pairs
+
+        df = self._df(spark, [("r1", "a.py", "py", None),
+                              ("r2", "b.py", "py", ""),
+                              ("r3", "c.py", "py", self.BASE)])
+        assert near_clone_pairs(df, k=8).count() == 0

