@@ -171,6 +171,48 @@ class TestRoi:
         assert quality_tier(99.6) == "World Class"
         assert quality_tier(80.0) == "Below Standard"
 
+    def test_reporting_extras(self):
+        """r6: the reference's reporting tail (roi_calculator.py:153-322)
+        — industry benchmark, executive summary, dashboard payload."""
+        from datapact_spark.roi import (
+            DataQualityMetrics,
+            benchmark_against_industry,
+            format_roi_dashboard,
+            generate_executive_summary,
+            percentile_rank,
+        )
+
+        m = DataQualityMetrics(
+            total_validations=100, passed_validations=95, failed_validations=5,
+            critical_failures=2, tables_validated=10, records_processed=1_000_000,
+            avg_runtime_seconds=10.0, data_quality_score=95.0,
+        )
+        b = benchmark_against_industry(m)
+        assert b["quality_tier"] == "Industry Standard"
+        assert b["percentile_rank"] == 75
+        assert b["improvement_potential"] == pytest.approx(4.5)
+        assert b["industry_comparison"]["competitive_advantage"]
+        assert percentile_rank(92.0) == 25 and percentile_rank(50.0) == 10
+
+        text = generate_executive_summary(m, now="2026-08-17 12:00")
+        assert "EXECUTIVE DATA QUALITY REPORT" in text
+        assert "Generated: 2026-08-17 12:00" in text
+        assert "Data Quality Score: 95.0%" in text
+        assert "ADDRESS: 2 critical issues require resolution." in text
+        # score 95 is not below standard and not >= 99: no URGENT/EXCELLENT
+        assert "URGENT" not in text and "EXCELLENT" not in text
+
+        dash = format_roi_dashboard(m)
+        assert [c["title"] for c in dash["kpi_cards"]] == [
+            "Monthly Savings", "ROI", "Payback Period", "5-Year Value",
+        ]
+        assert dash["savings_breakdown"]["categories"] == [
+            "labor_savings", "incident_prevention",
+            "compliance_savings", "revenue_protection",
+        ]
+        assert dash["executive_metrics"]["incidents_prevented_monthly"] == 1
+        assert dash["executive_metrics"]["compliance_risk_reduction"] == "90%"
+
 
 class TestFilterBuilder:
     def test_safe_ops(self, spark):
