@@ -123,9 +123,14 @@ class PipelineRunner:
 
     def _append_lineage(self, ledger, key: str, run_id: int,
                         job_name: str, results: list[StageResult]) -> None:
-        """One run-history row per freshly-computed stage (resumed
-        stages already have their row from the attempt that committed
-        them — appending again would double-count lineage)."""
+        """One run-history row per stage — INCLUDING resumed stages.
+        ``ledger.append`` is an idempotent dynamic-partition overwrite
+        of the run_id partition, so a resumed attempt writing only its
+        fresh stages would WIPE the prior attempt's rows for this run;
+        rewriting the full stage picture each attempt keeps both the
+        overwrite idempotence and the complete lineage (resumed stages
+        are flagged in the payload with a null row count — no job is
+        spent re-counting a committed checkpoint)."""
         import datetime as dt
         import json
 
@@ -145,11 +150,10 @@ class PipelineRunner:
                 "target_table": r.path,
                 "result_payload": json.dumps(
                     {"stage_index": r.index, "rows": r.rows,
-                     "seconds": r.seconds}
+                     "seconds": r.seconds, "resumed": r.resumed}
                 ),
             }
             for r in results
-            if not r.resumed
         ]
         if rows:
             ledger.append(self.spark.createDataFrame(rows, LEDGER_SCHEMA))

@@ -111,6 +111,8 @@ def test_pipeline_torn_stage_dir_is_overwritten(spark, docs, tmp_path):
 
 
 def test_pipeline_lineage_rows(spark, docs, tmp_path):
+    import json
+
     from datapact_spark.ledger import ResultsLedger
 
     ledger = ResultsLedger(spark, str(tmp_path / "results"))
@@ -120,9 +122,42 @@ def test_pipeline_lineage_rows(spark, docs, tmp_path):
     rows = {r["task_key"]: r for r in hist.collect()}
     assert set(rows) == {"prep.filter", "prep.dedup", "prep.stats"}
     assert all(r["status"] == "SUCCESS" for r in rows.values())
-    # resumed re-run appends nothing (no double-counted lineage)
+    # a resumed re-run rewrites the SAME complete picture (the ledger
+    # append is a per-run dynamic overwrite) — still exactly 3 rows,
+    # now flagged resumed
     runner.run("prep", 9, docs, _stages(), ledger=ledger, job_name="prep-job")
-    assert ledger.read().where(F.col("run_id") == 9).count() == 3
+    rows2 = {r["task_key"]: json.loads(r["result_payload"])
+             for r in ledger.read().where(F.col("run_id") == 9).collect()}
+    assert len(rows2) == 3
+    assert all(p["resumed"] for p in rows2.values())
+
+
+def test_pipeline_lineage_survives_kill_resume(spark, docs, tmp_path):
+    """A killed run's committed-stage lineage must not be WIPED by the
+    resumed attempt's append (ledger.append overwrites the run_id
+    partition): the resumed attempt rewrites all stages, so the final
+    ledger carries every stage exactly once."""
+    import json
+
+    from datapact_spark.ledger import ResultsLedger
+
+    ledger = ResultsLedger(spark, str(tmp_path / "results"))
+    runner = PipelineRunner(spark, str(tmp_path / "stages"))
+    boom = _stages()
+    boom[2] = Stage("stats", lambda df: (_ for _ in ()).throw(
+        RuntimeError("killed")))
+    with pytest.raises(RuntimeError, match="killed"):
+        runner.run("prep", 11, docs, boom, ledger=ledger, job_name="prep-job")
+    # the failed attempt wrote nothing to the ledger (it raised before
+    # the lineage append) — the stage checkpoints are the resume truth
+    assert ledger.read().where(F.col("run_id") == 11).count() == 0
+
+    runner.run("prep", 11, docs, _stages(), ledger=ledger, job_name="prep-job")
+    rows = {r["task_key"]: json.loads(r["result_payload"])
+            for r in ledger.read().where(F.col("run_id") == 11).collect()}
+    assert set(rows) == {"prep.filter", "prep.dedup", "prep.stats"}
+    assert rows["prep.filter"]["resumed"] and rows["prep.dedup"]["resumed"]
+    assert not rows["prep.stats"]["resumed"]
 
 
 def test_pipeline_validations(spark, docs, tmp_path):
