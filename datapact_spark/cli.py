@@ -114,6 +114,21 @@ def main(argv: list[str] | None = None) -> int:
                        help="YAML path (default: stdout)")
     sug_p.add_argument("--results-path", default="/tmp/datapact_results")
 
+    pipe_p = sub.add_parser(
+        "pipeline",
+        help="run the declarative curation pipelines from a YAML config "
+        "(resumable: each stage materializes to parquet with a commit "
+        "marker; a killed run resumes at the completed-stage boundary)",
+    )
+    pipe_p.add_argument("--config", required=True)
+    pipe_p.add_argument("--base-dir", default=None)
+    pipe_p.add_argument("--stage-root", default=None,
+                        help="stage-checkpoint directory (default: "
+                        "<results_path>/pipelines)")
+    pipe_p.add_argument("--results-path", default=None)
+    pipe_p.add_argument("--run-id", type=int, default=None)
+    pipe_p.add_argument("--job-name", default="datapact_pipeline")
+
     hist_p = sub.add_parser(
         "history",
         help="recent runs + per-task status transitions from a results "
@@ -300,6 +315,38 @@ def main(argv: list[str] | None = None) -> int:
     config = load_config(args.config)
     spark = get_spark()
     resolver = TableResolver(spark, base_dir=getattr(args, "base_dir", None))
+
+    if args.command == "pipeline":
+        import os
+        import time as _time
+
+        from datapact_spark.ledger import ResultsLedger
+        from datapact_spark.pipeline import PipelineRunner, build_stages
+
+        if not config.pipelines:
+            print("config declares no pipelines", file=sys.stderr)
+            return 1
+        results_path = (
+            args.results_path or config.results_path or "/tmp/datapact_results"
+        )
+        stage_root = args.stage_root or os.path.join(results_path, "pipelines")
+        run_id = args.run_id or int(_time.time() * 1000)
+        ledger = ResultsLedger(spark, results_path)
+        runner = PipelineRunner(spark, stage_root)
+        for spec in config.pipelines:
+            src = resolver.resolve(spec.source)
+            _, results = runner.run(
+                spec.pipeline_key, run_id, src, build_stages(spec),
+                ledger=ledger, job_name=args.job_name,
+            )
+            for r in results:
+                state = "resumed" if r.resumed else f"{r.rows} rows"
+                print(
+                    f"{spec.pipeline_key}.{r.stage}: {state} "
+                    f"({r.seconds:.2f}s) -> {r.path}"
+                )
+        print(f"pipeline run_id={run_id} complete")
+        return 0
 
     if args.command == "plan":
         engine = DataPactEngine(spark, resolver)

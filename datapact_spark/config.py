@@ -725,20 +725,105 @@ class ValidationTask(BaseModel):
         )
 
 
-class DataPactConfig(BaseModel):
-    """Root config: a list of validation tasks plus run-level options."""
+PIPELINE_STAGE_KINDS = (
+    "filter",
+    "lang_filter",
+    "strip_boilerplate",
+    "redact_pii",
+    "exact_dedup",
+    "split",
+    "chunk",
+    "pack",
+)
 
-    validations: list[ValidationTask]
+
+class PipelineStageSpec(BaseModel):
+    """One declarative curation stage. ``kind`` selects the operator;
+    the remaining fields are that kind's parameters (validated when the
+    stage list is compiled by ``pipeline.build_stages`` — the factory
+    owns parameter semantics, this model owns the YAML surface)."""
+
+    kind: str
+    name: str | None = None          # defaults to kind (suffixed on dups)
+    where: str | None = None         # filter: SQL boolean expression
+    keep_langs: list[str] | None = None  # lang_filter
+    min_docs: int = 2                # strip_boilerplate
+    fractions: dict[str, float] | None = None  # split
+    keep: str | None = None          # split: which fraction survives
+    max_tokens: int = 512            # chunk
+    overlap: int = 64                # chunk
+    context_len: int = 2048          # pack
+    shards: int = 64                 # pack
+
+    @field_validator("kind")
+    @classmethod
+    def _known_kind(cls, v: str) -> str:
+        if v not in PIPELINE_STAGE_KINDS:
+            raise ValueError(
+                f"unknown pipeline stage kind {v!r}; expected one of "
+                f"{', '.join(PIPELINE_STAGE_KINDS)}"
+            )
+        return v
+
+
+class PipelineSpec(BaseModel):
+    """A declarative corpus-curation pipeline over a document table:
+    resumable stage-boundary materialization via
+    ``pipeline.PipelineRunner`` (every stage writes parquet + a commit
+    marker; a killed run resumes at the boundary)."""
+
+    pipeline_key: str
+    source: str
+    id_column: str = "doc_id"
+    text_column: str = "text"
+    stages: list[PipelineStageSpec] = Field(min_length=1)
+
+    @model_validator(mode="after")
+    def _stage_order(self) -> "PipelineSpec":
+        kinds = [s.kind for s in self.stages]
+        # chunk changes the schema to (id, chunk_id, ...); pack consumes
+        # chunks — document-level stages cannot follow either
+        if "pack" in kinds and "chunk" not in kinds:
+            raise ValueError("pack requires a preceding chunk stage")
+        for boundary in ("chunk", "pack"):
+            if boundary in kinds:
+                idx = kinds.index(boundary)
+                tail = kinds[idx + 1:]
+                allowed = {"pack"} if boundary == "chunk" else set()
+                bad = [k for k in tail if k not in allowed]
+                if bad:
+                    raise ValueError(
+                        f"stage(s) {bad} cannot follow {boundary!r} — "
+                        "chunking replaces the document schema"
+                    )
+        return self
+
+
+class DataPactConfig(BaseModel):
+    """Root config: validation tasks and/or curation pipelines plus
+    run-level options."""
+
+    validations: list[ValidationTask] = []
+    pipelines: list[PipelineSpec] = []
     results_path: str | None = None
     max_parallel_tasks: int = 8
 
     @model_validator(mode="after")
     def _unique_task_keys(self) -> "DataPactConfig":
+        if not self.validations and not self.pipelines:
+            raise ValueError(
+                "config must declare at least one validation or pipeline"
+            )
         seen: set[str] = set()
         for t in self.validations:
             if t.task_key in seen:
                 raise ValueError(f"Duplicate task_key: {t.task_key}")
             seen.add(t.task_key)
+        pseen: set[str] = set()
+        for p in self.pipelines:
+            if p.pipeline_key in pseen:
+                raise ValueError(f"Duplicate pipeline_key: {p.pipeline_key}")
+            pseen.add(p.pipeline_key)
         return self
 
 

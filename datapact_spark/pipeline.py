@@ -157,3 +157,134 @@ class PipelineRunner:
         ]
         if rows:
             ledger.append(self.spark.createDataFrame(rows, LEDGER_SCHEMA))
+
+
+def build_stages(spec) -> list[Stage]:
+    """Compile a ``config.PipelineSpec`` into runnable ``Stage``s.
+
+    Every kind maps to the engine's own operator (the declarative twin
+    of the hand-written ``corpus_pipeline`` oracle query). Column
+    contract: document stages keep ``(id_column, text_column)``;
+    ``chunk`` replaces it with ``(id, chunk_id, chunk_tokens,
+    chunk_text)``; ``pack`` appends the shard/sequence assignment.
+    Duplicate kinds get ``_2``/``_3`` name suffixes so the stage dirs
+    stay unique."""
+    from pyspark.sql import functions as F
+
+    idc, txt = spec.id_column, spec.text_column
+    stages: list[Stage] = []
+    used: dict[str, int] = {}
+
+    def add(name: str | None, kind: str, fn) -> None:
+        base = name or kind
+        used[base] = used.get(base, 0) + 1
+        stages.append(
+            Stage(base if used[base] == 1 else f"{base}_{used[base]}", fn)
+        )
+
+    for st in spec.stages:
+        k = st.kind
+        if k == "filter":
+            if not st.where:
+                raise ValueError("filter stage requires `where`")
+            where = st.where
+            add(st.name, k, lambda df, w=where: df.where(F.expr(w)))
+        elif k == "lang_filter":
+            if not st.keep_langs:
+                raise ValueError("lang_filter stage requires `keep_langs`")
+            langs = list(st.keep_langs)
+
+            def _lang(df, langs=langs):
+                from datapact_spark.operators.textops import lang_id
+
+                return (
+                    lang_id(df, text_col=txt)
+                    .where(F.col("detected_lang").isin(*langs))
+                    .drop("detected_lang")
+                )
+
+            add(st.name, k, _lang)
+        elif k == "strip_boilerplate":
+            md = st.min_docs
+
+            def _strip(df, md=md):
+                from datapact_spark.operators.dedup import strip_boilerplate
+
+                return (
+                    strip_boilerplate(df, id_col=idc, text_col=txt, min_docs=md)
+                    .where(F.col("cleaned_text") != "")
+                    .select(F.col(idc), F.col("cleaned_text").alias(txt))
+                )
+
+            add(st.name, k, _strip)
+        elif k == "redact_pii":
+
+            def _redact(df):
+                from datapact_spark.operators.textops import redact_pii
+
+                return redact_pii(df, text_col=txt)
+
+            add(st.name, k, _redact)
+        elif k == "exact_dedup":
+
+            def _dedup(df):
+                # min_by keeps the MIN-id row's text (deterministic);
+                # first() would be encounter-order-dependent across
+                # whitespace-variant duplicates
+                return (
+                    df.withColumn(
+                        "__f",
+                        F.md5(F.lower(F.regexp_replace(F.trim(txt), r"\s+", " "))),
+                    )
+                    .groupBy("__f")
+                    .agg(
+                        F.min(idc).alias(idc),
+                        F.min_by(txt, F.col(idc)).alias(txt),
+                    )
+                    .drop("__f")
+                )
+
+            add(st.name, k, _dedup)
+        elif k == "split":
+            if not st.fractions or not st.keep:
+                raise ValueError("split stage requires `fractions` and `keep`")
+            if st.keep not in st.fractions:
+                raise ValueError(
+                    f"split keep={st.keep!r} not in fractions "
+                    f"{sorted(st.fractions)}"
+                )
+            fr, keep = dict(st.fractions), st.keep
+
+            def _split(df, fr=fr, keep=keep):
+                from datapact_spark.operators.sampling import deterministic_split
+
+                return (
+                    deterministic_split(df, fr, id_col=idc)
+                    .where(F.col("split") == keep)
+                    .drop("split")
+                )
+
+            add(st.name, k, _split)
+        elif k == "chunk":
+            mt, ov = st.max_tokens, st.overlap
+
+            def _chunk(df, mt=mt, ov=ov):
+                from datapact_spark.operators.textops import chunk_documents
+
+                return chunk_documents(
+                    df, id_col=idc, text_col=txt, max_tokens=mt, overlap=ov
+                )
+
+            add(st.name, k, _chunk)
+        elif k == "pack":
+            cl, sh = st.context_len, st.shards
+
+            def _pack(df, cl=cl, sh=sh):
+                from datapact_spark.operators.textops import pack_sequences
+
+                return pack_sequences(df, context_len=cl, shards=sh)
+
+            add(st.name, k, _pack)
+        else:  # pragma: no cover — PipelineStageSpec validates kinds
+            raise ValueError(f"unknown stage kind {k!r}")
+    return stages

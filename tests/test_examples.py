@@ -17,7 +17,7 @@ EXAMPLES = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..", "examp
 @pytest.mark.parametrize("path", EXAMPLES, ids=[os.path.basename(p) for p in EXAMPLES])
 def test_example_configs_parse(path):
     cfg = load_config(path)
-    assert cfg.validations
+    assert cfg.validations or cfg.pipelines
 
 
 def test_code_table_example_runs(spark, tmp_path):

@@ -259,3 +259,152 @@ def test_corpus_pipeline_through_runner_matches_oracle_pins(spark, tmp_path):
         F.concat_ws(":", F.col("shard").cast("string"), F.col("seq_in_shard")),
     ) == oracle_rows["6_sequences"]
     release_cached(out)
+
+
+class TestDeclarativePipelines:
+    """YAML-declarable curation pipelines (config.PipelineSpec →
+    pipeline.build_stages → PipelineRunner)."""
+
+    def _spec(self, **over):
+        from datapact_spark.config import PipelineSpec
+
+        base = {
+            "pipeline_key": "prep",
+            "source": "documents",
+            "stages": [
+                {"kind": "filter", "where": "length(text) > 10"},
+                {"kind": "strip_boilerplate", "min_docs": 3},
+                {"kind": "redact_pii"},
+                {"kind": "exact_dedup"},
+                {"kind": "split",
+                 "fractions": {"train": 0.9, "val": 0.05, "test": 0.05},
+                 "keep": "train"},
+                {"kind": "chunk", "max_tokens": 40, "overlap": 8},
+                {"kind": "pack", "context_len": 128, "shards": 4},
+            ],
+        }
+        base.update(over)
+        return PipelineSpec(**base)
+
+    def test_spec_validation(self):
+        import pydantic
+        import pytest as _pytest
+
+        with _pytest.raises(pydantic.ValidationError, match="unknown pipeline stage kind"):
+            self._spec(stages=[{"kind": "nonsense"}])
+        with _pytest.raises(pydantic.ValidationError, match="pack requires"):
+            self._spec(stages=[{"kind": "pack"}])
+        with _pytest.raises(pydantic.ValidationError, match="cannot follow"):
+            self._spec(stages=[
+                {"kind": "chunk"}, {"kind": "redact_pii"},
+            ])
+
+    def test_build_stages_param_validation(self):
+        from datapact_spark.pipeline import build_stages
+
+        with pytest.raises(ValueError, match="requires `where`"):
+            build_stages(self._spec(stages=[{"kind": "filter"}]))
+        with pytest.raises(ValueError, match="requires `fractions`"):
+            build_stages(self._spec(stages=[{"kind": "split"}]))
+        with pytest.raises(ValueError, match="not in fractions"):
+            build_stages(self._spec(stages=[
+                {"kind": "split", "fractions": {"a": 1.0}, "keep": "b"},
+            ]))
+        # duplicate kinds get unique stage names
+        stages = build_stages(self._spec(stages=[
+            {"kind": "redact_pii"}, {"kind": "redact_pii"},
+        ]))
+        assert [s.name for s in stages] == ["redact_pii", "redact_pii_2"]
+
+    def test_config_roundtrip_and_exclusivity(self, tmp_path):
+        import pydantic
+        import yaml
+
+        from datapact_spark.config import load_config
+
+        cfg = {
+            "results_path": "/tmp/r",
+            "pipelines": [{
+                "pipeline_key": "prep",
+                "source": "documents",
+                "stages": [{"kind": "redact_pii"}],
+            }],
+        }
+        p = tmp_path / "p.yml"
+        p.write_text(yaml.safe_dump(cfg))
+        loaded = load_config(p)
+        assert loaded.pipelines[0].stages[0].kind == "redact_pii"
+        assert loaded.validations == []
+        # an empty config is rejected
+        p.write_text(yaml.safe_dump({"results_path": "/tmp/r"}))
+        with pytest.raises(pydantic.ValidationError, match="at least one"):
+            load_config(p)
+
+    def test_declarative_matches_handwritten_corpus_stages(self, spark, docs,
+                                                           tmp_path):
+        """The declarative spec compiled through build_stages produces
+        the same per-stage row counts as the hand-built stages for the
+        shared kinds (filter → dedup semantics)."""
+        from datapact_spark.pipeline import PipelineRunner, build_stages
+
+        spec = self._spec(stages=[
+            {"kind": "filter", "where": "length(text) > 10"},
+            {"kind": "exact_dedup"},
+        ])
+        runner = PipelineRunner(spark, str(tmp_path / "d"))
+        _, decl = runner.run("decl", 1, docs, build_stages(spec))
+        _, hand = PipelineRunner(spark, str(tmp_path / "h")).run(
+            "hand", 1, docs, _stages()[:2]
+        )
+        assert [r.rows for r in decl] == [r.rows for r in hand]
+
+    def test_pipeline_cli_end_to_end_and_resume(self, spark, tmp_path, sf_dir):
+        import subprocess
+        import sys
+
+        import yaml
+
+        cfg = {
+            "results_path": str(tmp_path / "results"),
+            "pipelines": [{
+                "pipeline_key": "prep",
+                "source": "documents",
+                "stages": [
+                    {"kind": "filter", "where": "length(text) > 10"},
+                    {"kind": "exact_dedup"},
+                    {"kind": "split",
+                     "fractions": {"train": 0.9, "val": 0.1},
+                     "keep": "train"},
+                    {"kind": "chunk", "max_tokens": 40, "overlap": 8},
+                    {"kind": "pack", "context_len": 128, "shards": 4},
+                ],
+            }],
+        }
+        p = tmp_path / "pipe.yml"
+        p.write_text(yaml.safe_dump(cfg))
+
+        def run_cli():
+            return subprocess.run(
+                [sys.executable, "-m", "datapact_spark", "pipeline",
+                 "--config", str(p), "--base-dir", sf_dir,
+                 "--run-id", "42"],
+                capture_output=True, text=True, timeout=600,
+                cwd="/root/repo",
+            )
+
+        r = run_cli()
+        assert r.returncode == 0, r.stderr[-3000:]
+        assert "prep.filter:" in r.stdout and "rows" in r.stdout
+        assert "pipeline run_id=42 complete" in r.stdout
+        # second invocation with the same run id resumes every stage
+        r2 = run_cli()
+        assert r2.returncode == 0, r2.stderr[-3000:]
+        assert r2.stdout.count("resumed") == 5, r2.stdout
+        # lineage rows landed in the results ledger
+        import os
+        hist = spark.read.parquet(
+            os.path.join(str(tmp_path / "results"), "run_history")
+        )
+        keys = {r["task_key"] for r in hist.collect()}
+        assert {"prep.filter", "prep.exact_dedup", "prep.split",
+                "prep.chunk", "prep.pack"} <= keys
