@@ -312,6 +312,38 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprint(docs).select("doc_id", "fingerprint")
 
 
+def q_minhash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest near-dup probe: a NEW batch (every 13th doc
+    perturbed at the tail, ids +2M, plus one unrelated doc) probed
+    against the indexed corpus band relation — the corpus side never
+    reshuffles (broadcast probe, plan-asserted in tests). STRICT
+    oracle: DuckDB computes exact all-pairs new-vs-corpus word-3-gram
+    Jaccard ground truth; found == truth at the same bands=16/r=2
+    recall margin as minhash_dedup. In-repo (extended) entry."""
+    from datapact_spark.operators.dedup import (
+        minhash_band_hashes,
+        minhash_signatures,
+        probe_near_dups,
+    )
+
+    corpus = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    news = corpus.where(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    ).unionByName(
+        spark.createDataFrame(
+            [(9_900_001, "zq wq vq uq totally unrelated probe tokens")],
+            "doc_id long, text string",
+        )
+    )
+    sigs = minhash_signatures(corpus, num_hashes=32)
+    corpus_bands = minhash_band_hashes(sigs, bands=16, rows_per_band=2)
+    return probe_near_dups(
+        news, corpus, corpus_bands,
+        num_hashes=32, bands=16, threshold=0.5,
+    ).orderBy("new_id", "corpus_id")
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style intra-document repetition filters (dup-token mass,
     top-token share, top-bigram share) — the standard quality gates a
@@ -2337,6 +2369,7 @@ def extended_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     by the in-repo parity sweep only."""
     return {
         "repetition_stats": q_repetition_stats,
+        "minhash_probe": q_minhash_probe,
         "deterministic_split": q_deterministic_split,
         "code_stats": q_code_stats,
         "code_complexity": q_code_complexity,
@@ -3315,6 +3348,47 @@ def _oracle_sql_all() -> dict[str, str]:
               JOIN grams ga ON ga.doc_id = cand.id_a
               JOIN grams gb ON gb.doc_id = cand.id_b)
             SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
+        """,
+        "minhash_probe": """
+            -- exact new-vs-corpus ground truth: every (new, corpus)
+            -- pair with word-3-gram Jaccard >= 0.5. The Spark side
+            -- must find EXACTLY these pairs by probing the corpus
+            -- band-hash index with the new batch broadcast.
+            WITH corpus AS (SELECT doc_id, text FROM documents),
+            news AS (
+              SELECT doc_id + 2000000 AS doc_id, text || ' zzz' AS text
+              FROM documents WHERE doc_id % 13 = 0
+              UNION ALL
+              SELECT 9900001 AS doc_id,
+                     'zq wq vq uq totally unrelated probe tokens' AS text),
+            cg AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS g
+              FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                    FROM corpus)
+              WHERE len(toks) >= 3),
+            ng AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS g
+              FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                    FROM news)
+              WHERE len(toks) >= 3),
+            cand AS (
+              SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+              FROM (SELECT doc_id, unnest(g) AS gram FROM ng) n
+              JOIN (SELECT doc_id, unnest(g) AS gram FROM cg) c
+                ON n.gram = c.gram),
+            scored AS (
+              SELECT new_id, corpus_id,
+                     len(list_intersect(gn.g, gc.g))
+                       / NULLIF(CAST(len(list_distinct(list_concat(gn.g, gc.g))) AS DOUBLE), 0) AS jaccard
+              FROM cand
+              JOIN ng gn ON gn.doc_id = cand.new_id
+              JOIN cg gc ON gc.doc_id = cand.corpus_id)
+            SELECT new_id, corpus_id, jaccard FROM scored
+            WHERE jaccard >= 0.5 ORDER BY new_id, corpus_id
         """,
         "simhash_pairs": simhash_pairs_sql,
         "lsh_topk": """

@@ -205,6 +205,84 @@ class IvfIndexStore:
         return cents, assigned
 
 
+class MinHashIndexStore:
+    """Persisted MinHash LSH band index for incremental near-dup ingest
+    (the continuous-crawl lifecycle): one directory per index name
+    holding the corpus band relation ``(id, band, band_hash)`` parquet
+    PARTITIONED BY band, plus ``meta.json`` with the signature
+    parameters (num_hashes / bands / shingle_n / seed) and the corpus
+    fingerprint for staleness detection.
+
+    A training pipeline dedups every new crawl increment against the
+    SAME multi-trillion-row corpus; rebuilding the corpus signatures per
+    increment is the dominant cost. This store materializes the band
+    hashes once; ``operators.dedup.probe_near_dups`` then broadcasts the
+    increment's bands against it — the corpus is never reshuffled — and
+    ``append`` folds accepted documents into the index so the next
+    increment sees them."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def _dir(self, name: str) -> str:
+        return os.path.join(self.path, "minhash_index", name)
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(
+            os.path.join(self._dir(name), "bands", "_SUCCESS")
+        )
+
+    def write(self, name: str, band_rows: DataFrame, meta: dict) -> None:
+        """``band_rows``: the corpus ``minhash_band_hashes`` output;
+        ``meta`` MUST carry the signature params — the probe refuses an
+        index whose params it cannot verify."""
+        import json
+
+        required = {"num_hashes", "bands", "shingle_n", "seed"}
+        missing = required - set(meta)
+        if missing:
+            raise ValueError(f"meta missing signature params: {sorted(missing)}")
+        d = self._dir(name)
+        (
+            band_rows.repartition("band")
+            .write.mode("overwrite")
+            .partitionBy("band")
+            .parquet(os.path.join(d, "bands"))
+        )
+        with open(os.path.join(d, "meta.json"), "w") as f:
+            json.dump(meta, f)
+
+    def append(self, name: str, band_rows: DataFrame) -> None:
+        """Fold newly-accepted documents into the index (same signature
+        params as the build — the caller just admitted them through a
+        probe, so they are already computed)."""
+        if not self.exists(name):
+            raise ValueError(f"minhash index {name!r} does not exist")
+        (
+            band_rows.repartition("band")
+            .write.mode("append")
+            .partitionBy("band")
+            .parquet(os.path.join(self._dir(name), "bands"))
+        )
+
+    def read_meta(self, name: str) -> dict | None:
+        import json
+
+        p = os.path.join(self._dir(name), "meta.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def read(self, name: str) -> DataFrame:
+        df = self.spark.read.parquet(os.path.join(self._dir(name), "bands"))
+        # partition column comes back typed; normalize to int
+        return df.select(
+            "id", F.col("band").cast("int").alias("band"), "band_hash"
+        )
+
+
 class CheckpointStore:
     """Per-partition completion manifest for resume-exactly semantics.
 

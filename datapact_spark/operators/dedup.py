@@ -164,18 +164,17 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_candidates(
+def minhash_band_hashes(
     signatures: DataFrame,
     bands: int = 8,
     rows_per_band: int = 4,
-    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
-    """LSH banding: split each signature into ``bands`` bands of
-    ``rows_per_band`` values, hash each band, self-join per (band,
-    band_hash) bucket → candidate pairs (id_a < id_b). The join key is
-    (band_idx, band_hash), so identical bands collide and the shuffle
-    carries only (id, band_hash) pairs."""
-    exploded = signatures.select(
+    """(id, band, band_hash): each signature split into ``bands`` bands
+    of ``rows_per_band`` values, each band hashed — the LSH bucket keys
+    shared by the self-join candidate path
+    (``minhash_lsh_candidates``) and the index/probe path
+    (``ledger.MinHashIndexStore`` + ``probe_near_dups``). Map-only."""
+    return signatures.select(
         "id",
         F.posexplode(
             F.array(
@@ -196,6 +195,20 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "band_hash"),
     )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` bands of
+    ``rows_per_band`` values, hash each band, self-join per (band,
+    band_hash) bucket → candidate pairs (id_a < id_b). The join key is
+    (band_idx, band_hash), so identical bands collide and the shuffle
+    carries only (id, band_hash) pairs."""
+    exploded = minhash_band_hashes(signatures, bands, rows_per_band)
     exploded = cap_bucket_size(exploded, ["band", "band_hash"], max_bucket_size)
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -209,6 +222,73 @@ def minhash_lsh_candidates(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates()
     )
+
+
+def probe_near_dups(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    corpus_bands: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    seed: int = 42,
+    threshold: float = 0.7,
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Incremental-ingest near-dup check: find which NEW documents are
+    near-duplicates of an already-indexed corpus — the continuous-crawl
+    companion to ``minhash_dedup`` (which rescans everything). Returns
+    ``(new_id, corpus_id, jaccard)`` for verified pairs ≥ ``threshold``.
+
+    ``corpus_bands`` is the corpus's precomputed ``minhash_band_hashes``
+    relation — from ``ledger.MinHashIndexStore`` (persistent, appendable)
+    or built inline. The signature params (num_hashes/bands/shingle_n/
+    seed) MUST match the ones the index was built with; the store's
+    meta carries them.
+
+    Scale shape (the contamination_check lesson): the new batch is
+    small (a crawl increment), so its band hashes BROADCAST and the
+    10^12-row index is probed with a map-side broadcast join — the
+    corpus side never shuffles, never re-hashes, and candidate dedup
+    happens AFTER the join (dedup before it would shuffle the index).
+    Only matched corpus ids are semi-joined back to corpus text for the
+    exact-Jaccard verify."""
+    rows_per_band = num_hashes // bands
+    new_sigs = minhash_signatures(
+        new_docs, id_col, text_col, num_hashes, shingle_n, seed
+    )
+    new_bands = minhash_band_hashes(new_sigs, bands, rows_per_band).select(
+        F.col("id").alias("new_id"), "band", "band_hash"
+    )
+    if broadcast_new:
+        new_bands = F.broadcast(new_bands)
+    cands = (
+        corpus_bands.join(new_bands, ["band", "band_hash"])
+        .select(F.col("new_id"), F.col("id").alias("corpus_id"))
+        .dropDuplicates()
+    )
+    new_sets = new_docs.select(
+        F.col(id_col).alias("new_id"), _shingles(text_col, shingle_n).alias("sh_n")
+    )
+    corpus_sets = corpus.join(
+        F.broadcast(cands.select("corpus_id").dropDuplicates()),
+        corpus[id_col] == F.col("corpus_id"),
+        "left_semi",
+    ).select(
+        F.col(id_col).alias("corpus_id"), _shingles(text_col, shingle_n).alias("sh_c")
+    )
+    joined = cands.join(F.broadcast(new_sets), "new_id").join(
+        corpus_sets, "corpus_id"
+    )
+    inter = F.size(F.array_intersect("sh_n", "sh_c"))
+    union = F.size(F.array_union("sh_n", "sh_c"))
+    return joined.select(
+        "new_id",
+        "corpus_id",
+        (inter / F.nullif(union.cast("double"), F.lit(0.0))).alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)
 
 
 def jaccard_verify(

@@ -150,6 +150,134 @@ def streaming_exact_dedup(
     return fp.dropDuplicates(["fingerprint"])
 
 
+def streaming_near_dedup(
+    stream_df: DataFrame,
+    corpus: DataFrame,
+    index_store,
+    index_name: str,
+    checkpoint_dir: str,
+    accepted_sink: str,
+    rejected_sink: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    admit_to_index: bool = True,
+    trigger_available_now: bool = True,
+):
+    """Continuous-crawl NEAR-dup gate: every micro-batch is probed
+    against the persisted MinHash band index
+    (``ledger.MinHashIndexStore``); documents with no verified
+    near-duplicate in the corpus are written to ``accepted_sink`` (and,
+    with ``admit_to_index``, their band hashes are appended to the index
+    so the NEXT batch sees them); matches go to ``rejected_sink`` with
+    their best-matching corpus id and Jaccard.
+
+    This composes ``streaming_exact_dedup`` (verbatim re-crawls, bounded
+    state) with the batch ``probe_near_dups`` shape: the corpus never
+    reshuffles — the micro-batch's band hashes broadcast against the
+    index scan. Signature params come from the index meta (written at
+    build time), so a probe can never silently disagree with the index.
+
+    Exactly-once note: foreachBatch sinks are parquet APPENDS keyed by
+    batch_id directories, so a replayed batch overwrites its own
+    directory idempotently (the engine's ledger convention)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datapact_spark.operators.dedup import (
+        minhash_band_hashes,
+        minhash_dedup,
+        minhash_signatures,
+        probe_near_dups,
+    )
+
+    meta = index_store.read_meta(index_name)
+    if not meta:
+        raise ValueError(
+            f"minhash index {index_name!r} has no meta — build it with "
+            "MinHashIndexStore.write(meta={num_hashes, bands, shingle_n, seed})"
+        )
+    num_hashes, bands = int(meta["num_hashes"]), int(meta["bands"])
+    shingle_n, seed = int(meta["shingle_n"]), int(meta["seed"])
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        try:
+            if batch_df.rdd.isEmpty():
+                return
+            # the verify corpus must include previously-ADMITTED stream
+            # docs (their bands are in the index, but probe verification
+            # joins corpus text — without this union a near-dup of an
+            # admitted doc would band-collide, fail verification, and
+            # slip through)
+            verify_corpus = corpus.select(id_col, text_col)
+            try:
+                prior = spark.read.parquet(accepted_sink).select(
+                    id_col, text_col
+                )
+                verify_corpus = verify_corpus.unionByName(prior)
+            except Exception:
+                pass  # first batch: no accepted docs yet
+            hits = probe_near_dups(
+                batch_df, verify_corpus, index_store.read(index_name),
+                id_col=id_col, text_col=text_col,
+                num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+                seed=seed, threshold=threshold,
+            )
+            best = (
+                hits.groupBy("new_id")
+                .agg(
+                    F.max(F.struct(F.col("jaccard"), F.col("corpus_id"))).alias("m")
+                )
+                .select(
+                    F.col("new_id").alias(id_col),
+                    F.col("m.corpus_id").alias("matched_corpus_id"),
+                    F.col("m.jaccard").alias("jaccard"),
+                )
+            ).persist()
+            try:
+                rejected = batch_df.join(F.broadcast(best), id_col)
+                accepted = batch_df.join(F.broadcast(best), id_col, "left_anti")
+                # intra-batch near-dups: both sides are novel vs the
+                # corpus, so the probe admits both — run the batch-local
+                # pair detector and greedily keep the min id of each pair
+                intra = minhash_dedup(
+                    accepted, id_col=id_col, text_col=text_col,
+                    num_hashes=num_hashes, bands=bands,
+                    shingle_n=shingle_n, seed=seed, threshold=threshold,
+                ).select(F.col("id_b").alias(id_col)).dropDuplicates()
+                accepted = accepted.join(F.broadcast(intra), id_col, "left_anti")
+                accepted = accepted.persist()
+                accepted.write.mode("overwrite").parquet(
+                    os.path.join(accepted_sink, f"batch={batch_id}")
+                )
+                if rejected_sink is not None:
+                    rejected.write.mode("overwrite").parquet(
+                        os.path.join(rejected_sink, f"batch={batch_id}")
+                    )
+                if admit_to_index:
+                    sigs = minhash_signatures(
+                        accepted, id_col, text_col, num_hashes, shingle_n, seed
+                    )
+                    index_store.append(index_name, minhash_band_hashes(
+                        sigs, bands, num_hashes // bands
+                    ))
+                accepted.unpersist()
+            finally:
+                best.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    writer = stream_df.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stateful_sessionize(
     stream_df: DataFrame,
     user_col: str = "user_id",

@@ -942,3 +942,155 @@ class TestRound5Fixes:
 
         with pytest.raises(ValueError, match="context_len"):
             pack_sequences(chunks, context_len=0)
+
+
+class TestMinHashProbe:
+    """Incremental near-dup ingest: MinHashIndexStore + probe_near_dups
+    (r6)."""
+
+    PARAMS = dict(num_hashes=32, bands=16, shingle_n=3, seed=42)
+
+    def _corpus(self, spark):
+        rows = [
+            (i, " ".join(f"w{i}_{j}" for j in range(30))) for i in range(40)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def _index(self, spark, corpus, tmp_path):
+        from datapact_spark.ledger import MinHashIndexStore
+        from datapact_spark.operators.dedup import (
+            minhash_band_hashes,
+            minhash_signatures,
+        )
+
+        p = self.PARAMS
+        sigs = minhash_signatures(
+            corpus, num_hashes=p["num_hashes"], shingle_n=p["shingle_n"],
+            seed=p["seed"],
+        )
+        bands = minhash_band_hashes(
+            sigs, bands=p["bands"],
+            rows_per_band=p["num_hashes"] // p["bands"],
+        )
+        store = MinHashIndexStore(spark, str(tmp_path))
+        store.write("corpus", bands, dict(p, corpus_rows=corpus.count()))
+        return store
+
+    def test_band_hash_refactor_matches_candidates(self, spark):
+        """minhash_lsh_candidates through the extracted band-hash helper
+        must produce the same pairs as before (regression guard for the
+        refactor)."""
+        from datapact_spark.operators.dedup import (
+            minhash_lsh_candidates,
+            minhash_signatures,
+        )
+
+        docs = self._corpus(spark).unionByName(
+            spark.createDataFrame(
+                [(100, " ".join(f"w5_{j}" for j in range(30)) + " tail")],
+                "doc_id long, text string",
+            )
+        )
+        sigs = minhash_signatures(docs, num_hashes=32)
+        pairs = {(r["id_a"], r["id_b"]) for r in
+                 minhash_lsh_candidates(sigs, bands=16, rows_per_band=2).collect()}
+        assert (5, 100) in pairs
+
+    def test_probe_finds_near_dups_and_skips_unrelated(self, spark, tmp_path):
+        from datapact_spark.operators.dedup import probe_near_dups
+
+        corpus = self._corpus(spark)
+        store = self._index(spark, corpus, tmp_path)
+        new = spark.createDataFrame(
+            [
+                # near-dup of doc 7 (one appended token)
+                (1007, " ".join(f"w7_{j}" for j in range(30)) + " extra"),
+                # exact dup of doc 3
+                (1003, " ".join(f"w3_{j}" for j in range(30))),
+                # unrelated
+                (2000, "completely different content with no overlap at all"),
+            ],
+            "doc_id long, text string",
+        )
+        p = self.PARAMS
+        out = {
+            (r["new_id"], r["corpus_id"]): r["jaccard"]
+            for r in probe_near_dups(
+                new, corpus, store.read("corpus"), threshold=0.5, **p
+            ).collect()
+        }
+        assert out[(1003, 3)] == 1.0
+        assert 0.5 <= out[(1007, 7)] < 1.0
+        assert not any(n == 2000 for n, _ in out)
+
+    def test_probe_corpus_side_never_shuffles(self, spark, tmp_path):
+        """The index side of the candidate join must be probed by a
+        broadcast join — no Exchange between the index scan and the
+        join (the corpus is 10^12 rows in production)."""
+        from datapact_spark.operators.dedup import probe_near_dups
+
+        corpus = self._corpus(spark)
+        store = self._index(spark, corpus, tmp_path)
+        new = spark.createDataFrame(
+            [(1003, " ".join(f"w3_{j}" for j in range(30)))],
+            "doc_id long, text string",
+        )
+        df = probe_near_dups(
+            new, corpus, store.read("corpus"), threshold=0.5, **self.PARAMS
+        )
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "BroadcastHashJoin" in plan
+        # a shuffled candidate join would hash-partition on the band
+        # keys; the probe must broadcast the new side instead, so the
+        # 10^12-row bands relation is only ever scanned
+        assert "hashpartitioning(band" not in plan, plan
+        assert "minhash_index" in plan  # the persisted bands are the probe input
+
+    def test_store_append_and_meta(self, spark, tmp_path):
+        from datapact_spark.ledger import MinHashIndexStore
+        from datapact_spark.operators.dedup import (
+            minhash_band_hashes,
+            minhash_signatures,
+        )
+
+        corpus = self._corpus(spark)
+        store = self._index(spark, corpus, tmp_path)
+        meta = store.read_meta("corpus")
+        assert meta["bands"] == 16 and meta["corpus_rows"] == 40
+        before = store.read("corpus").count()
+
+        p = self.PARAMS
+        newdoc = spark.createDataFrame(
+            [(999, "brand new admitted document with fresh words")],
+            "doc_id long, text string",
+        )
+        sigs = minhash_signatures(
+            newdoc, num_hashes=p["num_hashes"], shingle_n=p["shingle_n"],
+            seed=p["seed"],
+        )
+        store.append("corpus", minhash_band_hashes(
+            sigs, bands=p["bands"], rows_per_band=p["num_hashes"] // p["bands"]
+        ))
+        assert store.read("corpus").count() == before + p["bands"]
+        # the appended doc is now probe-visible
+        from datapact_spark.operators.dedup import probe_near_dups
+
+        corpus2 = corpus.unionByName(newdoc)
+        hits = probe_near_dups(
+            newdoc.select((F.col("doc_id") + 1).alias("doc_id"), "text"),
+            corpus2, store.read("corpus"), threshold=0.9, **p,
+        ).collect()
+        assert [(r["new_id"], r["corpus_id"])] == [(1000, 999)] if (r := hits[0]) else False
+
+    def test_store_validation(self, spark, tmp_path):
+        from datapact_spark.ledger import MinHashIndexStore
+
+        store = MinHashIndexStore(spark, str(tmp_path))
+        with pytest.raises(ValueError, match="missing signature params"):
+            store.write("x", spark.range(1).selectExpr(
+                "id", "0 as band", "id as band_hash"), {"bands": 8})
+        with pytest.raises(ValueError, match="does not exist"):
+            store.append("nope", spark.range(1).selectExpr(
+                "id", "0 as band", "id as band_hash"))

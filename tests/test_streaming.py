@@ -399,3 +399,89 @@ def test_streaming_exact_dedup_cross_batch(spark, tmp_path):
         rows = spark.read.parquet(out_dir).collect()
         ids = sorted(r["doc_id"] for r in rows)
         assert ids == [1, 2, 4], (ts_col, ids)  # doc 3 suppressed
+
+
+def test_streaming_near_dedup_lifecycle(spark, tmp_path):
+    """Continuous-crawl near-dup gate: batch 1 rejects a near-dup of a
+    corpus doc and admits a novel doc (appending its bands); batch 2's
+    near-dup OF THAT ADMITTED DOC is then rejected too (the index +
+    verify-corpus both grew), and an intra-batch near-dup pair admits
+    only the min id."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datapact_spark.ledger import MinHashIndexStore
+    from datapact_spark.operators.dedup import (
+        minhash_band_hashes,
+        minhash_signatures,
+    )
+    from datapact_spark.streaming.incremental import streaming_near_dedup
+
+    params = dict(num_hashes=32, bands=16, shingle_n=3, seed=42)
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"c{i}_{j}" for j in range(30))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(corpus, num_hashes=32)
+    store = MinHashIndexStore(spark, str(tmp_path / "idx"))
+    store.write(
+        "corpus", minhash_band_hashes(sigs, bands=16, rows_per_band=2), params
+    )
+
+    novel = " ".join(f"n1_{j}" for j in range(30))
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    b0 = spark.createDataFrame(
+        [
+            (100, " ".join(f"c5_{j}" for j in range(30)) + " tail"),  # ~corpus 5
+            (101, novel),                                             # novel
+        ],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [
+            (200, novel + " suffix"),  # near-dup of ADMITTED 101
+            # intra-batch near-dup pair: only 201 should survive
+            (201, " ".join(f"x_{j}" for j in range(30))),
+            (202, " ".join(f"x_{j}" for j in range(30)) + " tail"),
+        ],
+        "doc_id long, text string",
+    )
+    b0.coalesce(1).write.mode("append").parquet(src_dir)
+
+    accepted_sink = str(tmp_path / "accepted")
+    rejected_sink = str(tmp_path / "rejected")
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        q = streaming_near_dedup(
+            stream, corpus, store, "corpus",
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            accepted_sink=accepted_sink,
+            rejected_sink=rejected_sink,
+            threshold=0.5,
+        )
+        q.awaitTermination(180)
+
+    run_stream()
+    acc = {r["doc_id"] for r in spark.read.parquet(accepted_sink).collect()}
+    rej = {r["doc_id"]: r for r in spark.read.parquet(rejected_sink).collect()}
+    assert acc == {101}
+    assert set(rej) == {100} and rej[100]["matched_corpus_id"] == 5
+    assert rej[100]["jaccard"] >= 0.5
+    # 101's bands were appended to the index
+    idx_ids = {r["id"] for r in store.read("corpus").select("id").distinct().collect()}
+    assert 101 in idx_ids
+
+    # second increment
+    b1.coalesce(1).write.mode("append").parquet(src_dir)
+    run_stream()
+    acc = {r["doc_id"] for r in spark.read.parquet(accepted_sink).collect()}
+    rej2 = {r["doc_id"]: r for r in spark.read.parquet(rejected_sink).collect()}
+    assert acc == {101, 201}, acc  # 202 dropped intra-batch, 200 vs admitted 101
+    assert rej2[200]["matched_corpus_id"] == 101
