@@ -278,6 +278,100 @@ def streaming_near_dedup(
     return writer.start()
 
 
+def streaming_embedding_dedup(
+    stream_df: DataFrame,
+    corpus: DataFrame,
+    checkpoint_dir: str,
+    accepted_sink: str,
+    rejected_sink: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    trigger_available_now: bool = True,
+):
+    """Embedding-space twin of ``streaming_near_dedup``: every
+    micro-batch of incoming vectors (a crawl increment's embeddings) is
+    checked for cosine near-duplicates against the corpus — plus every
+    PREVIOUSLY-ACCEPTED vector, read back from the accepted sink, so an
+    admitted vector immediately blocks its own near-dups. Batches are
+    small relative to the corpus, so the batch side BROADCASTS into one
+    GEMM-shaped pass over the corpus (``brute_force_topk``'s plan: the
+    corpus never shuffles); swap in ``similarity.ivf_probe_topk`` +
+    ``IvfIndexStore`` when a trained index exists and the corpus scan
+    itself is the bottleneck.
+
+    Intra-batch near-dups (both novel vs the corpus) are resolved by a
+    batch-local self-check keeping the min id — same greedy contract as
+    the MinHash gate. Sinks are parquet per batch-id directory, so a
+    replayed batch overwrites itself idempotently."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datapact_spark.operators.similarity import brute_force_topk
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        try:
+            if batch_df.rdd.isEmpty():
+                return
+            ref = corpus.select(id_col, vec_col)
+            try:
+                prior = spark.read.parquet(accepted_sink).select(id_col, vec_col)
+                ref = ref.unionByName(prior)
+            except Exception:
+                pass  # first batch: nothing accepted yet
+            hits = brute_force_topk(
+                ref, batch_df, k=1, id_col=id_col, vec_col=vec_col
+            ).where(F.col("cosine_sim") >= threshold)
+            best = hits.select(
+                F.col("query_id").alias(id_col),
+                F.col("neighbor_id").alias("matched_corpus_id"),
+                F.col("cosine_sim"),
+            ).persist()
+            try:
+                rejected = batch_df.join(F.broadcast(best), id_col)
+                accepted = batch_df.join(F.broadcast(best), id_col, "left_anti")
+                # intra-batch: self top-k over the accepted slice; a
+                # vector is dropped iff ANY lower-id neighbor sits over
+                # the threshold in its top-16 (k=1 would miss cluster
+                # members whose single nearest neighbor is a higher id)
+                intra = (
+                    brute_force_topk(
+                        accepted, accepted, k=16, id_col=id_col, vec_col=vec_col
+                    )
+                    .where(
+                        (F.col("cosine_sim") >= threshold)
+                        & (F.col("query_id") > F.col("neighbor_id"))
+                    )
+                    .select(F.col("query_id").alias(id_col))
+                    .dropDuplicates()
+                )
+                accepted = accepted.join(
+                    F.broadcast(intra), id_col, "left_anti"
+                ).persist()
+                accepted.write.mode("overwrite").parquet(
+                    os.path.join(accepted_sink, f"batch={batch_id}")
+                )
+                if rejected_sink is not None:
+                    rejected.write.mode("overwrite").parquet(
+                        os.path.join(rejected_sink, f"batch={batch_id}")
+                    )
+                accepted.unpersist()
+            finally:
+                best.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    writer = stream_df.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stateful_sessionize(
     stream_df: DataFrame,
     user_col: str = "user_id",

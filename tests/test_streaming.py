@@ -485,3 +485,79 @@ def test_streaming_near_dedup_lifecycle(spark, tmp_path):
     rej2 = {r["doc_id"]: r for r in spark.read.parquet(rejected_sink).collect()}
     assert acc == {101, 201}, acc  # 202 dropped intra-batch, 200 vs admitted 101
     assert rej2[200]["matched_corpus_id"] == 101
+
+
+def test_streaming_embedding_dedup_lifecycle(spark, tmp_path):
+    """Embedding-space ingest gate: batch 1 rejects a vector nearly
+    parallel to a corpus vector and admits a novel one; batch 2's
+    near-dup OF THE ADMITTED vector is rejected (accepted-sink union),
+    and an intra-batch near-parallel pair admits only the min id."""
+    import math
+    import os
+
+    from datapact_spark.streaming.incremental import streaming_embedding_dedup
+
+    def unit(i, dim=8):
+        v = [0.0] * dim
+        v[i % dim] = 1.0
+        return v
+
+    def tilt(base, eps=0.01):
+        v = list(base)
+        nz = next(i for i, x in enumerate(v) if x != 0.0)
+        v[(nz + 1) % len(v)] += eps
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    corpus = spark.createDataFrame(
+        [(i, unit(i)) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    novel = [0.5, 0.5, 0.5, 0.5, 0.0, 0.0, 0.0, 0.0]
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    b0 = spark.createDataFrame(
+        [(100, tilt(unit(3))), (101, novel)],
+        "vec_id long, embedding array<double>",
+    )
+    # intra-batch case: two near-parallel vectors in a fresh subspace
+    fresh = [1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0]
+    n = math.sqrt(sum(x * x for x in fresh))
+    fresh = [x / n for x in fresh]
+    b1 = spark.createDataFrame(
+        [(200, tilt(novel, 0.02)), (201, fresh), (202, tilt(fresh, 0.01))],
+        "vec_id long, embedding array<double>",
+    )
+    b0.coalesce(1).write.mode("append").parquet(src_dir)
+
+    accepted_sink = str(tmp_path / "acc")
+    rejected_sink = str(tmp_path / "rej")
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        q = streaming_embedding_dedup(
+            stream, corpus,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            accepted_sink=accepted_sink,
+            rejected_sink=rejected_sink,
+            threshold=0.99,
+        )
+        q.awaitTermination(180)
+
+    run_stream()
+    acc = {r["vec_id"] for r in spark.read.parquet(accepted_sink).collect()}
+    rej = {r["vec_id"]: r for r in spark.read.parquet(rejected_sink).collect()}
+    assert acc == {101}
+    assert set(rej) == {100} and rej[100]["matched_corpus_id"] == 3
+    assert rej[100]["cosine_sim"] >= 0.99
+
+    b1.coalesce(1).write.mode("append").parquet(src_dir)
+    run_stream()
+    acc = {r["vec_id"] for r in spark.read.parquet(accepted_sink).collect()}
+    rej2 = {r["vec_id"]: r for r in spark.read.parquet(rejected_sink).collect()}
+    assert acc == {101, 201}, acc
+    assert rej2[200]["matched_corpus_id"] == 101
