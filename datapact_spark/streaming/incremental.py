@@ -58,6 +58,26 @@ def _partition_has_parquet(spark: SparkSession, root: str, batch_id: int) -> boo
     )
 
 
+def _dir_has_parquet(spark: SparkSession, root: str) -> bool:
+    """True when ``root`` exists and holds at least one committed
+    parquet file anywhere below it (one level of batch=N subdirs).
+    Hadoop-FS resolved, same portability rationale as
+    ``_partition_has_parquet``."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(root)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return False
+    for st in fs.listStatus(path):
+        if st.getPath().getName().endswith(".parquet"):
+            return True
+        if st.isDirectory():
+            for sub in fs.listStatus(st.getPath()):
+                if sub.getPath().getName().endswith(".parquet"):
+                    return True
+    return False
+
+
 def validate_stream(
     spark: SparkSession,
     task: ValidationTask,
@@ -213,13 +233,10 @@ def streaming_near_dedup(
             # admitted doc would band-collide, fail verification, and
             # slip through)
             verify_corpus = corpus.select(id_col, text_col)
-            try:
-                prior = spark.read.parquet(accepted_sink).select(
-                    id_col, text_col
+            if _dir_has_parquet(spark, accepted_sink):
+                verify_corpus = verify_corpus.unionByName(
+                    spark.read.parquet(accepted_sink).select(id_col, text_col)
                 )
-                verify_corpus = verify_corpus.unionByName(prior)
-            except Exception:
-                pass  # first batch: no accepted docs yet
             hits = probe_near_dups(
                 batch_df, verify_corpus, index_store.read(index_name),
                 id_col=id_col, text_col=text_col,
@@ -317,11 +334,10 @@ def streaming_embedding_dedup(
             if batch_df.rdd.isEmpty():
                 return
             ref = corpus.select(id_col, vec_col)
-            try:
-                prior = spark.read.parquet(accepted_sink).select(id_col, vec_col)
-                ref = ref.unionByName(prior)
-            except Exception:
-                pass  # first batch: nothing accepted yet
+            if _dir_has_parquet(spark, accepted_sink):
+                ref = ref.unionByName(
+                    spark.read.parquet(accepted_sink).select(id_col, vec_col)
+                )
             hits = brute_force_topk(
                 ref, batch_df, k=1, id_col=id_col, vec_col=vec_col
             ).where(F.col("cosine_sim") >= threshold)
