@@ -1,0 +1,146 @@
+"""Incremental-ingest economics: probe vs full rescan (r6).
+
+The point of the MinHash band index (`ledger.MinHashIndexStore` +
+`dedup.probe_near_dups`) is that a crawl increment should cost
+O(increment), not O(corpus): the alternative — rerunning
+`minhash_dedup` over corpus + increment — re-shingles and re-signs
+every corpus document per increment. This bench measures all three
+legs on the same synthetic corpus (`sources/docgen.py`):
+
+1. index build (one-off): corpus signatures → band hashes → store;
+2. probe: a small increment (half of it near-dups of corpus docs)
+   probed against the stored bands, verified by exact Jaccard;
+3. full rescan baseline: `minhash_dedup` over corpus ∪ increment.
+
+Correctness gates: the probe must find every injected near-dup pair
+and flag none of the novel docs.
+
+Usage: python tools/probe_bench.py [--corpus 1000000] [--increment 10000]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--corpus", type=int, default=1_000_000)
+    ap.add_argument("--increment", type=int, default=10_000)
+    ap.add_argument("--cores", type=int, default=32)
+    ap.add_argument("--skip-rescan", action="store_true",
+                    help="skip the full-rescan baseline leg")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from datapact_spark.ledger import MinHashIndexStore
+    from datapact_spark.operators.dedup import (
+        minhash_band_hashes,
+        minhash_dedup,
+        minhash_signatures,
+        probe_near_dups,
+    )
+    from datapact_spark.session import get_spark
+    from datapact_spark.sources.docgen import synthesize_documents
+
+    spark = get_spark(
+        app_name="probe-bench",
+        master=f"local[{args.cores}]",
+        shuffle_partitions=args.cores,
+        extra_conf={"spark.ui.enabled": "false",
+                    "spark.driver.memory":
+                        os.environ.get("DATAPACT_DRIVER_MEM", "16g")},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    params = dict(num_hashes=32, bands=16, shingle_n=3, seed=42)
+    rows_per_band = params["num_hashes"] // params["bands"]
+
+    # corpus WITHOUT docgen's own injected dups (dup_every=0 is not
+    # supported, so slice the base range)
+    corpus = synthesize_documents(
+        spark, args.corpus, dup_every=args.corpus + 1
+    ).where(F.col("doc_id") < args.corpus).persist()
+    n_corpus = corpus.count()
+
+    # increment: half tail-perturbed near-dups of corpus docs, half
+    # novel (ids shifted into a disjoint range)
+    half = args.increment // 2
+    dups = corpus.where(F.col("doc_id") % (args.corpus // half) == 0).limit(
+        half
+    ).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    novel = synthesize_documents(
+        spark, args.increment, seed=4242, dup_every=args.increment + 1
+    ).where(F.col("doc_id") < args.increment - half).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"), "text"
+    )
+    increment = dups.unionByName(novel).persist()
+    n_inc = increment.count()
+    n_dups = dups.count()
+
+    store_dir = tempfile.mkdtemp(prefix="dp_probe_idx_")
+    store = MinHashIndexStore(spark, store_dir)
+
+    t0 = time.monotonic()
+    sigs = minhash_signatures(
+        corpus, num_hashes=params["num_hashes"],
+        shingle_n=params["shingle_n"], seed=params["seed"],
+    )
+    store.write("corpus", minhash_band_hashes(
+        sigs, params["bands"], rows_per_band), dict(params))
+    build_sec = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    hits = probe_near_dups(
+        increment, corpus, store.read("corpus"),
+        threshold=0.5, **params,
+    ).persist()
+    n_hits = hits.count()
+    flagged_new = hits.select("new_id").distinct().count()
+    probe_sec = time.monotonic() - t0
+    false_novel = (
+        hits.where(F.col("new_id") >= 20_000_000).count()
+    )
+
+    rescan_sec = None
+    if not args.skip_rescan:
+        merged = corpus.unionByName(increment)
+        t0 = time.monotonic()
+        minhash_dedup(merged, threshold=0.5, **params).write.format(
+            "noop").mode("overwrite").save()
+        rescan_sec = time.monotonic() - t0
+
+    print(json.dumps({
+        "metric": "incremental probe vs full rescan",
+        "corpus_docs": n_corpus,
+        "increment_docs": n_inc,
+        "injected_dups": n_dups,
+        "index_build_sec": round(build_sec, 2),
+        "probe_sec": round(probe_sec, 2),
+        "probe_docs_per_sec": round(n_inc / probe_sec, 1),
+        "probe_pairs": n_hits,
+        "flagged_new_docs": flagged_new,
+        "all_dups_found": flagged_new >= n_dups,
+        "novel_false_positives": false_novel,
+        "full_rescan_sec": round(rescan_sec, 2) if rescan_sec else None,
+        "speedup_vs_rescan": round(rescan_sec / probe_sec, 1)
+        if rescan_sec else None,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
