@@ -229,14 +229,17 @@ class MinHashIndexStore:
         return os.path.join(self.path, "minhash_index", name)
 
     def exists(self, name: str) -> bool:
-        return os.path.exists(
-            os.path.join(self._dir(name), "bands", "_SUCCESS")
+        d = os.path.join(self._dir(name), "bands")
+        return os.path.exists(os.path.join(d, "_SUCCESS")) or os.path.exists(
+            os.path.join(d, "ingest=base", "_SUCCESS")
         )
 
     def write(self, name: str, band_rows: DataFrame, meta: dict) -> None:
         """``band_rows``: the corpus ``minhash_band_hashes`` output;
         ``meta`` MUST carry the signature params — the probe refuses an
-        index whose params it cannot verify."""
+        index whose params it cannot verify. Layout:
+        ``bands/ingest=base/band=<b>/`` — increments land beside the
+        base under their own ``ingest=`` keys (see ``append``)."""
         import json
 
         required = {"num_hashes", "bands", "shingle_n", "seed"}
@@ -248,22 +251,32 @@ class MinHashIndexStore:
             band_rows.repartition("band")
             .write.mode("overwrite")
             .partitionBy("band")
-            .parquet(os.path.join(d, "bands"))
+            .parquet(os.path.join(d, "bands", "ingest=base"))
         )
+        # partition discovery needs _SUCCESS at the probe level the
+        # exists() check uses
+        open(os.path.join(d, "bands", "_SUCCESS"), "w").close()
         with open(os.path.join(d, "meta.json"), "w") as f:
             json.dump(meta, f)
 
-    def append(self, name: str, band_rows: DataFrame) -> None:
+    def append(self, name: str, band_rows: DataFrame,
+               ingest_key: str | int = "adhoc") -> None:
         """Fold newly-accepted documents into the index (same signature
         params as the build — the caller just admitted them through a
-        probe, so they are already computed)."""
+        probe, so they are already computed). ``ingest_key`` names the
+        increment's subdirectory and the write OVERWRITES it, so a
+        replayed streaming batch (checkpoint recovery) re-appends
+        idempotently instead of duplicating band rows — pass the batch
+        id from foreachBatch."""
         if not self.exists(name):
             raise ValueError(f"minhash index {name!r} does not exist")
         (
             band_rows.repartition("band")
-            .write.mode("append")
+            .write.mode("overwrite")
             .partitionBy("band")
-            .parquet(os.path.join(self._dir(name), "bands"))
+            .parquet(os.path.join(
+                self._dir(name), "bands", f"ingest={ingest_key}"
+            ))
         )
 
     def read_meta(self, name: str) -> dict | None:
@@ -276,8 +289,10 @@ class MinHashIndexStore:
             return json.load(f)
 
     def read(self, name: str) -> DataFrame:
-        df = self.spark.read.parquet(os.path.join(self._dir(name), "bands"))
-        # partition column comes back typed; normalize to int
+        root = os.path.join(self._dir(name), "bands")
+        df = self.spark.read.option("basePath", root).parquet(root)
+        # partition columns (ingest, band) come back typed; keep only
+        # the probe's contract columns, band normalized to int
         return df.select(
             "id", F.col("band").cast("int").alias("band"), "band_hash"
         )

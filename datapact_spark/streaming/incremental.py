@@ -278,9 +278,14 @@ def streaming_near_dedup(
                     sigs = minhash_signatures(
                         accepted, id_col, text_col, num_hashes, shingle_n, seed
                     )
-                    index_store.append(index_name, minhash_band_hashes(
-                        sigs, bands, num_hashes // bands
-                    ))
+                    # ingest_key = batch id → a checkpoint REPLAY of this
+                    # batch overwrites its own increment instead of
+                    # double-appending band rows
+                    index_store.append(
+                        index_name,
+                        minhash_band_hashes(sigs, bands, num_hashes // bands),
+                        ingest_key=batch_id,
+                    )
                 accepted.unpersist()
             finally:
                 best.unpersist()

@@ -561,3 +561,36 @@ def test_streaming_embedding_dedup_lifecycle(spark, tmp_path):
     rej2 = {r["vec_id"]: r for r in spark.read.parquet(rejected_sink).collect()}
     assert acc == {101, 201}, acc
     assert rej2[200]["matched_corpus_id"] == 101
+
+
+def test_near_dedup_index_append_replay_idempotent(spark, tmp_path):
+    """A replayed append with the same ingest key must OVERWRITE its own
+    increment, not duplicate it — the exactly-once contract of the
+    streaming gate's admit-to-index step."""
+    from datapact_spark.ledger import MinHashIndexStore
+    from datapact_spark.operators.dedup import (
+        minhash_band_hashes,
+        minhash_signatures,
+    )
+
+    params = dict(num_hashes=32, bands=16, shingle_n=3, seed=42)
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"c{i}_{j}" for j in range(30))) for i in range(5)],
+        "doc_id long, text string",
+    )
+    store = MinHashIndexStore(spark, str(tmp_path))
+    sigs = minhash_signatures(corpus, num_hashes=32)
+    store.write("c", minhash_band_hashes(sigs, 16, 2), params)
+    base = store.read("c").count()
+
+    inc = spark.createDataFrame(
+        [(99, "novel increment document with its own words")],
+        "doc_id long, text string",
+    )
+    inc_bands = minhash_band_hashes(minhash_signatures(inc, num_hashes=32), 16, 2)
+    store.append("c", inc_bands, ingest_key=7)
+    assert store.read("c").count() == base + 16
+    store.append("c", inc_bands, ingest_key=7)  # replay
+    assert store.read("c").count() == base + 16, "replay duplicated bands"
+    store.append("c", inc_bands, ingest_key=8)  # genuinely new increment
+    assert store.read("c").count() == base + 32
