@@ -550,7 +550,16 @@ def q_code_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datapact_spark.operators.sampling import portable_id_hash
     from datapact_spark.operators.textops import code_stats
 
-    code = _code_table(spark, sf_dir)
+    # Persisting the derived code table splits the fused scan→content-
+    # CASE→hygiene→license→normalize→md5 whole-stage-codegen span in
+    # two: the single span generated a >64 KB processNext() that janino
+    # REFUSED to compile ("Code grows beyond 64 KB", the unattributed
+    # BENCH_r06 tail error), silently falling back to interpreted eval
+    # and paying a failed multi-second compile per run. Each half now
+    # compiles (r7: 2 compile errors -> 0, warm 3.9 s -> 2.1 s). The
+    # production analogue is the stage-boundary parquet materialization
+    # pipeline.py already does; MEMORY_AND_DISK spills gracefully.
+    code = _code_table(spark, sf_dir).persist()
     hygienic = code_hygiene(code).where(F.col("hygiene_keep")).select(
         "repo", "path", "lang", "content"
     )
@@ -594,6 +603,7 @@ def q_code_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage("5_quality", quality))
         .orderBy("stage"),
         hashed,
+        code,
     )
 
 
