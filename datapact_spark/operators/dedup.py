@@ -877,6 +877,10 @@ def dup_clusters(
     labels = edges.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("cluster_id")
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # the frame actually holding the current round's persisted data —
+    # ``labels`` becomes a projection of it once the loop starts, and
+    # unpersist() on a projection would NOT release the cached relation
+    labels_cached = labels
 
     for it in range(max_iterations):
         # min neighbor label per node (neighbors' current labels)
@@ -891,34 +895,39 @@ def dup_clusters(
             .agg(F.min("nl").alias("min_neigh"))
             .select(F.col("src").alias("id"), "min_neigh")
         )
-        updated = (
-            labels.join(neigh, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("min_neigh"), F.col("cluster_id")),
-                ).alias("cluster_id"),
-            )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        # carry the previous label alongside the new one so convergence
+        # is a filter over THIS frame — the old shape re-joined
+        # ``updated`` against ``labels`` for the changed-count, an extra
+        # ~1 s/round join job at sf0.1 that the fold removes; the count
+        # action doubles as the persist materializer either way
+        updated_full = labels.join(neigh, "id", "left").select(
+            "id",
+            F.col("cluster_id").alias("__prev"),
+            F.least(
+                F.col("cluster_id"),
+                F.coalesce(F.col("min_neigh"), F.col("cluster_id")),
+            ).alias("cluster_id"),
         )
         if (it + 1) % checkpoint_every == 0:
-            updated = updated.localCheckpoint(eager=True)
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "id")
-            .where(F.col("u.cluster_id") != F.col("l.cluster_id"))
-            .count()
-        )
-        labels.unpersist()
-        labels = updated
+            # localCheckpoint already materializes to executor blocks —
+            # persisting first would pin a second, never-released copy
+            # of the pre-checkpoint plan
+            updated_full = updated_full.localCheckpoint(eager=True)
+        else:
+            updated_full = updated_full.persist(StorageLevel.MEMORY_AND_DISK)
+        changed = updated_full.where(
+            F.col("cluster_id") != F.col("__prev")
+        ).count()
+        labels_cached.unpersist()
+        labels_cached = updated_full
+        labels = updated_full.select("id", "cluster_id")
         if changed == 0:
             edges.unpersist()
             from datapact_spark.session import track_cached
 
-            return track_cached(labels, labels)
+            return track_cached(labels, labels_cached)
     edges.unpersist()
-    labels.unpersist()
+    labels_cached.unpersist()
     raise RuntimeError(
         f"dup_clusters did not converge in {max_iterations} rounds — "
         "component diameter exceeds the cap; raise max_iterations"
