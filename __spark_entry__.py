@@ -301,7 +301,10 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") + 1000000).alias("doc_id"), "text"
         )
     )
-    return exact_duplicates(dup_input).select("keep_id", "dup_id")
+    from datapact_spark.session import propagate_cached
+
+    dup = exact_duplicates(dup_input)
+    return propagate_cached(dup, dup.select("keep_id", "dup_id"))
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -902,7 +905,8 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     dupes = docs.where(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
     )
-    pairs = exact_duplicates(docs.unionByName(dupes)).select(
+    dup = exact_duplicates(docs.unionByName(dupes))
+    pairs = dup.select(
         F.col("keep_id").alias("id_a"), F.col("dup_id").alias("id_b")
     )
     bridges = docs.where(F.col("doc_id") % 70 == 0).select(
@@ -911,7 +915,10 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datapact_spark.session import propagate_cached
 
     labels = dup_clusters(pairs.unionByName(bridges))
-    return propagate_cached(labels, labels.orderBy("id"))
+    # carry BOTH cache handles out: the labels persist from the loop
+    # and exact_duplicates' fingerprint-proxy persist
+    out = propagate_cached(labels, labels.orderBy("id"))
+    return propagate_cached(dup, out)
 
 
 def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:

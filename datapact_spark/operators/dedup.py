@@ -106,15 +106,27 @@ def exact_duplicates(
     duplicate document (keeper = min id per group), columns
     (fingerprint, keep_id, dup_id)."""
     from datapact_spark.operators.textops import doc_fingerprint
+    from datapact_spark.session import track_cached
+    from pyspark.storagelevel import StorageLevel
 
-    fp = doc_fingerprint(df.select(id_col, text_col), text_col).select(
-        F.col(id_col).alias("dup_id"), "fingerprint"
+    # Persist the compact (id, fingerprint) proxy: the keepers
+    # aggregate and the probe side are two consumers, and without the
+    # persist each re-runs the full text scan + normalize + md5 (the
+    # dominant cost — plan-verified doubled scans at r7). The cached
+    # rows are ~50 B/doc (guide-§8 lightweight-proxy shape), orders of
+    # magnitude under the text they replace at any scale. The handle
+    # rides ``_datapact_cached`` — callers release after materializing.
+    fp = (
+        doc_fingerprint(df.select(id_col, text_col), text_col)
+        .select(F.col(id_col).alias("dup_id"), "fingerprint")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     keepers = fp.groupBy("fingerprint").agg(F.min("dup_id").alias("keep_id"))
-    return (
+    return track_cached(
         fp.join(keepers, "fingerprint")
         .where(F.col("dup_id") != F.col("keep_id"))
-        .select("fingerprint", "keep_id", "dup_id")
+        .select("fingerprint", "keep_id", "dup_id"),
+        fp,
     )
 
 
