@@ -33,11 +33,25 @@ MEDIA_SCHEMA = (
 
 FEATURE_SCHEMA = "media_id long, kind string, n_bytes int, feature array<float>"
 
+# Synthesis floor: keep at least this many rows per Python task. A
+# ``spark.range(n)`` defaults to one partition per core, so a small
+# media table fans 2-3 rows to each of 32 Python workers and the
+# per-task Arrow/worker round trip dominates (measured r7: the 80-row
+# codec query fell 6.1 s -> 0.6 s going 32 -> 4 synthesis partitions).
+# Large n is untouched: the partition count caps at the session's
+# default parallelism, so cluster-scale tables keep full fan-out.
+_SYNTH_ROWS_PER_TASK = 16
+
+
+def _synth_partitions(spark, n: int) -> int:
+    return max(1, min(spark.sparkContext.defaultParallelism,
+                      n // _SYNTH_ROWS_PER_TASK))
+
 
 def synthesize_media_table(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic fake media rows (binary payload derived from id)."""
     kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
-    df = spark.range(n).select(
+    df = spark.range(0, n, 1, _synth_partitions(spark, n)).select(
         F.col("id").alias("media_id"),
         F.element_at(kinds, (F.pmod(F.col("id"), F.lit(3)) + 1).cast("int")).alias("kind"),
         F.sha2(F.concat(F.lit(seed), F.col("id").cast("string")), 256)
@@ -94,7 +108,7 @@ def synthesize_real_media_table(spark, n: int = 64) -> DataFrame:
                 out.append((mid, kind, payload, mime))
             yield pd.DataFrame(out, columns=["media_id", "kind", "payload", "mime"])
 
-    return spark.range(n).mapInPandas(
+    return spark.range(0, n, 1, _synth_partitions(spark, n)).mapInPandas(
         build, schema="media_id long, kind string, payload binary, mime string"
     )
 
@@ -181,7 +195,7 @@ def synthesize_real_video_table(spark, n: int = 40) -> DataFrame:
                 out, columns=["media_id", "kind", "payload", "mime"]
             )
 
-    return spark.range(n).mapInPandas(
+    return spark.range(0, n, 1, _synth_partitions(spark, n)).mapInPandas(
         build, schema="media_id long, kind string, payload binary, mime string"
     )
 

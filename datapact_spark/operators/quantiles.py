@@ -533,7 +533,7 @@ def kll_drift(
     from datapact_spark.operators.drift import _psi_ks
 
     if bins == 1:
-        return base.sparkSession.range(1).select(
+        return base.sparkSession.range(0, 1, 1, 1).select(
             F.lit(0.0).alias("psi"), F.lit(0.0).alias("ks")
         )
     edges = _kll_edges(base, bins, points_per_bin)

@@ -180,7 +180,7 @@ def compile_task(
                 ),
             )
         )
-        metrics = spark.range(1).select(
+        metrics = spark.range(0, 1, 1, 1).select(
             *_meta_cols(task, begin_ts),
             payload.alias("result_payload"),
             F.lit(True).alias("overall_validation_passed"),
@@ -640,7 +640,7 @@ def compile_task(
                     )
                 else:
                     metric_dfs.append(
-                        spark.range(1).select(F.lit(0.0).alias(metric_name))
+                        spark.range(0, 1, 1, 1).select(F.lit(0.0).alias(metric_name))
                     )
                     bootstrap_drift.append((dcheck, source))
             else:
@@ -671,7 +671,7 @@ def compile_task(
                 # bootstrap run: no baseline yet — vacuous 0 drift now,
                 # engine persists the snapshot after the run
                 metric_dfs.append(
-                    spark.range(1).select(
+                    spark.range(0, 1, 1, 1).select(
                         F.lit(0.0).alias(f"drift_{dcheck.metric}_{dcheck.column}")
                     )
                 )
@@ -712,7 +712,7 @@ def compile_task(
     # ---- combine: crossJoin of 1-row metric relations ------------------
     if not metric_dfs:
         # metadata-only task (e.g. just a schema check): no scan at all
-        metric_dfs = [spark.range(1).select(F.lit(1).alias("__one"))]
+        metric_dfs = [spark.range(0, 1, 1, 1).select(F.lit(1).alias("__one"))]
     combined = metric_dfs[0]
     for mdf in metric_dfs[1:]:
         combined = combined.crossJoin(mdf)
