@@ -1828,6 +1828,48 @@ def _staged_events_dir(sf_dir: str) -> str:
     return stream_dir
 
 
+def _stream_shuffle_partitions(spark: SparkSession, sf_dir: str) -> int:
+    """State-store partition count for the micro-batch streams, derived
+    from the INPUT volume instead of the session's batch-analytics
+    default: every state partition pays per-batch store open/commit
+    overhead, so a small file stream with 32 stores spends more time in
+    store bookkeeping than in data (r7 A/B at sf0.1: sessions 4.0 s ->
+    2.0 s, windowed drift 3.6 s -> 2.7 s at 8 partitions). One
+    partition per ~64 MB of input, floor 8 for parallelism, never above
+    the session's configured shuffle partitions (a cluster operator's
+    setting stays the cap). ``DATAPACT_STREAM_SHUFFLE_PARTITIONS``
+    overrides."""
+    override = os.environ.get("DATAPACT_STREAM_SHUFFLE_PARTITIONS")
+    if override:
+        return int(override)
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        n_bytes = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+    except OSError:
+        return cur
+    return min(cur, max(8, -(-n_bytes // (64 << 20))))
+
+
+class _stream_partitions_conf:
+    """Scoped shuffle-partition override for starting a stream; the
+    streaming query pins the value at start, so restoring immediately
+    after ``start()`` keeps the rest of the session untouched."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark, self.sf_dir = spark, sf_dir
+
+    def __enter__(self):
+        self.saved = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(_stream_shuffle_partitions(self.spark, self.sf_dir)),
+        )
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.saved)
+        return False
+
+
 def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL stateful streaming sessionizer
     (``applyInPandasWithState``, event-time timeouts, multi-interval
@@ -1848,14 +1890,15 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _STREAM_SINK_SEQ[0] += 1
     qn = f"stream_sessions_sink_{_STREAM_SINK_SEQ[0]}"
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName(qn)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _stream_partitions_conf(spark, sf_dir):
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(qn)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(qn).select(
         "user_id", "session_start", "session_end", "n_events"
     )
@@ -1899,14 +1942,15 @@ def q_windowed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _WINDOWED_DRIFT_SEQ[0] += 1
     qn = f"windowed_drift_sink_{_WINDOWED_DRIFT_SEQ[0]}"
-    q = (
-        hist.writeStream.format("memory")
-        .queryName(qn)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _stream_partitions_conf(spark, sf_dir):
+        q = (
+            hist.writeStream.format("memory")
+            .queryName(qn)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     # rebuild the (bounded: windows x bins rows) sink as a fresh
     # relation — scores full-outer-joins it against its own distinct
     # windows, and the memory-sink table's shared exprIds trip Spark's
