@@ -639,6 +639,91 @@ def char_ngram_hashes_vectorized(
     )
 
 
+def char_ngram_doc_counts_vectorized(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    stride: int = 1,
+    mod_sample: int | None = None,
+) -> DataFrame:
+    """Per-document DISTINCT gram counts, aggregated inside the Python
+    worker: (id, gram_hash, occ) with one row per distinct gram per
+    document. A document is whole within its batch row, so a numpy
+    ``unique(return_counts=True)`` per doc completes the (id, gram)
+    aggregation map-side — the Arrow transfer drops the unused ``pos``
+    column and the per-occurrence rows, and a downstream per-(id, gram)
+    groupBy (one full shuffle of the gram stream) becomes unnecessary
+    WHEN ids are unique per input row (one row per document — the
+    operator-level callers' documented input shape; with duplicated
+    ids, aggregate the output again before relying on distinctness).
+    Same hash/window semantics as ``char_ngram_hashes_vectorized``
+    (integral ids only; raises TypeError otherwise)."""
+    import numpy as np
+    import pandas as pd
+    from numpy.lib.stride_tricks import sliding_window_view
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    id_type = df.select(id_col).schema[0].dataType
+    if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"char_ngram_doc_counts_vectorized requires an integral id column "
+            f"(output schema pins id to long); {id_col!r} is "
+            f"{id_type.simpleString()} — use the JVM path for string doc ids"
+        )
+
+    def _powers(p: int) -> "np.ndarray":
+        out, acc = np.empty(k, dtype=np.int64), 1
+        for j in range(k):
+            out[j] = acc
+            acc = (acc * p) % _MERSENNE
+        return out
+
+    powers1, powers2 = _powers(_PR), _powers(1_000_033)
+
+    def batches(it):
+        for pdf in it:
+            ids, hashes, occs = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                b = np.frombuffer(
+                    str(text).encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                if b.size < k:
+                    continue
+                win = sliding_window_view(b, k)[::stride].astype(np.int64)
+                h = (
+                    ((win @ powers1) % _MERSENNE) << 31
+                ) | ((win @ powers2) % _MERSENNE)
+                if mod_sample and mod_sample > 1:
+                    h = h[(h % mod_sample) == 0]
+                if h.size == 0:
+                    continue
+                uniq, cnt = np.unique(h, return_counts=True)
+                ids.append(np.full(uniq.size, int(did), dtype=np.int64))
+                hashes.append(uniq)
+                occs.append(cnt.astype(np.int64))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "id": np.concatenate(ids),
+                        "gram_hash": np.concatenate(hashes),
+                        "occ": np.concatenate(occs),
+                    }
+                )
+            else:
+                yield pd.DataFrame(
+                    {"id": pd.Series(dtype="int64"),
+                     "gram_hash": pd.Series(dtype="int64"),
+                     "occ": pd.Series(dtype="int64")}
+                )
+
+    return df.select(id_col, text_col).mapInPandas(
+        batches, schema="id long, gram_hash long, occ long"
+    )
+
+
 def repeated_substring_grams(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -716,8 +801,20 @@ def doc_duplication_score(
       carrier count runs over ``Window.partitionBy(gram_hash)`` and
       AQE never splits skewed windows.
     """
-    g = _grams(df, id_col, text_col, k, stride, portable, vectorized, mod_sample)
-    gi = g.groupBy("gram_hash", "id").agg(F.count(F.lit(1)).alias("__occ"))
+    if vectorized:
+        # per-doc distinct counts complete the (id, gram) aggregation
+        # inside the Python worker — no per-occurrence Arrow transfer,
+        # no pos column, and the per-(gram, id) groupBy shuffle of the
+        # raw gram stream disappears outright (guide §2.3/§4: aggregate
+        # before you shuffle, ship only what the consumer needs)
+        gi = char_ngram_doc_counts_vectorized(
+            df, id_col, text_col, k, stride, mod_sample
+        ).withColumnRenamed("occ", "__occ")
+    else:
+        g = _grams(
+            df, id_col, text_col, k, stride, portable, vectorized, mod_sample
+        )
+        gi = g.groupBy("gram_hash", "id").agg(F.count(F.lit(1)).alias("__occ"))
 
     if carrier_strategy == "window":
         from pyspark.sql.window import Window
@@ -807,11 +904,22 @@ def contamination_check(
     ``mod_sample`` applies the same content-anchored (winnowing-style)
     gram sampling to BOTH sides, so a shared span is still detected
     alignment-independently at ~1/m of the volume."""
-    tg = _grams(
-        train, id_col, text_col, k, stride, portable, vectorized, mod_sample
-    ).select(F.col("id").alias("train_id"), "gram_hash")
+    def _side(side_df):
+        # vectorized: per-doc distinct grams pre-aggregated in the
+        # Python worker (no pos column, no per-occurrence rows across
+        # Arrow); distinctness per (id, gram) is what both consumers
+        # below want anyway
+        if vectorized:
+            return char_ngram_doc_counts_vectorized(
+                side_df, id_col, text_col, k, stride, mod_sample
+            ).select("id", "gram_hash")
+        return _grams(
+            side_df, id_col, text_col, k, stride, portable, False, mod_sample
+        ).select("id", "gram_hash")
+
+    tg = _side(train).select(F.col("id").alias("train_id"), "gram_hash")
     eg = (
-        _grams(evals, id_col, text_col, k, stride, portable, vectorized, mod_sample)
+        _side(evals)
         .select(F.col("id").alias("eval_id"), "gram_hash")
         .dropDuplicates(["eval_id", "gram_hash"])
     )
