@@ -1135,6 +1135,13 @@ def strip_boilerplate(
     if boiler is None:
         boiler = boilerplate_lines(df, id_col, text_col, min_docs)
     hashes = boiler.select("line_hash")
+    # Counted broadcast gate (same pattern as doc_duplication_score's
+    # broadcast_rep_max): the hash set is 32 B/row, so up to ~2M
+    # boilerplate lines broadcast in ~64 MB and the exploded line
+    # stream — (id, idx, line) for the WHOLE corpus — never shuffles
+    # for the anti-join. Past the cap, AQE keeps the shuffled join.
+    if hashes.count() <= 2_000_000:
+        hashes = F.broadcast(hashes)
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("__idx", "line"),
@@ -1154,10 +1161,19 @@ def strip_boilerplate(
         ).alias("cleaned_text"),
         F.count(F.lit(1)).alias("__kept"),
     )
-    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    # n_lines map-side from the split length (== exploded line count:
+    # split('', -1) is [''], null text stays null) — the former
+    # explode + groupBy(id) + extra join re-derived this with a full
+    # shuffle of the line stream
+    totals = df.select(
+        F.col(id_col),
+        F.when(
+            F.col(text_col).isNotNull(),
+            F.size(F.split(F.col(text_col), "\n", -1)).cast("long"),
+        ).alias("n_lines"),
+    )
     return (
-        df.select(id_col)
-        .join(totals, id_col, "left")
+        totals
         .join(rebuilt, id_col, "left")
         .select(
             id_col,
