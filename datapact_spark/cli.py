@@ -333,11 +333,19 @@ def main(argv: list[str] | None = None) -> int:
         run_id = args.run_id or int(_time.time() * 1000)
         ledger = ResultsLedger(spark, results_path)
         runner = PipelineRunner(spark, stage_root)
+        # collect every pipeline's lineage and append ONCE: the ledger
+        # write is a dynamic overwrite of the run_id partition, so a
+        # per-pipeline append under the shared run_id would keep only
+        # the LAST pipeline's stage history
+        lineage: list[dict] = []
         for spec in config.pipelines:
             src = resolver.resolve(spec.source)
             _, results = runner.run(
                 spec.pipeline_key, run_id, src, build_stages(spec),
-                ledger=ledger, job_name=args.job_name,
+                ledger=None, job_name=args.job_name,
+            )
+            lineage += runner.lineage_rows(
+                spec.pipeline_key, run_id, args.job_name, results
             )
             for r in results:
                 state = "resumed" if r.resumed else f"{r.rows} rows"
@@ -345,6 +353,10 @@ def main(argv: list[str] | None = None) -> int:
                     f"{spec.pipeline_key}.{r.stage}: {state} "
                     f"({r.seconds:.2f}s) -> {r.path}"
                 )
+        if lineage:
+            from datapact_spark.ledger import LEDGER_SCHEMA
+
+            ledger.append(spark.createDataFrame(lineage, LEDGER_SCHEMA))
         print(f"pipeline run_id={run_id} complete")
         return 0
 

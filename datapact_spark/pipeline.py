@@ -121,8 +121,8 @@ class PipelineRunner:
             self._append_lineage(ledger, key, run_id, job_name, results)
         return prev, results
 
-    def _append_lineage(self, ledger, key: str, run_id: int,
-                        job_name: str, results: list[StageResult]) -> None:
+    def lineage_rows(self, key: str, run_id: int,
+                     job_name: str, results: list[StageResult]) -> list[dict]:
         """One run-history row per stage — INCLUDING resumed stages.
         ``ledger.append`` is an idempotent dynamic-partition overwrite
         of the run_id partition, so a resumed attempt writing only its
@@ -130,14 +130,16 @@ class PipelineRunner:
         rewriting the full stage picture each attempt keeps both the
         overwrite idempotence and the complete lineage (resumed stages
         are flagged in the payload with a null row count — no job is
-        spent re-counting a committed checkpoint)."""
+        spent re-counting a committed checkpoint). Exposed separately
+        from the append so a caller running SEVERAL pipelines under one
+        run_id can collect every pipeline's rows and append ONCE — a
+        per-pipeline append would overwrite the shared run_id partition
+        and keep only the last pipeline's history."""
         import datetime as dt
         import json
 
-        from datapact_spark.ledger import LEDGER_SCHEMA
-
         now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
-        rows = [
+        return [
             {
                 "task_key": f"{key}.{r.stage}",
                 "status": "SUCCESS",
@@ -155,6 +157,12 @@ class PipelineRunner:
             }
             for r in results
         ]
+
+    def _append_lineage(self, ledger, key: str, run_id: int,
+                        job_name: str, results: list[StageResult]) -> None:
+        from datapact_spark.ledger import LEDGER_SCHEMA
+
+        rows = self.lineage_rows(key, run_id, job_name, results)
         if rows:
             ledger.append(self.spark.createDataFrame(rows, LEDGER_SCHEMA))
 

@@ -170,6 +170,14 @@ def streaming_exact_dedup(
     return fp.dropDuplicates(["fingerprint"])
 
 
+def _ck_tag(checkpoint_dir: str) -> str:
+    """Stable 8-hex namespace for a stream's index increments, derived
+    from its checkpoint dir — batch ids are only unique per checkpoint."""
+    import hashlib
+
+    return hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
+
+
 def streaming_near_dedup(
     stream_df: DataFrame,
     corpus: DataFrame,
@@ -225,7 +233,7 @@ def streaming_near_dedup(
         spark = batch_df.sparkSession
         batch_df = batch_df.persist()
         try:
-            if batch_df.rdd.isEmpty():
+            if batch_df.isEmpty():
                 return
             # the verify corpus must include previously-ADMITTED stream
             # docs (their bands are in the index, but probe verification
@@ -242,7 +250,14 @@ def streaming_near_dedup(
                 id_col=id_col, text_col=text_col,
                 num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
                 seed=seed, threshold=threshold,
-            )
+            # self-pair guard: on a checkpoint REPLAY of this batch its
+            # own docs are already in the index (ingest=<batch_id> band
+            # rows) and in accepted_sink — without the filter every
+            # previously-admitted doc matches ITSELF at Jaccard 1.0 and
+            # the replay would reject the whole batch, wiping its
+            # accepted partition (the embedding gate is safe only
+            # because brute_force_topk filters neighbor_id != query_id)
+            ).where(F.col("new_id") != F.col("corpus_id"))
             best = (
                 hits.groupBy("new_id")
                 .agg(
@@ -278,13 +293,16 @@ def streaming_near_dedup(
                     sigs = minhash_signatures(
                         accepted, id_col, text_col, num_hashes, shingle_n, seed
                     )
-                    # ingest_key = batch id → a checkpoint REPLAY of this
-                    # batch overwrites its own increment instead of
-                    # double-appending band rows
+                    # ingest_key = <checkpoint-digest>_<batch id>: a
+                    # checkpoint REPLAY of this batch overwrites its own
+                    # increment (idempotent), while a RESTART with a
+                    # fresh checkpoint dir — whose batch ids begin at 0
+                    # again — gets its own namespace instead of silently
+                    # clobbering a prior run's admitted band rows
                     index_store.append(
                         index_name,
                         minhash_band_hashes(sigs, bands, num_hashes // bands),
-                        ingest_key=batch_id,
+                        ingest_key=f"{_ck_tag(checkpoint_dir)}_{batch_id}",
                     )
                 accepted.unpersist()
             finally:
@@ -336,7 +354,7 @@ def streaming_embedding_dedup(
         spark = batch_df.sparkSession
         batch_df = batch_df.persist()
         try:
-            if batch_df.rdd.isEmpty():
+            if batch_df.isEmpty():
                 return
             ref = corpus.select(id_col, vec_col)
             if _dir_has_parquet(spark, accepted_sink):

@@ -178,8 +178,13 @@ def suggest_task(
                     "tolerance": 0.0,
                 }
             )
+            # evidence renders into the YAML header via str(); Decimals
+            # become their exact string form so the comment reads
+            # [1.55, 9.9] instead of [Decimal('1.55'), Decimal('9.9')]
+            # (the predicate f-string above already renders fine)
             evidence.setdefault("numeric_ranges", {})[f.name] = [
-                _fmt_num(lo), _fmt_num(hi)
+                str(n) if isinstance(n, decimal.Decimal) else n
+                for n in (_fmt_num(lo), _fmt_num(hi))
             ]
     if aggs:
         task["agg_validations"] = aggs

@@ -563,6 +563,68 @@ def test_streaming_embedding_dedup_lifecycle(spark, tmp_path):
     assert rej2[200]["matched_corpus_id"] == 101
 
 
+def test_near_dedup_replay_self_pair_guard(spark, tmp_path):
+    """Checkpoint-replay data state: the batch's own docs are ALREADY in
+    the index (ingest increment) and in accepted_sink from the first,
+    uncommitted execution. Without the new_id != corpus_id guard every
+    previously-admitted doc band-collides with itself at Jaccard 1.0,
+    the replay rejects the whole batch and mode('overwrite') wipes its
+    accepted partition — data loss. The guard must re-accept them."""
+    import os
+
+    from datapact_spark.ledger import MinHashIndexStore
+    from datapact_spark.operators.dedup import (
+        minhash_band_hashes,
+        minhash_signatures,
+    )
+    from datapact_spark.streaming.incremental import streaming_near_dedup
+
+    params = dict(num_hashes=32, bands=16, shingle_n=3, seed=42)
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"c{i}_{j}" for j in range(30))) for i in range(5)],
+        "doc_id long, text string",
+    )
+    store = MinHashIndexStore(spark, str(tmp_path / "idx"))
+    store.write(
+        "c",
+        minhash_band_hashes(minhash_signatures(corpus, num_hashes=32), 16, 2),
+        params,
+    )
+
+    novel = spark.createDataFrame(
+        [(101, " ".join(f"n1_{j}" for j in range(30)))],
+        "doc_id long, text string",
+    )
+    # pre-crash state: doc 101 admitted — bands in the index, row in
+    # accepted_sink/batch=0 — but the checkpoint never committed batch 0
+    accepted_sink = str(tmp_path / "accepted")
+    novel.coalesce(1).write.parquet(os.path.join(accepted_sink, "batch=0"))
+    store.append(
+        "c",
+        minhash_band_hashes(minhash_signatures(novel, num_hashes=32), 16, 2),
+        ingest_key="replaytest_0",
+    )
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    novel.coalesce(1).write.mode("append").parquet(src_dir)
+    stream = (
+        spark.readStream.schema("doc_id long, text string").parquet(src_dir)
+    )
+    q = streaming_near_dedup(
+        stream, corpus, store, "c",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        accepted_sink=accepted_sink,
+        rejected_sink=str(tmp_path / "rejected"),
+        threshold=0.5,
+    )
+    q.awaitTermination(180)
+    acc = {r["doc_id"] for r in spark.read.parquet(accepted_sink).collect()}
+    assert acc == {101}, (
+        f"replayed batch lost its accepted docs (self-pair rejection): {acc}"
+    )
+
+
 def test_near_dedup_index_append_replay_idempotent(spark, tmp_path):
     """A replayed append with the same ingest key must OVERWRITE its own
     increment, not duplicate it — the exactly-once contract of the
