@@ -1,0 +1,54 @@
+"""Dump explain('formatted') for named queries to files.
+
+Usage: python tools/dump_plans.py OUTDIR SUFFIX query [query ...]
+Writes OUTDIR/<query>_<SUFFIX>.txt. Runs against the repo on
+PYTHONPATH/cwd, so pointing cwd at an older checkout dumps its plans.
+Eagerly-executing queries (dup_clusters, streaming) dump the plan of
+the RETURNED frame; their internal shape is covered by code + timings.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.getcwd())
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def main() -> int:
+    outdir, suffix, names = sys.argv[1], sys.argv[2], sys.argv[3:]
+    os.makedirs(outdir, exist_ok=True)
+    from datapact_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(
+        app_name="dump_plans", master="local[8]", shuffle_partitions=32,
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry_mod.queries_all() if hasattr(entry_mod, "queries_all") \
+        else entry_mod.queries()
+    for name in names:
+        df = qs[name](spark, SF_DIR)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        path = os.path.join(outdir, f"{name}_{suffix}.txt")
+        with open(path, "w") as f:
+            f.write(plan)
+        print(f"wrote {path} ({len(plan)} chars)")
+        try:
+            from datapact_spark.session import release_cached
+
+            release_cached(df)
+        except ImportError:
+            pass
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
