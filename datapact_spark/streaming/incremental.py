@@ -343,12 +343,30 @@ def streaming_embedding_dedup(
     Intra-batch near-dups (both novel vs the corpus) are resolved by a
     batch-local self-check keeping the min id — same greedy contract as
     the MinHash gate. Sinks are parquet per batch-id directory, so a
-    replayed batch overwrites itself idempotently."""
+    replayed batch overwrites itself idempotently.
+
+    Accepted-set bookkeeping (r7): the previously-accepted vectors ride
+    an in-memory ACCUMULATOR seeded from the sink once per stream
+    (re)start and extended with each batch's accepted slice — the
+    original shape re-read the ENTIRE accepted sink from parquet every
+    micro-batch, an O(total accepted) listing+scan per batch that grows
+    without bound over a long ingest. Lineage is truncated with a
+    ``localCheckpoint`` every ``_ACC_COMPACT_EVERY`` batches (an
+    iterative-union plan otherwise grows per batch), which also
+    releases the per-batch persisted slices. A replayed batch's own
+    vectors may appear in the seeded accumulator; that is safe here
+    because ``brute_force_topk`` filters ``neighbor_id != query_id``.
+    The GEMM itself still scans corpus+accepted per batch — when that
+    scan is the bottleneck, swap in the IVF probe as documented above.
+    """
     import os
 
     from pyspark.sql import functions as F
 
     from datapact_spark.operators.similarity import brute_force_topk
+
+    _ACC_COMPACT_EVERY = 20
+    state: dict = {"acc": None, "batches": 0, "seeded": False}
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -356,11 +374,17 @@ def streaming_embedding_dedup(
         try:
             if batch_df.isEmpty():
                 return
+            if not state["seeded"]:
+                state["seeded"] = True
+                if _dir_has_parquet(spark, accepted_sink):
+                    state["acc"] = (
+                        spark.read.parquet(accepted_sink)
+                        .select(id_col, vec_col)
+                        .localCheckpoint(eager=True)
+                    )
             ref = corpus.select(id_col, vec_col)
-            if _dir_has_parquet(spark, accepted_sink):
-                ref = ref.unionByName(
-                    spark.read.parquet(accepted_sink).select(id_col, vec_col)
-                )
+            if state["acc"] is not None:
+                ref = ref.unionByName(state["acc"])
             hits = brute_force_topk(
                 ref, batch_df, k=1, id_col=id_col, vec_col=vec_col
             ).where(F.col("cosine_sim") >= threshold)
@@ -397,6 +421,24 @@ def streaming_embedding_dedup(
                     rejected.write.mode("overwrite").parquet(
                         os.path.join(rejected_sink, f"batch={batch_id}")
                     )
+                # fold this batch's accepted slice into the accumulator.
+                # The slice is localCheckpoint'ed FIRST: its lineage
+                # contains ref = corpus ∪ acc_{b-1}, so an un-truncated
+                # union would nest the whole accumulator plan inside
+                # each new slice — exponential plan growth (OOMs inside
+                # ~10 batches); a checkpointed slice is a plain
+                # LogicalRDD and the union chain grows linearly instead.
+                sl = accepted.select(id_col, vec_col).localCheckpoint(
+                    eager=True
+                )
+                state["acc"] = (
+                    sl if state["acc"] is None
+                    else state["acc"].unionByName(sl)
+                )
+                state["batches"] += 1
+                if state["batches"] % _ACC_COMPACT_EVERY == 0:
+                    # periodic compaction keeps the union chain short
+                    state["acc"] = state["acc"].localCheckpoint(eager=True)
                 accepted.unpersist()
             finally:
                 best.unpersist()

@@ -1,0 +1,125 @@
+"""Long-ingest bench for the streaming embedding gate (VERDICT r6 #3c).
+
+Feeds N single-file micro-batches of novel vectors through
+``streaming_embedding_dedup`` and reports the per-batch wall trend from
+the StreamingQuery progress log. The r6 shape re-read the ENTIRE
+accepted sink per batch (O(total accepted) scan, linear growth over the
+ingest); the r7 accumulator keeps the accepted set in memory, so
+per-batch wall should stay flat.
+
+Usage:
+    python tools/embedding_gate_bench.py [--batches 40] [--repo PATH]
+`--repo` points at another checkout (A/B vs the r6 tree).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", type=int, default=40)
+    ap.add_argument("--rows-per-batch", type=int, default=200)
+    ap.add_argument("--corpus", type=int, default=5000)
+    ap.add_argument("--dim", type=int, default=16)
+    ap.add_argument("--repo", default=os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    args = ap.parse_args()
+
+    sys.path.insert(0, args.repo)
+    os.chdir(args.repo)
+    from datapact_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="embedding-gate-bench", master="local[8]",
+        shuffle_partitions=8, extra_conf={"spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from datapact_spark.streaming.incremental import streaming_embedding_dedup
+
+    work = tempfile.mkdtemp(prefix="emb_gate_bench_")
+    try:
+        def unit(i: int, dim: int) -> list[float]:
+            # deterministic quasi-orthogonal unit vectors: a seeded angle
+            # on a 2-plane chosen by index — all novel vs each other
+            a, b = i % dim, (i * 7 + 1) % dim
+            if a == b:
+                b = (b + 1) % dim
+            theta = (i * 2654435761 % 10_000) / 10_000 * math.pi
+            v = [0.0] * dim
+            v[a], v[b] = math.cos(theta), math.sin(theta)
+            return v
+
+        corpus = spark.createDataFrame(
+            [(i, unit(i, args.dim)) for i in range(args.corpus)],
+            "vec_id long, embedding array<double>",
+        )
+        src = os.path.join(work, "src")
+        os.makedirs(src)
+        rid = args.corpus + 1
+        for b in range(args.batches):
+            rows = [(rid + b * args.rows_per_batch + j,
+                     unit(rid + b * args.rows_per_batch + j, args.dim))
+                    for j in range(args.rows_per_batch)]
+            spark.createDataFrame(
+                rows, "vec_id long, embedding array<double>"
+            ).coalesce(1).write.mode("append").parquet(src)
+
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        t0 = time.monotonic()
+        q = streaming_embedding_dedup(
+            stream, corpus,
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            accepted_sink=os.path.join(work, "accepted"),
+            threshold=0.999,
+        )
+        # poll progress until all batches are done
+        durations: list[float] = []
+        seen = -1
+        while True:
+            q.awaitTermination(2)
+            lp = q.lastProgress
+            if lp is not None and lp["batchId"] > seen:
+                seen = lp["batchId"]
+            if not q.isActive:
+                break
+        wall = time.monotonic() - t0
+        for p in q.recentProgress:
+            if p.get("numInputRows", 0) > 0:
+                durations.append(p["durationMs"]["triggerExecution"] / 1000.0)
+        n = len(durations)
+        head = durations[: max(1, n // 4)]
+        tail = durations[-max(1, n // 4):]
+        out = {
+            "repo": args.repo,
+            "batches": args.batches,
+            "rows_per_batch": args.rows_per_batch,
+            "wall_s": round(wall, 1),
+            "per_batch_first_quartile_mean_s": round(sum(head) / len(head), 3),
+            "per_batch_last_quartile_mean_s": round(sum(tail) / len(tail), 3),
+            "growth_ratio_last_over_first": round(
+                (sum(tail) / len(tail)) / (sum(head) / len(head)), 2
+            ),
+            "per_batch_s": [round(d, 2) for d in durations],
+        }
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
