@@ -1417,17 +1417,23 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming ≤ 6 and the post-filter is exact, so found == truth is a
     THEOREM here, not a tuning accident. Perturbed copies of every 13th
     doc provide known collisions."""
-    from datapact_spark.operators.dedup import simhash, simhash_near_dups
+    from datapact_spark.operators.dedup import (
+        simhash_near_dups,
+        simhash_portable_vectorized,
+    )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     perturbed = docs.where(F.col("doc_id") % 13 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" qq")).alias("text"),
     )
-    sims = simhash(
-        docs.unionByName(perturbed),
-        bits=SIMHASH_PORTABLE_BITS,
-        token_hash=_portable_token_hash,
+    # vectorized twin of simhash(token_hash=_portable_token_hash):
+    # bit-identical signatures (unit-tested vs the JVM path incl.
+    # whitespace/empty/null edge tokens), ~4.7x the signature stage
+    # (r7: 2.0 s -> 0.4 s at sf0.1 — no token explode, no 33-buffer
+    # grouped aggregation)
+    sims = simhash_portable_vectorized(
+        docs.unionByName(perturbed), bits=SIMHASH_PORTABLE_BITS
     )
     return simhash_near_dups(
         sims, max_hamming=6, bits=SIMHASH_PORTABLE_BITS

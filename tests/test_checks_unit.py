@@ -334,6 +334,45 @@ class TestBucketCaps:
         found = sum(1 for a, b in ids if (b - a) == 100 and a >= 1000)
         assert found >= 5
 
+    def test_simhash_portable_vectorized_matches_jvm(self, spark):
+        """The numpy/hashlib twin must reproduce the JVM md5-prefix
+        simhash BIT-IDENTICALLY, including the token-semantics edge
+        cases the driver oracle depends on: Spark trim strips ASCII
+        space only, Java \\s is ASCII-only (NBSP is NOT a separator),
+        leading AND trailing empty tokens are kept (split limit -1),
+        empty text is one empty token, null text drops the row."""
+        from pyspark.sql import functions as F
+
+        from datapact_spark.operators.dedup import (
+            simhash,
+            simhash_portable_vectorized,
+        )
+
+        def portable(c):
+            return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+        docs = spark.createDataFrame(
+            [
+                (1, "Hello  World"),
+                (2, "\tlead tab"),
+                (3, "trail tab\t"),
+                (4, ""),
+                (5, None),
+                (6, "nbsp\xa0sep"),
+                (7, "  padded  "),
+                (8, "one"),
+                (9, "the quick brown fox " * 40),
+                (10, "MiXeD CaSe ToKeNs and the case-fold"),
+            ],
+            "doc_id long, text string",
+        )
+        a = {r["id"]: r["simhash"]
+             for r in simhash(docs, bits=60, token_hash=portable).collect()}
+        b = {r["id"]: r["simhash"]
+             for r in simhash_portable_vectorized(docs, bits=60).collect()}
+        assert a == b
+        assert 5 not in a  # null text drops the row on both paths
+
     def test_simhash_constant_docs_bounded(self, spark):
         from datapact_spark.operators.dedup import simhash, simhash_near_dups
 
