@@ -137,16 +137,70 @@ def minhash_signatures(
     num_hashes: int = 32,
     shingle_n: int = 3,
     seed: int = 42,
+    vectorized: bool = True,
 ) -> DataFrame:
     """(id, sig: array<bigint>) — minhash signature per document.
 
-    Permutation i is (a_i·h + b_i) mod M over the shingle hashes; the
-    min over shingles per permutation is computed with ``F.transform``
-    + ``F.array_min`` — vectorized JVM arithmetic, scales linearly."""
+    Permutation i is (a_i·h + b_i) mod M over the shingle hashes.
+
+    ``vectorized=True`` (default): token hashes stay on the JVM (Spark
+    ``xxhash64`` has no portable Python twin), but the shingle rolling
+    hash, distinct, and the ``num_hashes`` permutation minima run as
+    one numpy pass per document inside ``mapInPandas`` — bit-identical
+    to the Column path (unit-tested, incl. sub-``shingle_n``-token and
+    empty/null-text edge docs) while skipping the interpreted
+    higher-order-function chain AND the (id, shingle-hash) explode +
+    grouped 32-buffer aggregation (the per-doc aggregation completes in
+    the worker, guide §2.3). ``vectorized=False`` keeps the pure-Column
+    path (string doc ids, no-Python environments)."""
     import random
 
     rng = random.Random(seed)
     abs_ = [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE)) for _ in range(num_hashes)]
+
+    if vectorized:
+        import numpy as np
+        import pandas as pd
+
+        A = np.array([a for a, _ in abs_], dtype=np.int64)
+        B = np.array([b for _, b in abs_], dtype=np.int64)
+        n = shingle_n
+
+        tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        hashed = df.select(
+            F.col(id_col).alias("id"),
+            F.transform(
+                tokens, lambda t: F.pmod(F.xxhash64(t), F.lit(_MERSENNE))
+            ).alias("__h"),
+        )
+
+        def batches(it):
+            for pdf in it:
+                ids, sigs = [], []
+                for did, arr in zip(pdf["id"], pdf["__h"]):
+                    if arr is None:
+                        # null text → explode(null) emitted no rows
+                        continue
+                    h = np.asarray(arr, dtype=np.int64)
+                    s = h.size
+                    # zip_with(acc, slice(h, j+1, ...), coalesce(b, 0))
+                    # ≡ rolling over h padded with n-1 zeros; keep the
+                    # first max(s - (n-1), 1) entries, then distinct —
+                    # exactly _shingles' Column semantics
+                    hp = np.concatenate([h, np.zeros(n - 1, dtype=np.int64)])
+                    acc = h.copy()
+                    for j in range(1, n):
+                        acc = (acc * _PR + hp[j:j + s]) % _MERSENNE
+                    sh = np.unique(acc[: max(s - (n - 1), 1)])
+                    sig = ((sh[:, None] * A + B) % _MERSENNE).min(axis=0)
+                    ids.append(int(did))
+                    sigs.append([int(x) for x in sig])
+                yield pd.DataFrame(
+                    {"id": pd.Series(ids, dtype="int64"),
+                     "sig": pd.Series(sigs, dtype="object")}
+                )
+
+        return hashed.mapInPandas(batches, schema="id long, sig array<bigint>")
 
     def _perm(a: int, b: int):
         # closure factory: F.transform introspects the lambda's arity,
