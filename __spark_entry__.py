@@ -724,11 +724,15 @@ def q_freshness_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         freshness_checks=[FreshnessCheck(column="ts", max_age_hours=24.0)],
     )
     v = compile_partition_verdicts(spark, task, resolver)
-    return v.select(
+    from datapact_spark.session import propagate_cached
+
+    # carry the cached joined-profile handle through the projection
+    # (same orphaned-handle leak class as q_partitioned_verdict)
+    return propagate_cached(v, v.select(
         "event_type", "source_count", "freshness_max_ts_source",
         "freshness_ts_source_passed", "count_passed",
         "overall_validation_passed",
-    ).orderBy("event_type")
+    ).orderBy("event_type"))
 
 
 def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1800,7 +1804,13 @@ def q_partitioned_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     v = compile_partition_verdicts(spark, task, resolver, salt_buckets=4)
-    return v.select(
+    from datapact_spark.session import propagate_cached
+
+    # the select would otherwise orphan the cached joined-profile
+    # handle compile_partition_verdicts hands off — the one relation
+    # the r7 full-board leak audit found still pinned after
+    # release_cached, crowding storage for every later bench query
+    return propagate_cached(v, v.select(
         "o_orderpriority", "source_count", "target_count",
         "total_compared_rows", "mismatch_count",
         "count_passed", "row_hash_passed", "uniqueness_passed",
@@ -1809,7 +1819,7 @@ def q_partitioned_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         "constraint_violations_no_mod101_target",
         "constraint_no_mod101_target_passed",
         "overall_validation_passed",
-    )
+    ))
 
 
 _EVENTS_STREAM_SCHEMA = (

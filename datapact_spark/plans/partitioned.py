@@ -438,8 +438,10 @@ def compile_partition_verdicts(
     )
     if joined.is_cached:
         # hand the cached joined-profile relation to the caller so it
-        # can be released once the verdicts are materialized
-        out._datapact_cached = joined
+        # can be released once the verdicts are materialized (a LIST —
+        # propagate_cached/track_cached iterate the handle, and a bare
+        # DataFrame would star-unpack into its Columns)
+        out._datapact_cached = [joined]
     return out
 
 

@@ -90,4 +90,8 @@ def propagate_cached(src, dst):
     use when a wrapper derives a new DataFrame (select/alias/orderBy)
     from a handle-carrying one, which would otherwise orphan the
     persisted relations."""
-    return track_cached(dst, *(getattr(src, "_datapact_cached", None) or []))
+    cached = getattr(src, "_datapact_cached", None) or []
+    if not isinstance(cached, list):
+        # a bare DataFrame handle would star-unpack into its Columns
+        cached = [cached]
+    return track_cached(dst, *cached)
