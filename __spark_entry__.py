@@ -831,10 +831,9 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     raw = docs.unionByName(injected)
 
-    cleaned = (
-        strip_boilerplate(raw, min_docs=3)
-        .where(F.col("cleaned_text") != "")
-        .select("doc_id", F.col("cleaned_text").alias("text"))
+    stripped = strip_boilerplate(raw, min_docs=3)
+    cleaned = stripped.where(F.col("cleaned_text") != "").select(
+        "doc_id", F.col("cleaned_text").alias("text")
     )
     # materialize the expensive stage boundary once — the six stage
     # aggregates below otherwise re-derive the strip for every branch,
@@ -895,7 +894,11 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pinning them for the session
     from datapact_spark.session import track_cached
 
-    return track_cached(out, red, chunks)
+    # red + chunks are the eager persists; stripped carries the boiler
+    # hash-set persist from strip_boilerplate
+    from datapact_spark.session import propagate_cached
+
+    return propagate_cached(stripped, track_cached(out, red, chunks))
 
 
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1013,12 +1016,14 @@ def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "doc_id long, text string",
     )
+    from datapact_spark.session import propagate_cached
+
     out = strip_boilerplate(docs.unionByName(injected), min_docs=3)
-    return out.select(
+    return propagate_cached(out, out.select(
         "doc_id", "n_lines", "n_boiler",
         F.md5("cleaned_text").alias("cleaned_md5"),
         F.length("cleaned_text").cast("long").alias("cleaned_len"),
-    ).orderBy("doc_id")
+    ).orderBy("doc_id"))
 
 
 QUOTA_BUDGETS = {"en": 20_000, "de": 6_000, "fr": 0}

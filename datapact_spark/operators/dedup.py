@@ -1246,14 +1246,21 @@ def strip_boilerplate(
     sort_array(collect_list(struct(idx, line))). The rebuild shuffles
     (id, line) pairs once; no window over the skewed line key.
     """
+    from pyspark.storagelevel import StorageLevel
+    from datapact_spark.session import track_cached
+
     if boiler is None:
         boiler = boilerplate_lines(df, id_col, text_col, min_docs)
-    hashes = boiler.select("line_hash")
     # Counted broadcast gate (same pattern as doc_duplication_score's
     # broadcast_rep_max): the hash set is 32 B/row, so up to ~2M
     # boilerplate lines broadcast in ~64 MB and the exploded line
     # stream — (id, idx, line) for the WHOLE corpus — never shuffles
     # for the anti-join. Past the cap, AQE keeps the shuffled join.
+    # The persist keeps the boiler derivation single-pass (the count
+    # would otherwise recompute the full line aggregation the join
+    # needs again); the handle rides ``_datapact_cached``.
+    hashes = boiler.select("line_hash").persist(StorageLevel.MEMORY_AND_DISK)
+    hashes_cached = hashes
     if hashes.count() <= 2_000_000:
         hashes = F.broadcast(hashes)
     lines = df.select(
@@ -1286,7 +1293,7 @@ def strip_boilerplate(
             F.size(F.split(F.col(text_col), "\n", -1)).cast("long"),
         ).alias("n_lines"),
     )
-    return (
+    return track_cached(
         totals
         .join(rebuilt, id_col, "left")
         .select(
@@ -1297,5 +1304,6 @@ def strip_boilerplate(
                 F.col("n_lines").isNotNull(),
                 F.coalesce("cleaned_text", F.lit("")),
             ).alias("cleaned_text"),
-        )
+        ),
+        hashes_cached,
     )

@@ -111,6 +111,12 @@ class PipelineRunner:
             # one job: write is the materialization AND the checkpoint
             # (_SUCCESS only lands on success; a kill leaves no marker)
             out.write.mode("overwrite").parquet(d)
+            # release any mid-plan persists the stage operator handed
+            # off (e.g. strip_boilerplate's boiler hash set) — the
+            # parquet checkpoint is the durable copy from here on
+            from datapact_spark.session import release_cached
+
+            release_cached(out)
             prev = self.spark.read.parquet(d)
             rows = prev.count()
             results.append(StageResult(
